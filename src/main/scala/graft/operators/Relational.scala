@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Batch relational operator surface (SURVEY.md §2) re-expressed Spark-first.
+  *
+  * The reference implements TPC-H Q3 (scan → filter → 3-way equi-join →
+  * group-sum → order/limit) five ways; here the declarative DataFrame plan
+  * subsumes all of them: Catalyst does predicate pushdown, column pruning,
+  * join selection (broadcast for the small post-filter build sides) and
+  * partial/final hash aggregation that the reference hand-codes
+  * (TPCHQuery3_BatchProcessor.java:137–374, no_websocket.java:168–241).
+  *
+  * Schema note: the driver fixtures (TESTDATA.md) have no `o_shippriority`
+  * column, so `o_orderpriority` plays its role in Q3's grouping; money
+  * columns are doubles, so aggregates cast to exact decimal before summing
+  * (see [[d2]]) to be oracle-stable across summation orders.
+  */
+object Relational {
+
+  /** The reference's Q3 constant: orders strictly before / shipments
+    * strictly after this date (TPCHQuery3SQL_Batch.java:110–111).
+    */
+  val Q3Date = "1995-03-15"
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(spark, dir, name)
+
+  /** Money columns are stored as doubles but carry exactly 2 decimal digits;
+    * casting to decimal before arithmetic makes every aggregate EXACT and
+    * summation-order-independent (a double `round(sum(..),2)` flips on .xx5
+    * boundaries depending on add order — observed at sf0.01). The exact
+    * decimal sum cast back to double is bit-identical on Spark and DuckDB.
+    */
+  def d2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact money sum, emitted as a stable double. */
+  def moneySum(c: Column): Column = sum(d2(c)).cast("double")
+
+  /** `l_extendedprice * (1 - l_discount)` — the only scalar expression in the
+    * reference (TPCHQuery3SQL_Batch.java:102; no_websocket.java:502) — in
+    * exact decimal arithmetic.
+    */
+  def revenueExpr: Column = d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q3 — the flagship (SURVEY.md §0 capability 1)
+  // ---------------------------------------------------------------------
+
+  /** Q3 via the DataFrame API (mirrors the hand-built DataStream graph of
+    * TPCHQuery3_BatchProcessor.java:137–374, minus its lost-lineitem defect —
+    * SURVEY.md §7.4a).
+    */
+  def q3Batch(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_date(lit(Q3Date))
+    val customer = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val orders = t(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val lineitem = t(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(20)
+  }
+
+  /** The same Q3 as SQL text — runs verbatim on Spark and DuckDB, mirroring
+    * the reference's Table-API oracle (TPCHQuery3SQL_Batch.java:97–124).
+    */
+  val q3Sql: String =
+    s"""SELECT l_orderkey,
+       |       o_orderdate,
+       |       o_orderpriority,
+       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND CAST(o_orderdate AS DATE) < DATE '$Q3Date'
+       |  AND CAST(l_shipdate AS DATE) > DATE '$Q3Date'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+       |LIMIT 20""".stripMargin
+
+  def q3ViaSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q3Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.3 projections / filters
+  // ---------------------------------------------------------------------
+
+  /** `c_mktsegment = 'BUILDING'` (no_websocket.java:329–337). */
+  def filterCustomerSegment(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** `o_orderdate < DATE '1995-03-15'` (no_websocket.java:340–354). */
+  def filterOrdersDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) < to_date(lit(Q3Date)))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+
+  /** `l_shipdate > DATE '1995-03-15'` + parse-time projection 16→5 cols
+    * (no_websocket.java:292–315, 357–371). Catalyst pushes both the filter
+    * and the column pruning into the parquet scan.
+    */
+  def filterLineitemDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) > to_date(lit(Q3Date)))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_discount")
+
+  // ---------------------------------------------------------------------
+  // §2.4 joins
+  // ---------------------------------------------------------------------
+
+  /** customer ⋈ orders on custkey — the reference's first CoProcessFunction
+    * join (BatchProcessor.java:172–217), as a plain equi-join. Aggregated to
+    * one row per customer so the output is small and deterministic.
+    */
+  def joinCustomerOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("total_spend"))
+
+  /** orders ⋈ lineitem on orderkey with per-line revenue — the reference's
+    * second join incl. its revenue computation (BatchProcessor.java:219–276,
+    * no_websocket.java:447–512), without the lost-lineitem defect.
+    */
+  def joinOrdersLineitem(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n_lines"), sum(revenueExpr).cast("double").as("revenue"))
+
+  /** Star-schema dimension join: customer ⋈ nation ⋈ region with both dims
+    * explicitly broadcast — the 100 TB-scale plan (tiny dims never shuffle
+    * the fact table).
+    */
+  def joinBroadcastDims(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("acctbal_sum"))
+
+  /** Left-semi join (EXISTS): customers that have at least one order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Left-outer join with null handling: every order with its (possibly
+    * missing) customer name.
+    */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  // ---------------------------------------------------------------------
+  // §2.5 aggregations
+  // ---------------------------------------------------------------------
+
+  /** Group-sum matching the reference's SQL aggregate shape
+    * (TPCHQuery3SQL_Batch.java:112–115) over the whole lineitem table
+    * (TPC-H Q1-flavored so the output is small + deterministic).
+    */
+  def aggGroupSum(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueExpr).cast("double").as("sum_revenue"),
+        count(lit(1)).as("count_order"))
+
+  /** Full scalar-aggregate battery: count / min / max (+ exactly-rounded
+    * avg) — beyond the reference (it only has SUM) but table stakes for an
+    * engine; SURVEY.md §2.10.
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (moneySum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+
+  /** ROLLUP grouping sets (absent from the reference; SURVEY.md §2.10). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+
+  // ---------------------------------------------------------------------
+  // §2.6 sort / limit / top-k
+  // ---------------------------------------------------------------------
+
+  /** ORDER BY … LIMIT — Catalyst plans `TakeOrderedAndProject`, which
+    * keeps a bounded per-partition heap instead of a global sort: exactly
+    * the scale-out fix for the reference's single-task `TopNFunction`
+    * (no_websocket.java:590–650).
+    */
+  def topNOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  /** Per-group top-k via window rank (absent from the reference;
+    * SURVEY.md §2.10): top-3 orders per priority class.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // set operations (absent from the reference; SURVEY.md §2.10)
+  // ---------------------------------------------------------------------
+
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def users(kind: String) = ev.filter(col("event_type") === kind).select("user_id")
+    val purchasedAndErrored = users("purchase").intersect(users("error"))
+      .withColumn("cohort", lit("purchase_and_error"))
+    val viewedNeverClicked = users("view").except(users("click"))
+      .withColumn("cohort", lit("view_never_click"))
+    purchasedAndErrored.unionByName(viewedNeverClicked)
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** JSON sink contract of the reference's WebSocket push
+    * (TPCHQuery3_StreamProcessor.java:1037–1052): rank + orderkey + revenue
+    * + orderdate as a JSON string per row, built with deterministic casts so
+    * Spark and the oracle agree byte-for-byte.
+    */
+  def sinkJsonContract(spark: SparkSession, dir: String): DataFrame = {
+    val top = q3Batch(spark, dir)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)))
+    top.select(
+      col("rank"),
+      concat(
+        lit("{\"rank\":"), col("rank").cast("string"),
+        lit(",\"orderkey\":"), col("l_orderkey").cast("string"),
+        lit(",\"revenue\":"), col("revenue").cast("decimal(18,2)").cast("string"),
+        lit(",\"orderdate\":\""), to_date(col("o_orderdate")).cast("string"),
+        lit("\"}")).as("json"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch table loaders over the driver-provided parquet fixtures
+  * (TESTDATA.md: `region nation customer supplier part orders lineitem
+  * events documents embeddings`).
+  *
+  * Replaces the reference's per-table filesystem CSV sources — the SQL DDL
+  * connectors (TPCHQuery3SQL_Batch.java:32–95) and the three hand-rolled
+  * `SourceFunction` CSV parsers (TPCHQuery3_BatchProcessor.java:382–619).
+  * Spark's columnar parquet reader subsumes all of them and adds predicate
+  * pushdown + column pruning at the scan, which the reference did manually
+  * at parse time (no_websocket.java:292–315).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects; read nanos as long and convert (fixture timestamps are
+    // micro-precision, so the narrowing is lossless).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  /** Register every fixture table as a temp view (for the `spark.sql` path,
+    * mirroring the reference's Table-API catalog registration).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Structural/invariant checks per relational operator; exact value parity
+  * is enforced by the driver's DuckDB gate (tools/check.py locally).
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("q3_batch: top-20, descending revenue, positive revenues") {
+    val rows = Relational.q3Batch(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)), "revenue must be descending")
+    assert(revs.forall(_ > 0))
+  }
+
+  test("q3_sql ≡ q3_batch") {
+    val a = Relational.q3Batch(spark, sfDir).collect().map(_.toSeq)
+    val b = Relational.q3ViaSql(spark, sfDir).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("filters select strict subsets") {
+    import graft.sources.Tables
+    val cAll = Tables.table(spark, sfDir, "customer").count()
+    val c = Relational.filterCustomerSegment(spark, sfDir).count()
+    assert(c > 0 && c < cAll)
+    val o = Relational.filterOrdersDate(spark, sfDir).count()
+    assert(o > 0)
+    val l = Relational.filterLineitemDate(spark, sfDir).count()
+    assert(l > 0)
+  }
+
+  test("semi + anti partition customer exactly") {
+    import graft.sources.Tables
+    val total = Tables.table(spark, sfDir, "customer").count()
+    val semi = Relational.joinSemi(spark, sfDir).count()
+    val anti = Relational.joinAnti(spark, sfDir).count()
+    assert(semi + anti == total)
+  }
+
+  test("join_orders_lineitem: one row per matched order") {
+    val df = Relational.joinOrdersLineitem(spark, sfDir)
+    assert(df.count() == df.select("o_orderkey").distinct().count())
+  }
+
+  test("window_rank: at most 3 per priority, ranks start at 1") {
+    val rows = Relational.windowRank(spark, sfDir).collect()
+    val byPrio = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byPrio.values.forall(_.length <= 3))
+    assert(byPrio.values.forall(_.map(_.getAs[Int]("rnk")).min == 1))
+  }
+
+  test("rollup includes grand total") {
+    val rows = Relational.aggRollup(spark, sfDir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    import graft.sources.Tables
+    assert(grand.head.getAs[Long]("n") == Tables.table(spark, sfDir, "orders").count())
+  }
+
+  test("sink_json_contract emits parseable reference-shaped JSON") {
+    val rows = Relational.sinkJsonContract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[String]("json")
+      assert(j.startsWith("{\"rank\":") && j.contains("\"orderkey\":") &&
+        j.contains("\"revenue\":") && j.endsWith("\"}"))
+    }
+  }
+
+  test("every query key has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep this list tight: anything here gets only a weak rows>0 check
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
