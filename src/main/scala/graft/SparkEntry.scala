@@ -43,6 +43,10 @@ object SparkEntry {
     "set_ops" -> (Relational.setOps _),
     // --- §2.2 sink contract (JSON message shape) ---
     "sink_json_contract" -> (Relational.sinkJsonContract _),
+    // --- §2.8 changelog streaming (signed-weight incremental Q3) ---
+    "changelog_counts" -> (streaming.StreamQueries.changelogCounts _),
+    "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
+    "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,5 +142,34 @@ object SparkEntry {
          |       || ',"orderdate":"' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
          |       || '"}' AS json
          |FROM ranked""".stripMargin,
+    "changelog_counts" ->
+      """SELECT relation, action, n FROM (
+        |  SELECT 'customer' AS relation, 'Insert' AS action, COUNT(*) AS n FROM customer
+        |  UNION ALL SELECT 'customer', 'Delete', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'orders', 'Insert', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
+    "stream_q3_converged" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    "stream_q3_full_cycle" ->
+      """SELECT CAST(NULL AS BIGINT) AS l_orderkey,
+        |       CAST(NULL AS VARCHAR) AS o_orderdate,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |       CAST(NULL AS DOUBLE) AS revenue
+        |WHERE 1 = 0""".stripMargin,
   )
 }

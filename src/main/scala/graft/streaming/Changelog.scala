@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Changelog-stream format + generator (SURVEY.md §1.4).
+  *
+  * Line contract mirrors the reference's `streamdata.csv`: a 3-char header
+  * `[+|-][CU|OR|LI]` followed by the pipe-separated table row
+  * (TPCHQuery3_StreamProcessor_no_websocket.java:286–290; generator writes
+  * `"+LI" + line`, StreamDataProcessor.py:160).
+  *
+  * The reference generates the interleaving with a sequential Python loop
+  * (StreamDataProcessor.py:122–254): insert lineitems one at a time, co-emit
+  * orders/customer inserts whenever the cardinality ratio demands it, and
+  * delete row `i − capacity` once the sliding window overflows. That loop
+  * has an analytic closed form, which lets us generate the SAME event
+  * ordering fully distributed (no driver loop — scales to any SF):
+  *
+  *  - lineitem `i` (1-based insertion rank) inserts at trigger `t = i`;
+  *  - order `j` inserts at `t = ceil(j·nL/nO)` (the first lineitem insert
+  *    whose running ratio demands the j-th order — py:170–213);
+  *  - customer `k` inserts at `t = ceil(k·nL/nC)`;
+  *  - each row's delete fires `capacity` triggers after its insert
+  *    (py:164–167,221–249), so the default `capacity = nL` reproduces the
+  *    reference's build-up-then-tear-down two-phase stream (py:22,136).
+  *
+  * Events are totally ordered by `(t, sub, idx)` where `sub` sequences
+  * within a trigger: LI+ < OR+ < CU+ < LI− < OR− < CU−.
+  */
+object Changelog {
+
+  /** Serialize a value column for the pipe format. Money/qty doubles carry
+    * exactly 2 decimals in the fixtures (verified) so `decimal(18,2)` text
+    * roundtrips them losslessly; dates are midnight-only → `yyyy-MM-dd`.
+    */
+  private def f(c: Column, dt: String): Column = dt match {
+    case "money" => c.cast("decimal(18,2)").cast("string")
+    case "date"  => date_format(c, "yyyy-MM-dd")
+    case _       => c.cast("string")
+  }
+
+  private val customerCols = Seq(
+    "c_custkey" -> "i", "c_name" -> "s", "c_nationkey" -> "i",
+    "c_acctbal" -> "money", "c_mktsegment" -> "s")
+  private val ordersCols = Seq(
+    "o_orderkey" -> "i", "o_custkey" -> "i", "o_orderstatus" -> "s",
+    "o_totalprice" -> "money", "o_orderdate" -> "date", "o_orderpriority" -> "s")
+  private val lineitemCols = Seq(
+    "l_orderkey" -> "i", "l_partkey" -> "i", "l_suppkey" -> "i",
+    "l_linenumber" -> "i", "l_quantity" -> "money", "l_extendedprice" -> "money",
+    "l_discount" -> "money", "l_tax" -> "money", "l_returnflag" -> "s",
+    "l_linestatus" -> "s", "l_shipdate" -> "date")
+
+  private def payload(cols: Seq[(String, String)]): Column =
+    concat_ws("|", cols.map { case (n, dt) => f(col(n), dt) }: _*)
+
+  /** ceil(idx·nL/nTable) in exact long arithmetic. */
+  private def trigger(idx: Column, nL: Long, nTable: Long): Column =
+    ((idx * nL + nTable - 1L) / nTable).cast("long")
+
+  /** Generate the ordered changelog for one sfDir.
+    *
+    * @param capacity sliding-window capacity in lineitem-insert triggers;
+    *                 `None` = reference default (full table ⇒ two-phase
+    *                 build/tear-down, py:22,136)
+    * @param insertOnly drop all delete events (the "all-inserts prefix"
+    *                   whose converged answer must equal the batch answer)
+    * @return columns `(t: long, sub: int, idx: long, line: string)` —
+    *         total event order is `ORDER BY t, sub, idx`.
+    */
+  def generate(spark: SparkSession, dir: String,
+               capacity: Option[Long] = None,
+               insertOnly: Boolean = false): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+    val or = Tables.table(spark, dir, "orders")
+    val cu = Tables.table(spark, dir, "customer")
+    val nL = li.count(); val nO = or.count(); val nC = cu.count()
+    val cap = capacity.getOrElse(nL)
+
+    // Insertion rank per table. A global row_number window is fine for a
+    // test-harness generator; at cluster scale swap in zipWithIndex or the
+    // dense-key identity (fixture keys are dense 0..n−1).
+    def ranked(df: DataFrame, order: Seq[Column]): DataFrame =
+      df.withColumn("idx", row_number().over(Window.orderBy(order: _*)).cast("long"))
+
+    def events(df: DataFrame, tag: String, cols: Seq[(String, String)],
+               t: Column, subIns: Int): DataFrame = {
+      val ins = df.select(t.as("t"), lit(subIns).as("sub"), col("idx"),
+        concat(lit("+" + tag), lit("|"), payload(cols)).as("line"))
+      if (insertOnly) ins
+      else ins.unionByName(df.select((t + cap).as("t"), lit(subIns + 3).as("sub"),
+        col("idx"), concat(lit("-" + tag), lit("|"), payload(cols)).as("line")))
+    }
+
+    val liR = ranked(li, Seq(col("l_orderkey"), col("l_linenumber")))
+    val orR = ranked(or, Seq(col("o_orderkey")))
+    val cuR = ranked(cu, Seq(col("c_custkey")))
+
+    events(liR, "LI", lineitemCols, col("idx"), 0)
+      .unionByName(events(orR, "OR", ordersCols, trigger(col("idx"), nL, nO), 1))
+      .unionByName(events(cuR, "CU", customerCols, trigger(col("idx"), nL, nC), 2))
+  }
+
+  /** Write the changelog as ordered text files. `nFiles` range-partitions by
+    * trigger so file order ≈ event order (micro-batch replay order).
+    */
+  def write(events: DataFrame, path: String, nFiles: Int = 4): Unit =
+    events.repartitionByRange(nFiles, col("t"), col("sub"), col("idx"))
+      .sortWithinPartitions(col("t"), col("sub"), col("idx"))
+      .select("line").write.mode("overwrite").text(path)
+
+  // -------------------------------------------------------------------
+  // Parser (no_websocket.java:281–320 re-expressed as declarative columns)
+  // -------------------------------------------------------------------
+
+  /** Parse raw changelog lines (column `line` or `value`) into a tagged
+    * z-set: `(relation, __w, fields…)` with `__w = +1` for Insert, `−1` for
+    * Delete — the signed-weight encoding that replaces the reference's
+    * `StreamEvent.action` string (no_websocket.java:60–86).
+    */
+  def parse(lines: DataFrame): DataFrame = {
+    val c = if (lines.columns.contains("line")) col("line") else col("value")
+    lines.select(
+      when(substring(c, 1, 1) === "+", 1L).otherwise(-1L).as(ZSet.W),
+      substring(c, 2, 2).as("tag"),
+      split(substring(c, 5, Int.MaxValue), "\\|").as("fs"))
+  }
+
+  private def typed(parsed: DataFrame, tag: String, cols: Seq[(String, String)]): DataFrame =
+    parsed.filter(col("tag") === tag).select(
+      cols.zipWithIndex.map { case ((n, dt), i) =>
+        val raw = col("fs").getItem(i)
+        (dt match {
+          case "i"     => raw.cast("long")
+          case "money" => raw.cast("double")
+          case "date"  => to_date(raw)
+          case _       => raw
+        }).as(n)
+      } :+ col(ZSet.W): _*)
+
+  def customers(parsed: DataFrame): DataFrame = typed(parsed, "CU", customerCols)
+  def orders(parsed: DataFrame): DataFrame = typed(parsed, "OR", ordersCols)
+  def lineitems(parsed: DataFrame): DataFrame = typed(parsed, "LI", lineitemCols)
+}

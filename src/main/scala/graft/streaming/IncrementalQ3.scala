@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Relational
+
+/** Incremental (retraction-correct) TPC-H Q3 over a changelog stream —
+  * the reference's capability #2 (SURVEY.md §0), re-expressed as
+  * signed-weight incremental view maintenance.
+  *
+  * The reference chains four hand-built stateful operators
+  * (no_websocket.java:168–241): symmetric join customer⋈orders, symmetric
+  * join (c⋈o)⋈lineitem, retractable SUM, single-task top-N. Here the same
+  * dataflow is a per-micro-batch delta computation over z-set states:
+  *
+  * {{{
+  *   ΔCO  = ΔC ⋈ (O∪ΔO)  ∪  C ⋈ ΔO                  (custkey)
+  *   ΔJ   = ΔCO ⋈ (L∪ΔL) ∪  CO ⋈ ΔL                 (orderkey)
+  *   ΔAgg = ΔJ groupBy (orderkey, orderdate, priority)
+  *                agg sum(w·revenue), sum(w)
+  *   Agg' = consolidate(Agg ∪ ΔAgg);  emit top-20 of Agg'
+  * }}}
+  *
+  * Revenue is kept as exact decimal so insert/delete pairs cancel to
+  * EXACTLY zero and the converged streaming answer is bit-equal to the
+  * batch answer (vs. the reference's drifting `double` state,
+  * no_websocket.java:546–550). Built-in Structured Streaming cannot chain
+  * a stream-stream join into an update-mode aggregate, so the deltas run
+  * inside `foreachBatch` (see [[StreamingQ3]]) — each delta join/aggregate
+  * is a full Catalyst plan: shuffles on the join keys, partial/final hash
+  * aggregation, whole-stage codegen, AQE.
+  */
+object IncrementalQ3 {
+
+  /** All maintained state, each a z-set DataFrame with weight [[ZSet.W]]. */
+  final case class State(c: DataFrame, o: DataFrame, l: DataFrame,
+                         co: DataFrame, agg: DataFrame) {
+    def all: Seq[DataFrame] = Seq(c, o, l, co, agg)
+  }
+
+  private val cutoff = to_date(lit(Relational.Q3Date))
+
+  private def d2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private val revType = "decimal(38,4)"
+
+  private def empty(spark: SparkSession, fields: (String, DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map { case (n, t) => StructField(n, t) } :+
+        StructField(ZSet.W, LongType)))
+
+  def init(spark: SparkSession): State = State(
+    c = empty(spark, "c_custkey" -> LongType),
+    o = empty(spark, "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderdate" -> DateType, "o_orderpriority" -> StringType),
+    l = empty(spark, "l_orderkey" -> LongType,
+      "revenue" -> DataType.fromDDL(revType)),
+    co = empty(spark, "o_orderkey" -> LongType, "o_orderdate" -> DateType,
+      "o_orderpriority" -> StringType),
+    agg = empty(spark, "l_orderkey" -> LongType, "o_orderdate" -> DateType,
+      "o_orderpriority" -> StringType, "revenue" -> DataType.fromDDL(revType),
+      "cnt" -> LongType))
+
+  /** Q3's pushed-down filters + projections on the delta, mirroring the
+    * reference's pre-join filter placement (no_websocket.java:192–201) and
+    * parse-time projection (no_websocket.java:292–315).
+    */
+  private def project(parsed: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val dC = Changelog.customers(parsed)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col(ZSet.W))
+    val dO = Changelog.orders(parsed)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"), col(ZSet.W))
+    val dL = Changelog.lineitems(parsed)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+          .cast(revType).as("revenue"),
+        col(ZSet.W))
+    (dC, dO, dL)
+  }
+
+  /** Apply one micro-batch of raw changelog lines to the state. */
+  def step(st: State, lines: DataFrame): State = {
+    val parsed = Changelog.parse(lines)
+    val (dC, dO, dL) = project(parsed)
+
+    val dCO = ZSet.deltaJoin(st.c, dC, st.o, dO,
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col(ZSet.W))
+    val dJ = ZSet.deltaJoin(st.co, dCO, st.l, dL,
+      col("o_orderkey") === col("l_orderkey"))
+    val dAgg = dJ
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col(ZSet.W) * col("revenue")).cast(revType).as("revenue"),
+        sum(col(ZSet.W)).as("cnt"))
+
+    val newAgg = st.agg.unionByName(
+        dAgg.withColumn(ZSet.W, lit(1L)).select(st.agg.columns.map(col): _*))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("revenue")).cast(revType).as("revenue"), sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .withColumn(ZSet.W, lit(1L))
+
+    // Materialize the new states eagerly (localCheckpoint truncates the
+    // per-batch lineage — otherwise plan depth grows O(batches)); then
+    // release the previous generation.
+    val next = State(
+      c = ZSet.consolidate(st.c.unionByName(dC)).localCheckpoint(),
+      o = ZSet.consolidate(st.o.unionByName(dO)).localCheckpoint(),
+      l = ZSet.consolidate(st.l.unionByName(dL)).localCheckpoint(),
+      co = ZSet.consolidate(st.co.unionByName(dCO)).localCheckpoint(),
+      agg = newAgg.localCheckpoint())
+    st.all.foreach(_.unpersist(blocking = false))
+    next
+  }
+
+  /** Current top-20 (the reference's TopNFunction contract,
+    * no_websocket.java:590–650 — minus its append-only duplicate defect,
+    * SURVEY.md §7.4b): sort by (revenue desc, orderdate asc), limit 20.
+    */
+  def topN(st: State, n: Int = 20): DataFrame =
+    st.agg
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(n)
+
+  /** Batch-simulated run: slice the generated changelog into `k`
+    * trigger-ordered micro-batches and fold [[step]] over them.
+    */
+  def runBatches(spark: SparkSession, events: DataFrame, k: Int): State = {
+    val tMax = events.agg(max(col("t"))).head.getLong(0)
+    val batched = events.withColumn("batch",
+      least(((col("t") - 1) * k / tMax).cast("int"), lit(k - 1)))
+      .localCheckpoint()
+    val fin = (0 until k).foldLeft(init(spark)) { (st, b) =>
+      step(st, batched.filter(col("batch") === b).select("line"))
+    }
+    batched.unpersist(blocking = false)
+    fin
+  }
+}

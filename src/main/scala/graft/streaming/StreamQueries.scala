@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract (batch-checkable) entry points for the streaming engine:
+  * each runs the changelog pipeline to convergence inside the call and
+  * returns a deterministic DataFrame the DuckDB oracle can reproduce.
+  */
+object StreamQueries {
+
+  private val K = 4 // micro-batches per simulated run
+
+  /** Generate + parse the full insert/delete changelog and count events per
+    * (relation, action) — verifies the generator honors the reference's
+    * 2×(nL+nO+nC) event-count contract (README.md:731; SURVEY §1.4).
+    */
+  def changelogCounts(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = Changelog.parse(Changelog.generate(spark, dir))
+    parsed.select(
+        when(col("tag") === "CU", "customer")
+          .when(col("tag") === "OR", "orders")
+          .otherwise("lineitem").as("relation"),
+        when(col(ZSet.W) === 1, "Insert").otherwise("Delete").as("action"))
+      .groupBy("relation", "action").agg(count(lit(1)).as("n"))
+  }
+
+  private def topAsStrings(st: IncrementalQ3.State): DataFrame =
+    IncrementalQ3.topN(st)
+      .select(col("l_orderkey"), col("o_orderdate").cast("string").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+
+  /** Insert-only changelog folded through the incremental pipeline: the
+    * converged top-20 must equal the batch/oracle Q3 answer exactly
+    * (SURVEY §5 — "final streaming answer over the all-inserts prefix ≡
+    * batch answer").
+    */
+  def q3Converged(spark: SparkSession, dir: String): DataFrame =
+    topAsStrings(IncrementalQ3.runBatches(spark,
+      Changelog.generate(spark, dir, insertOnly = true), K))
+
+  /** Full build-up-then-tear-down changelog (reference default capacity,
+    * StreamDataProcessor.py:22,136): every insert is later retracted, so
+    * the converged aggregate must be EMPTY — the strongest retraction
+    * check (exact-decimal state cancels to zero, not ≈zero).
+    */
+  def q3FullCycle(spark: SparkSession, dir: String): DataFrame =
+    topAsStrings(IncrementalQ3.runBatches(spark,
+      Changelog.generate(spark, dir), K))
+}

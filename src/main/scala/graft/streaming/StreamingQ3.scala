@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming entry for incremental Q3 — the Spark realization of
+  * the reference's `TPCHQuery3_StreamProcessor[_no_websocket].main`
+  * (no_websocket.java:168–241):
+  *
+  * {{{
+  *   readStream.text(changelogDir)            // UnifiedStreamSource, :248–326
+  *     → foreachBatch { IncrementalQ3.step }  // joins + retractable agg
+  *     → emit(topN)                           // TopNFunction, :590–650
+  * }}}
+  *
+  * The reference throttles its source (~1 ms/1000 events, :270–274) and
+  * emits on processing-time timers (2 s agg / 3 s top-N). Here ingest
+  * pacing is `maxFilesPerTrigger` + `Trigger.ProcessingTime`, and emission
+  * happens once per micro-batch — same cadence contract, no custom timers.
+  */
+object StreamingQ3 {
+
+  /** Start the continuous query. `onEmit` receives the current top-20 rows
+    * and micro-batch id after every batch (console/JSON sinks below).
+    */
+  def start(spark: SparkSession, changelogDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+            maxFilesPerTrigger: Int = 1,
+            onEmit: (Array[Row], Long) => Unit = consoleSink): StreamingQuery = {
+    var state = IncrementalQ3.init(spark)
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(changelogDir)
+      .writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        state = IncrementalQ3.step(state, batch)
+        onEmit(IncrementalQ3.topN(state).collect(), id)
+      }
+      .start()
+  }
+
+  /** Console top-N table — the no-WebSocket variant's sink contract
+    * (no_websocket.java:627–649).
+    */
+  def consoleSink(rows: Array[Row], batchId: Long): Unit = {
+    println(f"=== Top-${rows.length} after batch $batchId ===")
+    println(f"${"rank"}%4s ${"orderkey"}%10s ${"revenue"}%14s ${"orderdate"}%12s  priority")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      println(f"${i + 1}%4d ${r.getLong(0)}%10d ${r.getDouble(3)}%14.2f ${r.getDate(1).toString}%12s  ${r.getString(2)}")
+    }
+  }
+
+  /** The reference's WebSocket JSON message
+    * (TPCHQuery3_StreamProcessor.java:1037–1052):
+    * `{"timestamp":…,"data":[{"rank":…,"orderkey":…,"revenue":…,"orderdate":…,"shippriority":…}]}`.
+    * Kept as a pure formatter so any push transport (HTTP/WebSocket) can
+    * wrap it; transport is presentation, not query semantics (SURVEY §2.2).
+    */
+  def jsonMessage(rows: Array[Row], timestampMs: Long): String = {
+    val data = rows.zipWithIndex.map { case (r, i) =>
+      s"""{"rank":${i + 1},"orderkey":${r.getLong(0)},"revenue":${"%.2f".format(r.getDouble(3))},""" +
+        s""""orderdate":"${r.getDate(1)}","shippriority":"${r.getString(2)}"}"""
+    }.mkString(",")
+    s"""{"timestamp":$timestampMs,"data":[$data]}"""
+  }
+}

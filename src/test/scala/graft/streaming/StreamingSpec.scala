@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Relational
+
+/** Retraction-correctness invariants for the changelog engine (SURVEY §5):
+  * converged streaming ≡ batch; insert-then-delete cancels exactly; the
+  * real Structured Streaming wiring reaches the same answer.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def batchQ3AsStrings = Relational.q3Batch(spark, sfDir)
+    .select(col("l_orderkey"), to_date(col("o_orderdate")).cast("string").as("o_orderdate"),
+      col("o_orderpriority"), col("revenue"))
+    .collect().map(_.toSeq).toSeq
+
+  test("generator: full changelog has 2x(nL+nO+nC) events at table ratios") {
+    val counts = StreamQueries.changelogCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    import graft.sources.Tables
+    for (t <- Seq("customer", "orders", "lineitem")) {
+      val n = Tables.table(spark, sfDir, t).count()
+      assert(counts((t, "Insert")) == n, s"$t inserts")
+      assert(counts((t, "Delete")) == n, s"$t deletes")
+    }
+  }
+
+  test("parser roundtrips typed values exactly") {
+    val ev = Changelog.generate(spark, sfDir, insertOnly = true)
+    val parsed = Changelog.parse(ev)
+    val li = Changelog.lineitems(parsed)
+    import graft.sources.Tables
+    val orig = Tables.table(spark, sfDir, "lineitem")
+    assert(li.count() == orig.count())
+    // exact numeric roundtrip through the decimal(18,2) text format
+    val a = li.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))).head.getDecimal(0)
+    val b = orig.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(a == b)
+  }
+
+  test("converged insert-only stream == batch Q3 (exact)") {
+    val got = StreamQueries.q3Converged(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == batchQ3AsStrings)
+  }
+
+  test("full insert+delete cycle cancels to an empty aggregate") {
+    assert(StreamQueries.q3FullCycle(spark, sfDir).collect().isEmpty)
+  }
+
+  test("retraction: inserting A∪B then deleting B converges to state(A)") {
+    val ins = Changelog.generate(spark, sfDir, insertOnly = true).localCheckpoint()
+    // B = every 3rd event; its deletes are the same lines with flipped sign
+    val a = ins.filter(col("idx") % 3 =!= 0)
+    val b = ins.filter(col("idx") % 3 === 0)
+    val bDel = b.withColumn("line",
+      concat(lit("-"), expr("substring(line, 2)")))
+    val st = Seq(a, b, bDel).foldLeft(IncrementalQ3.init(spark)) {
+      (s, batch) => IncrementalQ3.step(s, batch.select("line"))
+    }
+    val stA = IncrementalQ3.step(IncrementalQ3.init(spark), a.select("line"))
+    val got = IncrementalQ3.topN(st).collect().map(_.toSeq).toSeq
+    val want = IncrementalQ3.topN(stA).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // and the full aggregate state matches, not just the top-20
+    val full = st.agg.orderBy("l_orderkey").collect().map(_.toSeq).toSeq
+    val fullA = stA.agg.orderBy("l_orderkey").collect().map(_.toSeq).toSeq
+    assert(full == fullA)
+  }
+
+  test("structured streaming wiring (readStream → foreachBatch) converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
+    Changelog.write(Changelog.generate(spark, sfDir, insertOnly = true), dir, nFiles = 3)
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    var emissions = 0
+    val q = StreamingQ3.start(spark, dir,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+      onEmit = (rows, _) => { last = rows; emissions += 1 })
+    q.awaitTermination(120000)
+    assert(emissions >= 3, s"expected >=3 micro-batches, got $emissions")
+    val got = last.map(r => Seq(r.getLong(0), r.getDate(1).toString,
+      r.getString(2), r.getDouble(3))).toSeq
+    assert(got == batchQ3AsStrings)
+    // JSON sink contract shape (StreamProcessor.java:1037–1052)
+    val msg = StreamingQ3.jsonMessage(last, 123L)
+    assert(msg.startsWith("""{"timestamp":123,"data":[{"rank":1,"""))
+  }
+}
