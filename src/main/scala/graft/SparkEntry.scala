@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,27 @@ object SparkEntry {
     "changelog_counts" -> (streaming.StreamQueries.changelogCounts _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
+    // --- text analysis (training-data pipeline) ---
+    "text_stats" -> (graft.functions.TextOps.textStats _),
+    "lang_id" -> (graft.functions.TextOps.langId _),
+    "token_profile" -> (graft.functions.TextOps.tokenProfile _),
+    "doc_fingerprint" -> (graft.functions.TextOps.docFingerprint _),
+    // --- deduplication ---
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_embedding_cosine" -> (Dedup.dedupEmbeddingCosine _),
+    // --- similarity search ---
+    "ann_brute_force" -> (Similarity.annBruteForce _),
+    "ann_lsh" -> (Similarity.annLsh _), // approximate: rows-only + recall spec
+    // --- multimodal plumbing ---
+    "multimodal_ingest" -> (Multimodal.ingestMeta _),
+    "multimodal_features" -> (Multimodal.featureSummary _), // stub decode: rows-only + spec
+    // --- event-time windows ---
+    "window_tumbling" -> (Windows.tumbling _),
+    "window_sliding" -> (Windows.sliding _),
+    "window_session" -> (Windows.session _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,5 +192,125 @@ object SparkEntry {
         |       CAST(NULL AS VARCHAR) AS o_orderpriority,
         |       CAST(NULL AS DOUBLE) AS revenue
         |WHERE 1 = 0""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+        |  round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
+        |  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','row','fast','of','and'], x)))::DOUBLE
+        |        / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+        |  round(0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
+        |      + 0.3 * least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+        |      + 0.4 * (len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+        |               / len(string_split_regex(trim(text), '\s+'))), 6) AS quality
+        |FROM documents""".stripMargin,
+    "lang_id" ->
+      """SELECT lang, predicted, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN s_en = 0 AND s_es = 0 AND s_zh = 0 THEN 'und'
+        |         WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted
+        |  FROM (SELECT lang,
+        |    len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['the','a','row','fast'], x))) AS s_en,
+        |    len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['el','la','de','que'], x))) AS s_es,
+        |    len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['的','是'], x))) AS s_zh
+        |  FROM documents) t) u
+        |GROUP BY lang, predicted""".stripMargin,
+    "token_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS ws_tokens,
+        |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min(g) AS fp,
+        |  len(list_distinct(g)) AS n_grams
+        |FROM (SELECT doc_id,
+        |        list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                       i -> md5(substr(text, i::INT, 8))) AS g
+        |      FROM documents) t""".stripMargin,
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_unique,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" -> dedupJaccardOracle(0.8),
+    "dedup_minhash_lsh" -> dedupJaccardOracle(0.8),
+    "dedup_simhash" -> dedupJaccardOracle(0.9),
+    "dedup_embedding_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |         list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]))
+        |         / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+        |            * sqrt(list_sum(list_transform(b.e, x -> x*x)))) AS c
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT doc_a, doc_b, round(c, 6) AS cosine FROM p
+        |WHERE c >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    "ann_brute_force" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
+        |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+        |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
+        |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < 10)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, round(c, 6) AS cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM p) t
+        |WHERE rnk <= 5""".stripMargin,
+    "multimodal_ingest" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "window_tumbling" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "window_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest([time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |                 time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour']) AS ws,
+        |         user_id
+        |  FROM events)
+        |SELECT CAST(ws AS VARCHAR) AS window_start, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1""".stripMargin,
+    "window_session" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |b AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '12 hours'
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM x),
+        |s AS (SELECT user_id, ts, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM b)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY user_id, sid""".stripMargin,
   )
+
+  /** Shared oracle for the near-dup paths (exact inverted-index at 0.8,
+    * MinHash+LSH at 0.8, SimHash at its tighter 0.9 regime): each must
+    * equal the exhaustive O(n²) pairwise 3-gram-shingle Jaccard at its
+    * threshold.
+    */
+  private def dedupJaccardOracle(threshold: Double): String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |         for i in range(1, len(w) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents) t)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(len(list_intersect(a.s, b.s))::DOUBLE
+      |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= $threshold
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (builder brief): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting. All pure Catalyst
+  * column expressions (whole-stage codegen, no UDFs), each with an exact
+  * DuckDB-oracle twin in SparkEntry.oracleSql.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+
+  /** Whitespace tokenization — `split(trim(text), "\s+")`, matching DuckDB's
+    * `string_split_regex(trim(text), '\s+')`.
+    */
+  def tokens: Column = split(trim(col("text")), "\\s+")
+
+  private val enWords = Seq("the", "a", "row", "fast")
+  private val esWords = Seq("el", "la", "de", "que")
+  private val zhWords = Seq("的", "是")
+
+  /** Per-document stats + quality score: length, token counts, alphabetic
+    * ratio, stopword ratio, and a [0,1] composite quality heuristic
+    * (length/diversity/alpha mix — the usual pretraining-filter features).
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens).cast("long")
+    val nDis = size(array_distinct(tokens)).cast("long")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text"))
+    val stop = size(filter(tokens, t => t.isin(enWords ++ Seq("of", "and"): _*))).cast("double") / nTok
+    val quality = lit(0.3) * alpha + lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
+      lit(0.4) * (nDis.cast("double") / nTok)
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      nDis.as("n_distinct"),
+      round(alpha, 6).as("alpha_ratio"),
+      round(stop, 6).as("stopword_ratio"),
+      round(quality, 6).as("quality"))
+  }
+
+  /** N-gram/stopword-profile language ID (deterministic scoring + fixed
+    * tie-break), emitted as a confusion matrix against the labeled `lang`
+    * column. The fixture text is language-less word salad, so the value of
+    * this query is the deterministic plumbing, not classifier accuracy.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def score(words: Seq[String]): Column =
+      size(filter(tokens, t => t.isin(words: _*)))
+    val sEn = score(enWords); val sEs = score(esWords); val sZh = score(zhWords)
+    docs(spark, dir)
+      .select(col("lang"),
+        when(sEn === 0 && sEs === 0 && sZh === 0, "und")
+          .when(sEn >= sEs && sEn >= sZh, "en")
+          .when(sEs >= sZh, "es")
+          .otherwise("zh").as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+  }
+
+  /** Token-count profile per source with a BPE-ish regex lexer
+    * (`[a-z]+|[0-9]+|[^a-z0-9 ]` — word / number / single symbol), the
+    * pretraining token-budget accounting pass.
+    */
+  def tokenProfile(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    docs(spark, dir)
+      .select(col("source"), size(tokens).cast("long").as("ws"),
+        size(bpe).cast("long").as("bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+  }
+
+  /** Rolling-hash document fingerprint: MIN(md5(8-char-gram)) — a
+    * min-sampled content signature (winnowing's selection rule over a
+    * full-overlap window), plus the distinct-gram count. md5 is the one
+    * hash Spark and DuckDB share bit-for-bit, which keeps this
+    * oracle-checkable.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      "transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substr(text, i, 8)))")
+    docs(spark, dir).select(
+      col("doc_id"),
+      array_min(grams).as("fp"),
+      size(array_distinct(grams)).cast("long").as("n_grams"))
+  }
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, and embedding-cosine near-dup (builder brief: the
+  * large-scale training-data pipeline surface).
+  *
+  * Scale design: the exact Jaccard path joins through an inverted shingle
+  * index (pairs sharing zero shingles never meet — no O(n²) cross join);
+  * the MinHash and SimHash paths generate candidates from constant-size
+  * signatures (band buckets), so the only all-pairs work is within a
+  * bucket. All signature math is `xxhash64` Catalyst expressions —
+  * codegen'd, no UDFs. Approximate stages are RECALL stages: every
+  * candidate pair is exactly verified, so results equal the exact-Jaccard
+  * answer whenever recall is complete (asserted in DedupSpec; at 16 bands
+  * × 2 rows the miss probability at J=0.8 is (1−0.8²)¹⁶ ≈ 4·10⁻⁴ per pair).
+  */
+object Dedup {
+
+  val JaccardThreshold = 0.8
+  /** SimHash is a reliable recall stage only at tighter similarity (its
+    * hamming distance grows with the differing-shingle fraction; at J≈0.89
+    * true pairs can exceed any practical chunk bound), so the SimHash path
+    * targets J ≥ 0.9 — the classic near-identical-dedup regime.
+    */
+  val SimhashJaccardThreshold = 0.9
+  val CosineThreshold = 0.4
+
+  /** Distinct word 3-gram shingles per doc: `(doc_id, shingles)`. */
+  def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), when(size(col("w")) >= 3,
+          array_distinct(expr(
+            """transform(sequence(1, size(w) - 2),
+              |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))""".stripMargin)))
+        .otherwise(array().cast("array<string>")).as("s"))
+
+  /** Exact dedup summary via content hash (hash-groupBy): md5(text) is the
+    * canonical distributed exact-dup key — one shuffle on the digest, never
+    * on the full text.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
+
+  private def pairJaccard(cand: DataFrame, sh: DataFrame,
+                          threshold: Double = JaccardThreshold): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    * explode → self-join on shingle → count common shingles per pair →
+    * verify. Equivalent to the O(n²) oracle but only materializes pairs
+    * with ≥1 common shingle.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val cand = inv.as("x").join(inv.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      // candidate pruning: a pair at J≥0.8 of sets sized ≥3 shares ≥2 grams
+      .filter(col("n_common") >= 2)
+      .select("doc_a", "doc_b")
+    pairJaccard(cand, sh).orderBy("doc_a", "doc_b")
+  }
+
+  private val NumHashes = 32
+  private val Bands = 16 // 2 rows per band
+
+  /** MinHash signature matrix: `(doc_id, sig: array[long] of NumHashes)`.
+    * Hash family: `xxhash64(seed_i, shingle)` — a native codegen'd
+    * expression; `aggregate` folds the per-shingle min without exploding.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.filter(size(col("s")) > 0).select(col("doc_id"),
+      array((0 until NumHashes).map(i =>
+        expr(s"aggregate(s, cast(9223372036854775807 as bigint), (acc, g) -> least(acc, xxhash64($i, g)))")): _*)
+        .as("sig"))
+
+  /** MinHash + LSH banding: band hash → bucket join → exact verification.
+    * The 100 TB path: signatures are 32 longs per doc; the shuffle is on
+    * (band, bandHash) — near-dup buckets only.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).localCheckpoint()
+    val sig = minhashSignatures(sh)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        hash(col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))): _*)))
+      .toDF("doc_id", "band", "bucket")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairJaccard(cand, sh).orderBy("doc_a", "doc_b")
+  }
+
+  private val SimBits = 64
+  // 16 chunks of 4 bits: pigeonhole-guaranteed recall up to hamming 15.
+  // With ~100 shingles/doc the per-bit sums are noisy (std ≈ √n), so true
+  // near-dups can sit at hamming ~10 — wider than the classic ≤3 regime.
+  private val SimChunks = 16
+  private val ChunkBits = SimBits / SimChunks
+  private val MaxHamming = 15
+
+  /** 64-bit SimHash per doc: bit j = sign of Σ_shingles (±1 by bit j of
+    * xxhash64(shingle)). Computed via explode + 64 conditional sums (plain
+    * partial/final hash aggregation).
+    */
+  def simhashSignatures(sh: DataFrame): DataFrame = {
+    val g = sh.filter(size(col("s")) > 0)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .withColumn("h", xxhash64(col("g")))
+    val bitSums = (0 until SimBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val chunkCols = (0 until SimChunks).map { c =>
+      (0 until ChunkBits).map(k => when(col(s"b${ChunkBits * c + k}") > 0,
+          lit(1L << k)).otherwise(0L))
+        .reduce[Column](_ bitwiseOR _).as(s"chunk$c")
+    }
+    g.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: chunkCols: _*)
+  }
+
+  /** SimHash near-dup: candidates share at least one 4-bit chunk
+    * (pigeonhole: hamming ≤ 15 ⇒ some chunk equal), are prefiltered by
+    * exact signature hamming ≤ 15 (bit_count(xor) on the compact sigs — a
+    * few ALU ops, so the expensive shingle verification only ever sees
+    * true near-dups; unrelated docs sit near hamming 32), then
+    * exact-verified — same output contract as the Jaccard paths.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).localCheckpoint()
+    val sig = simhashSignatures(sh).localCheckpoint()
+    val chunks = sig.select(col("doc_id"),
+      posexplode(array((0 until SimChunks).map(c => col(s"chunk$c")): _*)))
+      .toDF("doc_id", "chunk", "v")
+    val sigA = sig.toDF("doc_a" +: (0 until SimChunks).map(c => s"a$c"): _*)
+    val sigB = sig.toDF("doc_b" +: (0 until SimChunks).map(c => s"b$c"): _*)
+    val hamming = (0 until SimChunks)
+      .map(c => expr(s"bit_count(a$c ^ b$c)"))
+      .reduce[Column](_ + _)
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .filter(hamming <= MaxHamming)
+      .select("doc_a", "doc_b")
+    pairJaccard(cand, sh, SimhashJaccardThreshold).orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup over `embeddings`: exact pairwise within the
+    * (vec_id-ordered) upper triangle. Exact-by-design here; the bucketed
+    * scale path is [[Similarity.annLsh]]'s hyperplane scheme.
+    */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val a = v.select(col("vec_id").as("doc_a"), col("e").as("ea"))
+    val b = v.select(col("vec_id").as("doc_b"), col("e").as("eb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

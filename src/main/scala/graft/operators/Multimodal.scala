@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (builder brief): opaque `binary` payloads +
+  * typed metadata, with decode/feature-extract as per-partition batch
+  * operators. The image/audio codecs are NOT in this environment, so the
+  * decode step is a clearly-marked deterministic STUB — the Spark-side
+  * contract (schema, binary columns, partition-batch processing shape,
+  * feature vector output) is real and tested.
+  */
+object Multimodal {
+
+  /** Ingest: attach a binary payload column + typed metadata. In a real
+    * pipeline the payload is the raw image/audio bytes read from object
+    * storage; here it is the UTF-8 document text, which keeps the checksum
+    * oracle-checkable (md5 agrees across engines).
+    */
+  def ingest(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("mime"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      md5(encode(col("text"), "UTF-8")).as("checksum"))
+
+  /** Driver-contract projection of [[ingest]] (binary column stays
+    * internal; the oracle checks the typed metadata).
+    */
+  def ingestMeta(spark: SparkSession, dir: String): DataFrame =
+    ingest(spark, dir).select("doc_id", "mime", "n_bytes", "checksum")
+
+  private val FeatureBins = 16
+
+  /** STUB decoder — stands in for image/audio decode (codec libraries are
+    * not installed here). Deterministic: "decodes" the payload into a
+    * normalized 16-bin byte histogram. The real implementation swaps this
+    * function body for e.g. a JPEG decode + resize; everything around it
+    * (binary input batches, fixed-width feature output, per-partition
+    * execution) is the production shape.
+    */
+  private def stubDecode(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](FeatureBins)
+    payload.foreach(b => hist((b & 0xff) * FeatureBins / 256) += 1.0)
+    val n = math.max(payload.length, 1)
+    hist.map(_ / n)
+  }
+
+  /** Feature extraction over binary payloads via `mapPartitions` — the
+    * batch-at-a-time execution shape a real decoder needs (amortized model
+    * / codec init per partition, not per row). Output: fixed-width feature
+    * vector + dimensions metadata.
+    */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ingest(spark, dir).select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // per-partition init happens here (codec/model load in production)
+        iter.map { case (docId, payload) =>
+          (docId, payload.length.toLong, stubDecode(payload))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "features")
+  }
+
+  /** Driver-contract summary of [[features]]: per-source mean of the first
+    * histogram bin + byte totals (deterministic, small).
+    */
+  def featureSummary(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.table(spark, dir, "documents").select("doc_id", "source")
+    features(spark, dir)
+      .join(src, "doc_id")
+      .select(col("source"), col("n_bytes"), col("features").getItem(0).as("f0"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("f0")), 6).as("mean_f0"))
+  }
+}

@@ -24,10 +24,11 @@ object Tables {
     // micro-precision, so the narrowing is lossless).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // NB: integer division (`div`), not `/`: ns-epoch longs (~1.7e18)
+    // overflow double's 53-bit mantissa and `/` would round ±1µs.
     if (name == "events")
       df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
 

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the training-data-pipeline operators (dedup, similarity,
+  * multimodal, text, windows); exact value parity is the driver's DuckDB
+  * gate.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("dedup: minhash-LSH and simhash both recover the exact jaccard pairs") {
+    val exact = Dedup.dedupNgramJaccard(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty, "fixtures should contain planted near-dups")
+    val minhash = Dedup.dedupMinhashLsh(spark, sfDir).collect().map(_.toSeq).toSeq
+    val simhash = Dedup.dedupSimhash(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(minhash == exact, "minhash LSH must have full recall on fixtures")
+    val exactTight = exact.filter(_(2).asInstanceOf[Double] >= Dedup.SimhashJaccardThreshold)
+    assert(simhash == exactTight, "simhash must have full recall at its 0.9 regime")
+  }
+
+  test("dedup_exact counts are consistent") {
+    val r = Dedup.dedupExact(spark, sfDir).head
+    assert(r.getAs[Long]("n_docs") ==
+      r.getAs[Long]("n_unique") + r.getAs[Long]("n_dup_docs"))
+  }
+
+  test("ann: lsh results are a high-recall subset of brute force") {
+    val exact = Similarity.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"ann_lsh recall@${Similarity.K} = $recall")
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+    // every reported neighbor must be a real vector with correct cosine sign
+    assert(approx.forall(_._1 < Similarity.NumQueries))
+  }
+
+  test("ann brute force: 5 neighbors per query, descending cosine") {
+    val rows = Similarity.annBruteForce(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.values.foreach { rs =>
+      assert(rs.length == Similarity.K)
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.sameElements(cos.sorted.reverse))
+    }
+  }
+
+  test("multimodal: features are normalized histograms batched per partition") {
+    val rows = Multimodal.features(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getSeq[Double](r.fieldIndex("features"))
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0) < 1e-9, "histogram must be normalized")
+    }
+    // deterministic across runs
+    val again = Multimodal.features(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("windows: sliding double-counts tumbling; session partitions events") {
+    import graft.sources.Tables
+    val nEvents = Tables.table(spark, sfDir, "events").count()
+    val tumN = Windows.tumbling(spark, sfDir).agg(sum("n")).head.getLong(0)
+    assert(tumN == nEvents)
+    val slideN = Windows.sliding(spark, sfDir).agg(sum("n")).head.getLong(0)
+    assert(slideN == 2 * nEvents, "each event lands in exactly 2 sliding windows")
+    val sessN = Windows.session(spark, sfDir).agg(sum("n_events")).head.getLong(0)
+    assert(sessN == nEvents)
+  }
+
+  test("text stats: ratios in [0,1], fingerprints are hex md5") {
+    val rows = graft.functions.TextOps.textStats(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("alpha_ratio") >= 0 && r.getAs[Double]("alpha_ratio") <= 1)
+      assert(r.getAs[Double]("quality") >= 0 && r.getAs[Double]("quality") <= 1.0000001)
+    }
+    val fp = graft.functions.TextOps.docFingerprint(spark, sfDir).collect()
+    fp.foreach(r => assert(r.getAs[String]("fp").matches("[0-9a-f]{32}")))
+  }
+}
