@@ -51,16 +51,33 @@ object Dedup {
         countDistinct(col("h")).as("n_unique"),
         (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
 
-  private def pairJaccard(cand: DataFrame, sh: DataFrame,
-                          threshold: Double = JaccardThreshold): DataFrame = {
-    val a = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+  /** `(doc_a, doc_b, inter)` + per-doc set sizes → thresholded Jaccard.
+    * Pure counts — no array materialization or O(|set|) intersect in the
+    * pair loop, so verification cost is one hash join per side.
+    */
+  private def jaccardFromCounts(inter: DataFrame, sh: DataFrame,
+                                threshold: Double): DataFrame = {
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("sz"))
+    inter
+      .join(sizes.toDF("doc_a", "sza"), "doc_a")
+      .join(sizes.toDF("doc_b", "szb"), "doc_b")
       .withColumn("jaccard",
-        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact-verify candidate pairs: count common shingles via the inverted
+    * index (join on (doc, gram)), never touching shingle arrays pairwise.
+    */
+  private def verifyCandidates(cand: DataFrame, sh: DataFrame,
+                               threshold: Double): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val inter = cand
+      .join(inv.toDF("doc_a", "g"), "doc_a")
+      .join(inv.toDF("doc_b", "g"), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sh, threshold)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
@@ -69,16 +86,13 @@ object Dedup {
     * with ≥1 common shingle.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    val sh = shingled(spark, dir).localCheckpoint()
     val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val cand = inv.as("x").join(inv.as("y"),
+    val inter = inv.as("x").join(inv.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      // candidate pruning: a pair at J≥0.8 of sets sized ≥3 shares ≥2 grams
-      .filter(col("n_common") >= 2)
-      .select("doc_a", "doc_b")
-    pairJaccard(cand, sh).orderBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sh, JaccardThreshold).orderBy("doc_a", "doc_b")
   }
 
   private val NumHashes = 32
@@ -110,7 +124,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    pairJaccard(cand, sh).orderBy("doc_a", "doc_b")
+    verifyCandidates(cand, sh, JaccardThreshold).orderBy("doc_a", "doc_b")
   }
 
   private val SimBits = 64
@@ -150,23 +164,23 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).localCheckpoint()
     val sig = simhashSignatures(sh).localCheckpoint()
-    val chunks = sig.select(col("doc_id"),
-      posexplode(array((0 until SimChunks).map(c => col(s"chunk$c")): _*)))
-      .toDF("doc_id", "chunk", "v")
-    val sigA = sig.toDF("doc_a" +: (0 until SimChunks).map(c => s"a$c"): _*)
-    val sigB = sig.toDF("doc_b" +: (0 until SimChunks).map(c => s"b$c"): _*)
+    // carry the compact signature through the band join so the hamming
+    // bound evaluates INSIDE the join (codegen ALU ops on matched rows,
+    // nothing materialized) — only true near-dups reach distinct/verify.
+    val chunks = sig.select(
+      col("doc_id") +:
+        posexplode(array((0 until SimChunks).map(c => col(s"chunk$c")): _*)) +:
+        (0 until SimChunks).map(c => col(s"chunk$c")): _*)
+    val x = chunks.toDF("doc_a" +: "chunk" +: "v" +: (0 until SimChunks).map(c => s"a$c"): _*)
+    val y = chunks.toDF("doc_b" +: "chunk" +: "v" +: (0 until SimChunks).map(c => s"b$c"): _*)
     val hamming = (0 until SimChunks)
       .map(c => expr(s"bit_count(a$c ^ b$c)"))
       .reduce[Column](_ + _)
-    val cand = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .join(sigA, "doc_a").join(sigB, "doc_b")
-      .filter(hamming <= MaxHamming)
+    val cand = x.join(y, Seq("chunk", "v"))
+      .filter(col("doc_a") < col("doc_b") && hamming <= MaxHamming)
       .select("doc_a", "doc_b")
-    pairJaccard(cand, sh, SimhashJaccardThreshold).orderBy("doc_a", "doc_b")
+      .distinct()
+    verifyCandidates(cand, sh, SimhashJaccardThreshold).orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup over `embeddings`: exact pairwise within the
@@ -174,12 +188,12 @@ object Dedup {
     * scale path is [[Similarity.annLsh]]'s hyperplane scheme.
     */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val a = v.select(col("vec_id").as("doc_a"), col("e").as("ea"))
-    val b = v.select(col("vec_id").as("doc_b"), col("e").as("eb"))
+    import graft.functions.VectorExprs.dot
+    val v = Similarity.vectors(spark, dir)
+    val a = v.select(col("vec_id").as("doc_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("doc_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("doc_a", "doc_b")

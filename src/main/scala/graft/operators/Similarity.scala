@@ -16,20 +16,23 @@ object Similarity {
   val K = 5
   val NumQueries = 10
 
-  /** Cosine similarity between two double arrays as a single codegen'd
-    * expression: explicit left-fold dot product / norms, so Spark and the
-    * DuckDB oracle perform the identical sequence of double operations
-    * (bit-stable comparison).
+  /** Cosine similarity between two double arrays: codegen'd left-fold dot
+    * product / norms ([[graft.functions.VectorExprs.DotProduct]]), the
+    * identical sequence of double operations as the DuckDB oracle's
+    * `list_sum(list_transform(list_zip(..)))` (bit-stable comparison).
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import graft.functions.VectorExprs.{dot, norm}
+    dot(a, b) / (norm(a) * norm(b))
   }
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  /** `(vec_id, e, nrm)` — norms computed ONCE per vector, not per pair. */
+  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", graft.functions.VectorExprs.norm(col("e")))
+  }
 
   private def topK(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -47,12 +50,13 @@ object Similarity {
     * 100 TB the corpus side stays partitioned and only the queries move.
     */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dot
     val v = vectors(spark, dir)
     val q = v.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("e")).as("c"))
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
     topK(scored)
   }
 
@@ -90,19 +94,22 @@ object Similarity {
     * baseline) — the shuffle is bucket-sized, never corpus².
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir).select(col("vec_id") +: col("e") +: bucketCols: _*)
-    val flat = v.select(col("vec_id"), col("e"),
+    import graft.functions.VectorExprs.dot
+    val v = vectors(spark, dir)
+      .select(col("vec_id") +: col("e") +: col("nrm") +: bucketCols: _*)
+    val flat = v.select(col("vec_id"), col("e"), col("nrm"),
       posexplode(array((0 until NumTables).map(t => col(s"bucket$t")): _*)))
-      .toDF("vec_id", "e", "table", "bucket")
+      .toDF("vec_id", "e", "nrm", "table", "bucket")
     val q = flat.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
         col("table").as("qt"), col("bucket").as("qb"))
     val cand = flat.join(q,
         col("table") === col("qt") && col("bucket") === col("qb") &&
           col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qe"), col("e"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("e"), col("qn"), col("nrm"))
       .distinct()
     topK(cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qe"), col("e")).as("c")))
+      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
   }
 }

@@ -108,13 +108,31 @@ object IncrementalQ3 {
 
     // Materialize the new states eagerly (localCheckpoint truncates the
     // per-batch lineage — otherwise plan depth grows O(batches)); then
-    // release the previous generation.
+    // release the previous generation. Relation states are z-sets: on
+    // insert-only batches a plain append suffices (nothing can cancel —
+    // consolidation would be a pure shuffle tax), while batches carrying
+    // deletes trigger compaction so retracted rows actually leave the
+    // state instead of inflating every later join.
+    val hasDeletes = !parsed.filter(col(ZSet.W) === -1).isEmpty
+    def upkeep(state: DataFrame, delta: DataFrame): DataFrame = {
+      val merged = state.unionByName(delta)
+      (if (hasDeletes) ZSet.consolidate(merged) else merged)
+        .localCheckpoint(eager = false)
+    }
     val next = State(
-      c = ZSet.consolidate(st.c.unionByName(dC)).localCheckpoint(),
-      o = ZSet.consolidate(st.o.unionByName(dO)).localCheckpoint(),
-      l = ZSet.consolidate(st.l.unionByName(dL)).localCheckpoint(),
-      co = ZSet.consolidate(st.co.unionByName(dCO)).localCheckpoint(),
-      agg = newAgg.localCheckpoint())
+      c = upkeep(st.c, dC),
+      o = upkeep(st.o, dO),
+      l = upkeep(st.l, dL),
+      co = upkeep(st.co, dCO),
+      agg = newAgg.localCheckpoint(eager = false))
+    // materialize the five checkpoints CONCURRENTLY (independent Spark
+    // jobs) instead of five sequential eager checkpoints — wall time per
+    // batch drops to the slowest state, not the sum.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(
+      Future.sequence(next.all.map(df => Future { df.count() })), Duration.Inf)
     st.all.foreach(_.unpersist(blocking = false))
     next
   }

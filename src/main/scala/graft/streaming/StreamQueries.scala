@@ -16,7 +16,7 @@ object StreamQueries {
     * 2×(nL+nO+nC) event-count contract (README.md:731; SURVEY §1.4).
     */
   def changelogCounts(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = Changelog.parse(Changelog.generate(spark, dir))
+    val parsed = Changelog.parse(Changelog.generateCached(spark, dir))
     parsed.select(
         when(col("tag") === "CU", "customer")
           .when(col("tag") === "OR", "orders")
@@ -37,7 +37,7 @@ object StreamQueries {
     */
   def q3Converged(spark: SparkSession, dir: String): DataFrame =
     topAsStrings(IncrementalQ3.runBatches(spark,
-      Changelog.generate(spark, dir, insertOnly = true), K))
+      Changelog.generateCached(spark, dir, insertOnly = true), K))
 
   /** Full build-up-then-tear-down changelog (reference default capacity,
     * StreamDataProcessor.py:22,136): every insert is later retracted, so
@@ -46,5 +46,5 @@ object StreamQueries {
     */
   def q3FullCycle(spark: SparkSession, dir: String): DataFrame =
     topAsStrings(IncrementalQ3.runBatches(spark,
-      Changelog.generate(spark, dir), K))
+      Changelog.generateCached(spark, dir), K))
 }
