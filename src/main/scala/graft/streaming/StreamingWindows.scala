@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.Tables
+
+/** Event-time windowed aggregation as a REAL Structured Streaming query
+  * with watermarking — the beyond-parity streaming surface (the reference
+  * is processing-time only, SURVEY §2.8): late events beyond the watermark
+  * are dropped and append-mode emits each window exactly once, finalized.
+  *
+  * The batch twins in [[graft.operators.Windows]] share the same window
+  * expressions, so the driver's SQL oracle validates the semantics and
+  * this wiring validates the streaming execution (StreamingWindowsSpec).
+  */
+object StreamingWindows {
+
+  /** Stage the events table as time-ordered parquet chunks (a replayable
+    * "stream archive" — files arrive in event-time order like a log).
+    */
+  def stage(spark: SparkSession, dir: String, outDir: String, nFiles: Int = 3): Unit =
+    Tables.table(spark, dir, "events")
+      .select("ts", "user_id", "event_type", "value")
+      .repartitionByRange(nFiles, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
+    * append mode into an in-memory table named `sinkName`.
+    */
+  def startTumbling(spark: SparkSession, stagedDir: String,
+                    sinkName: String): StreamingQuery = {
+    val schema = "ts timestamp, user_id bigint, event_type string, value double"
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("window.start").cast("string").as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
