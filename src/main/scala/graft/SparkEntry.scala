@@ -21,6 +21,8 @@ object SparkEntry {
     // --- reference parity: TPC-H Q3 (SURVEY.md §0) ---
     "q3_batch" -> (Relational.q3Batch _),
     "q3_sql" -> (Relational.q3ViaSql _),
+    // --- §2.1 sources ---
+    "source_csv_roundtrip" -> (Relational.sourceCsvRoundtrip _),
     // --- §2.3 projections / filters ---
     "filter_customer_segment" -> (Relational.filterCustomerSegment _),
     "filter_orders_date" -> (Relational.filterOrdersDate _),
@@ -73,6 +75,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q3_batch" -> Relational.q3Sql,
     "q3_sql" -> Relational.q3Sql,
+    "source_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "filter_customer_segment" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,

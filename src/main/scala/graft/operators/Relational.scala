@@ -99,6 +99,23 @@ object Relational {
     spark.sql(q3Sql)
   }
 
+  /** §2.1 CSV/TBL source roundtrip: stage lineitem as pipe-delimited text
+    * (the reference's input format) and aggregate from the CSV scan; the
+    * oracle computes the same aggregate from parquet, so equality proves
+    * the schema'd CSV path (delimiter, dateFormat, DROPMALFORMED) is
+    * lossless.
+    */
+  def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir") +
+      s"/graft_csv_${math.abs(dir.hashCode)}/lineitem"
+    graft.sources.Csv.stage(spark, dir, "lineitem", tmp)
+    graft.sources.Csv.read(spark, tmp, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        sum(revenueExpr).cast("double").as("revenue"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.3 projections / filters
   // ---------------------------------------------------------------------

@@ -26,9 +26,10 @@ object StreamingQ3 {
   def start(spark: SparkSession, changelogDir: String,
             trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
             maxFilesPerTrigger: Int = 1,
+            checkpointDir: Option[String] = None,
             onEmit: (Array[Row], Long) => Unit = consoleSink): StreamingQuery = {
     var state = IncrementalQ3.init(spark)
-    spark.readStream
+    val writer = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(changelogDir)
       .writeStream
@@ -37,7 +38,11 @@ object StreamingQ3 {
         state = IncrementalQ3.step(state, batch)
         onEmit(IncrementalQ3.topN(state).collect(), id)
       }
-      .start()
+    // source-offset checkpointing (exactly-once replay of the file source)
+    // comes free from Structured Streaming — an upgrade over the reference,
+    // which configures none (SURVEY §2.8).
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** Console top-N table — the no-WebSocket variant's sink contract

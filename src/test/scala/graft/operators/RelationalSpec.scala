@@ -82,4 +82,18 @@ class RelationalSpec extends SparkSpec {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("csv source drops malformed rows (the reference's bad-row skipping)") {
+    import graft.sources.{Csv, Tables}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    Csv.stage(spark, sfDir, "customer", tmp)
+    // NB: collect(), not count() — CSV column pruning under count() parses
+    // zero columns, so malformed rows would never be detected/dropped.
+    val clean = Csv.read(spark, tmp, "customer").collect().length
+    assert(clean == Tables.table(spark, sfDir, "customer").count())
+    // corrupt rows: wrong arity / unparseable numerics must be skipped
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/bad.csv"),
+      "not|a|row\nx|y|z|p|q\n999999|ok|NOTANUMBER|1.0|SEG\n")
+    assert(Csv.read(spark, tmp, "customer").collect().length == clean)
+  }
 }
