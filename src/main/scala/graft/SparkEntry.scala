@@ -34,10 +34,12 @@ object SparkEntry {
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "join_outer" -> (Relational.joinOuter _),
+    "join_skew_salted" -> (Relational.joinSkewSalted _),
     // --- §2.5 aggregations ---
     "agg_group_sum" -> (Relational.aggGroupSum _),
     "agg_stats" -> (Relational.aggStats _),
     "agg_rollup" -> (Relational.aggRollup _),
+    "agg_percentiles" -> (Relational.aggPercentiles _),
     // --- §2.6 sort / limit / top-k ---
     "topn_orders" -> (Relational.topNOrders _),
     "window_rank" -> (Relational.windowRank _),
@@ -117,6 +119,14 @@ object SparkEntry {
       """SELECT c_nationkey, COUNT(*) AS n_orders
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT e.event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |       MAX(u.user_events) AS max_user_events
+        |FROM events e
+        |JOIN (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id) u
+        |  ON e.user_id = u.user_id
+        |GROUP BY e.event_type""".stripMargin,
     "agg_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -131,6 +141,12 @@ object SparkEntry {
         |       MAX(o_totalprice) AS max_price,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "agg_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

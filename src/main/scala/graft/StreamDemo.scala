@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{Changelog, JsonPushSink, StreamingQ3}
+
+/** End-to-end continuous-query demo — the engine's equivalent of the
+  * reference's `TPCHQuery3_StreamProcessor` main (changelog source →
+  * incremental Q3 → live top-20 on console + HTTP push):
+  *
+  * {{{
+  *   sbt "runMain graft.StreamDemo /root/testdata/sf0.001 8080"
+  *   curl localhost:8080/top      # latest JSON snapshot
+  *   curl -N localhost:8080/watch # SSE stream
+  * }}}
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.drop(1).headOption.map(_.toInt).getOrElse(8080)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val changelogDir =
+      java.nio.file.Files.createTempDirectory("graft-demo-changelog").toString
+    Changelog.write(Changelog.generate(spark, dir), changelogDir, nFiles = 8)
+
+    val sink = new JsonPushSink(port)
+    println(s"[demo] serving http://127.0.0.1:${sink.boundPort}/top and /watch")
+    val query = StreamingQ3.start(spark, changelogDir,
+      trigger = Trigger.ProcessingTime("2 seconds"),
+      onEmit = (rows, id) => {
+        StreamingQ3.consoleSink(rows, id)
+        sink.push(rows)
+      })
+    sys.addShutdownHook { sink.stop() }
+    query.awaitTermination()
+  }
+}

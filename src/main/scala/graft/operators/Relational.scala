@@ -198,6 +198,39 @@ object Relational {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** Skew-resilient join via key salting: the `events`→user profile join
+    * concentrates on 150 hot users, so the dimension side is replicated
+    * across `nSalts` sub-keys and the fact side scatters uniformly —
+    * every straggler partition becomes `nSalts` even ones. (AQE's runtime
+    * skew-join split handles this adaptively too; explicit salting is the
+    * deterministic 100 TB-safe form.) Result equals the unsalted join.
+    */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8
+    val events = t(spark, dir, "events")
+      .withColumn("salt", pmod(hash(col("event_id")), lit(nSalts)))
+    val users = t(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+      .crossJoin(spark.range(nSalts).select(col("id").cast("int").as("salt")))
+    events.join(users, Seq("user_id", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("value")).as("value_sum"),
+        max(col("user_events")).as("max_user_events"))
+  }
+
+  /** Exact percentiles (linear interpolation) of event values per type —
+    * the distribution profiling every data-quality pass needs. Spark
+    * `percentile` and DuckDB `quantile_cont` share the interpolation rule.
+    */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
   // ---------------------------------------------------------------------
   // §2.5 aggregations
   // ---------------------------------------------------------------------
