@@ -68,6 +68,9 @@ object SparkEntry {
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
     "multimodal_features" -> (Multimodal.featureSummary _), // stub decode: rows-only + spec
+    // --- composite pipelines ---
+    "pipeline_curation" -> (operators.Pipelines.corpusCuration _),
+    "pipeline_funnel" -> (operators.Pipelines.funnel _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -290,6 +293,30 @@ object SparkEntry {
         |       octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS checksum
         |FROM documents""".stripMargin,
+    "pipeline_curation" -> s"""
+      |WITH pairs AS (${dedupJaccardOracle(0.8)}),
+      |toks AS (SELECT *, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+      |q AS (SELECT * FROM toks WHERE
+      |    0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
+      |  + 0.3 * least(len(w) / 100.0, 1.0)
+      |  + 0.4 * (len(list_distinct(w))::DOUBLE / len(w)) >= 0.5),
+      |ke AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM q) t
+      |       WHERE doc_id = keep),
+      |kept AS (SELECT * FROM ke WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
+      |SELECT source, count(*) AS n_docs, SUM(len(w)) AS kept_tokens
+      |FROM kept GROUP BY source""".stripMargin,
+    "pipeline_funnel" ->
+      """SELECT stage, count(*) AS n_users FROM (
+        |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'
+        |              WHEN first_click IS NULL OR first_click <= first_view THEN 'view_only'
+        |              WHEN first_purchase IS NULL OR first_purchase <= first_click THEN 'view_click'
+        |              ELSE 'view_click_purchase' END AS stage
+        |  FROM (SELECT user_id,
+        |          MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |          MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |        FROM events GROUP BY user_id) t) u
+        |GROUP BY stage""".stripMargin,
     "window_tumbling" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
         |       event_type, count(*) AS n,

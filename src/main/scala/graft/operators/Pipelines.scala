@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Composite end-to-end pipelines — the queries a real training-data /
+  * product-analytics user runs, each composing the primitive operators
+  * (and proving they compose: one Catalyst plan end to end).
+  */
+object Pipelines {
+
+  /** Corpus curation: quality-filter → exact-dedup (keep lowest doc_id per
+    * content hash) → near-dup removal (drop the higher doc_id of every
+    * Jaccard≥0.8 pair) → per-source token budget of the surviving corpus.
+    * The standard pretraining data-prep funnel as one declarative job.
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val toks = split(trim(col("text")), "\\s+")
+    val quality =
+      lit(0.3) * (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+        / length(col("text"))) +
+      lit(0.3) * least(size(toks) / lit(100.0), lit(1.0)) +
+      lit(0.4) * (size(array_distinct(toks)).cast("double") / size(toks))
+    val qualified = docs.filter(quality >= 0.5)
+
+    // exact dedup: keep the lowest doc_id per content hash
+    val keepExact = qualified
+      .withColumn("h", md5(col("text")))
+      .withColumn("keep", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keep"))
+      .drop("h", "keep")
+
+    // near-dup removal: drop the larger id of every near-dup pair
+    val losers = Dedup.dedupNgramJaccard(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = keepExact.join(losers, Seq("doc_id"), "left_anti")
+
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("kept_tokens"))
+  }
+
+  /** Conversion funnel over the events stream table: per user, did a view
+    * lead to a click lead to a purchase (in timestamp order)? Classic
+    * product-analytics session ordering via window functions.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val perUser = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+      min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+    perUser.select(
+        when(col("first_view").isNull, "no_view")
+          .when(col("first_click").isNull || col("first_click") <= col("first_view"), "view_only")
+          .when(col("first_purchase").isNull || col("first_purchase") <= col("first_click"), "view_click")
+          .otherwise("view_click_purchase").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+}
