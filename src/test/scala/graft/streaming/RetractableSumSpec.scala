@@ -24,7 +24,7 @@ class RetractableSumSpec extends SparkSpec {
     val results = scala.collection.mutable.Map[Long, Array[(Long, Long)]]()
     val q = RetractableSum.start(spark, dir,
       (id, rows) => results.synchronized { results(id) = rows })
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(300000), "streaming query did not finish in time")
 
     assert(results.size >= 2, s"expected >=2 micro-batches, got ${results.size}")
     // after the insert phase: totals equal the batch lineitem-only revenue

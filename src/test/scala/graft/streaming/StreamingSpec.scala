@@ -78,7 +78,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingQ3.start(spark, dir,
       trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1,
       onEmit = (rows, _) => { last = rows; emissions += 1 })
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "streaming query did not finish in time")
     assert(emissions >= 3, s"expected >=3 micro-batches, got $emissions")
     val got = last.map(r => Seq(r.getLong(0), r.getDate(1).toString,
       r.getString(2), r.getDouble(3))).toSeq

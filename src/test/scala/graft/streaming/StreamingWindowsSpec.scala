@@ -10,7 +10,7 @@ class StreamingWindowsSpec extends SparkSpec {
     val staged = java.nio.file.Files.createTempDirectory("graft-events").toString
     StreamingWindows.stage(spark, sfDir, staged, nFiles = 3)
     val q = StreamingWindows.startTumbling(spark, staged, "tumbling_sink")
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "streaming query did not finish in time")
     val emitted = spark.table("tumbling_sink").collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(emitted.nonEmpty, "watermark must have finalized some windows")
