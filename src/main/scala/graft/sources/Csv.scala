@@ -47,7 +47,7 @@ object Csv {
         case _        => col(f.name).cast("string").as(f.name)
       }
     }
-    df.select(cols: _*).write.mode("overwrite")
+    df.select(cols.toIndexedSeq: _*).write.mode("overwrite")
       .option("delimiter", "|").csv(outPath)
   }
 }

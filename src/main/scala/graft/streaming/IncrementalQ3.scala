@@ -107,19 +107,12 @@ object IncrementalQ3 {
         sum(col(ZSet.W)).as("cnt"))
 
     val newAgg = st.agg.unionByName(
-        dAgg.withColumn(ZSet.W, lit(1L)).select(st.agg.columns.map(col): _*))
+        dAgg.withColumn(ZSet.W, lit(1L)).select(st.agg.columns.toIndexedSeq.map(col): _*))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("revenue")).cast(revType).as("revenue"), sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
       .withColumn(ZSet.W, lit(1L))
 
-    // Materialize the new states eagerly (localCheckpoint truncates the
-    // per-batch lineage — otherwise plan depth grows O(batches)); then
-    // release the previous generation. Relation states are z-sets: on
-    // insert-only batches a plain append suffices (nothing can cancel —
-    // consolidation would be a pure shuffle tax), while batches carrying
-    // deletes trigger compaction so retracted rows actually leave the
-    // state instead of inflating every later join.
     // State upkeep, cheapest-sufficient form per state and batch:
     //  - delta carries retractions → consolidate + checkpoint (compaction
     //    rewrite, so retracted rows actually leave the state);
@@ -166,7 +159,7 @@ object IncrementalQ3 {
     * trigger-ordered micro-batches and fold [[step]] over them.
     */
   def runBatches(spark: SparkSession, events: DataFrame, k: Int): State = {
-    val tMax = events.agg(max(col("t"))).head.getLong(0)
+    val tMax = events.agg(max(col("t"))).head().getLong(0)
     val batched = events.withColumn("batch",
       least(((col("t") - 1) * k / tMax).cast("int"), lit(k - 1)))
       .localCheckpoint()

@@ -29,7 +29,7 @@ object ZSet {
 
   /** Merge duplicate rows (all columns but weight) and drop net-zero rows. */
   def consolidate(df: DataFrame): DataFrame = {
-    val keys = df.columns.filterNot(_ == W).map(col)
+    val keys = df.columns.filterNot(_ == W).toIndexedSeq.map(col)
     df.groupBy(keys: _*).agg(sum(col(W)).as(W)).filter(col(W) =!= 0)
   }
 
