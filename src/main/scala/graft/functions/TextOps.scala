@@ -25,17 +25,27 @@ object TextOps {
   private val esWords = Seq("el", "la", "de", "que")
   private val zhWords = Seq("的", "是")
 
+  private def alphaRatio: Column =
+    length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text"))
+
+  /** [0,1] composite quality heuristic over `text` (alpha ratio / length /
+    * lexical diversity — the usual pretraining-filter features). Shared by
+    * [[textStats]] and the curation pipeline so the formula can't diverge.
+    */
+  def quality: Column = {
+    val nTok = size(tokens)
+    lit(0.3) * alphaRatio + lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
+      lit(0.4) * (size(array_distinct(tokens)).cast("double") / nTok)
+  }
+
   /** Per-document stats + quality score: length, token counts, alphabetic
-    * ratio, stopword ratio, and a [0,1] composite quality heuristic
-    * (length/diversity/alpha mix — the usual pretraining-filter features).
+    * ratio, stopword ratio, and the [[quality]] composite.
     */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(tokens).cast("long")
     val nDis = size(array_distinct(tokens)).cast("long")
-    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text"))
+    val alpha = alphaRatio
     val stop = size(filter(tokens, t => t.isin(enWords ++ Seq("of", "and"): _*))).cast("double") / nTok
-    val quality = lit(0.3) * alpha + lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
-      lit(0.4) * (nDis.cast("double") / nTok)
     docs(spark, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),

@@ -18,13 +18,7 @@ object Pipelines {
     */
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
-    val toks = split(trim(col("text")), "\\s+")
-    val quality =
-      lit(0.3) * (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
-        / length(col("text"))) +
-      lit(0.3) * least(size(toks) / lit(100.0), lit(1.0)) +
-      lit(0.4) * (size(array_distinct(toks)).cast("double") / size(toks))
-    val qualified = docs.filter(quality >= 0.5)
+    val qualified = docs.filter(graft.functions.TextOps.quality >= 0.5)
 
     // exact dedup: keep the lowest doc_id per content hash
     val keepExact = qualified
@@ -41,7 +35,7 @@ object Pipelines {
 
     kept.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("kept_tokens"))
+        sum(size(graft.functions.TextOps.tokens)).cast("long").as("kept_tokens"))
   }
 
   /** Conversion funnel over the events stream table: per user, did a view

@@ -58,9 +58,12 @@ object Changelog {
   private def payload(cols: Seq[(String, String)]): Column =
     concat_ws("|", cols.map { case (n, dt) => f(col(n), dt) }: _*)
 
-  /** ceil(idx·nL/nTable) in exact long arithmetic. */
-  private def trigger(idx: Column, nL: Long, nTable: Long): Column =
-    ((idx * nL + nTable - 1L) / nTable).cast("long")
+  /** ceil(idx·nL/nTable) in exact long arithmetic — SQL `DIV`, not `/`:
+    * Column `/` is double division, and idx·nL exceeds double's 53-bit
+    * mantissa at large SF (same pitfall as Tables' ns timestamps).
+    */
+  private def trigger(nL: Long, nTable: Long): Column =
+    expr(s"CAST((idx * ${nL}L + ${nTable - 1}L) DIV ${nTable}L AS BIGINT)")
 
   /** Generate the ordered changelog for one sfDir.
     *
@@ -111,20 +114,28 @@ object Changelog {
     val cuR = ranked(cu, Seq(col("c_custkey")))
 
     events(liR, "LI", lineitemCols, col("idx"), 0)
-      .unionByName(events(orR, "OR", ordersCols, trigger(col("idx"), nL, nO), 1))
-      .unionByName(events(cuR, "CU", customerCols, trigger(col("idx"), nL, nC), 2))
+      .unionByName(events(orR, "OR", ordersCols, trigger(nL, nO), 1))
+      .unionByName(events(cuR, "CU", customerCols, trigger(nL, nC), 2))
   }
 
   /** Per-session memo of the full default changelog for a fixture dir —
     * the three driver stream queries all derive from it (insert-only is the
     * `sub < 3` prefix family), so the ranking windows run once, not 3×.
     */
-  private val cache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+  // weak keys: a stopped+collected session's cached frames are evicted
+  // automatically instead of pinning dead-session RDD blocks (and identity
+  // hash reuse after GC can't alias two sessions).
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   def generateCached(spark: SparkSession, dir: String,
                      insertOnly: Boolean = false): DataFrame = {
-    val full = cache.getOrElseUpdate((System.identityHashCode(spark).toString, dir),
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    val full = perSession.getOrElseUpdate(dir,
       generate(spark, dir).localCheckpoint())
     if (insertOnly) full.filter(col("sub") < 3) else full
   }

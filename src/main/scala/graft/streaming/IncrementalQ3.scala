@@ -161,7 +161,7 @@ object IncrementalQ3 {
   def runBatches(spark: SparkSession, events: DataFrame, k: Int): State = {
     val tMax = events.agg(max(col("t"))).head().getLong(0)
     val batched = events.withColumn("batch",
-      least(((col("t") - 1) * k / tMax).cast("int"), lit(k - 1)))
+      least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
       .localCheckpoint()
     val fin = (0 until k).foldLeft(init(spark)) { (st, b) =>
       step(st, batched.filter(col("batch") === b).select("line"))

@@ -54,14 +54,22 @@ final class JsonPushSink(port: Int = 0) {
   /** The bound port (useful with port=0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
+  // SSE fan-out runs on its own daemon thread: a subscriber that stops
+  // reading (full TCP send buffer, no RST) blocks its write() forever, and
+  // that must never stall the streaming query's foreachBatch thread.
+  private val pusher = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-sse-push"); t.setDaemon(true); t })
+
   /** Publish a new top-N snapshot to /top and all /watch subscribers. */
   def push(rows: Array[Row], timestampMs: Long = System.currentTimeMillis()): Unit = {
     val msg = StreamingQ3.jsonMessage(rows, timestampMs)
     latest.set(msg)
-    listeners.forEach { ex =>
-      try { ex.getResponseBody.write(sse(msg)); ex.getResponseBody.flush() }
-      catch { case _: java.io.IOException => listeners.remove(ex); ex.close() }
-    }
+    pusher.submit(new Runnable {
+      override def run(): Unit = listeners.forEach { ex =>
+        try { ex.getResponseBody.write(sse(msg)); ex.getResponseBody.flush() }
+        catch { case _: java.io.IOException => listeners.remove(ex); ex.close() }
+      }
+    })
   }
 
   /** Adapter for [[StreamingQ3.start]]'s onEmit. */

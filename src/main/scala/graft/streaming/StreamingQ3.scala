@@ -29,18 +29,29 @@ object StreamingQ3 {
             checkpointDir: Option[String] = None,
             onEmit: (Array[Row], Long) => Unit = consoleSink): StreamingQuery = {
     var state = IncrementalQ3.init(spark)
+    var expectedBatch = 0L
     val writer = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(changelogDir)
       .writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (id != expectedBatch) throw new IllegalStateException(
+          s"batch $id delivered but in-memory IVM state is at $expectedBatch — " +
+            "resumed/replayed batches would corrupt the aggregate; start from " +
+            "a fresh checkpoint dir")
+        expectedBatch += 1
         state = IncrementalQ3.step(state, batch)
         onEmit(IncrementalQ3.topN(state).collect(), id)
       }
-    // source-offset checkpointing (exactly-once replay of the file source)
-    // comes free from Structured Streaming — an upgrade over the reference,
-    // which configures none (SURVEY §2.8).
+    // Source-offset checkpointing comes from Structured Streaming, but the
+    // IVM state lives on the driver and is NOT checkpointed: resuming from
+    // an existing checkpoint would replay only post-restart offsets against
+    // an empty state and silently under-count. The batch-id guard below
+    // turns that (and a re-delivered batch after a commit failure) into a
+    // loud failure; production recovery would persist the state tables per
+    // batch and skip re-applied ids. The reference checkpoints nothing at
+    // all (SURVEY §2.8).
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
   }
@@ -64,7 +75,10 @@ object StreamingQ3 {
     */
   def jsonMessage(rows: Array[Row], timestampMs: Long): String = {
     val data = rows.zipWithIndex.map { case (r, i) =>
-      s"""{"rank":${i + 1},"orderkey":${r.getLong(0)},"revenue":${"%.2f".format(r.getDouble(3))},""" +
+      // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+      val rev = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(r.getDouble(3)))
+      s"""{"rank":${i + 1},"orderkey":${r.getLong(0)},"revenue":$rev,""" +
         s""""orderdate":"${r.getDate(1)}","shippriority":"${r.getString(2)}"}"""
     }.mkString(",")
     s"""{"timestamp":$timestampMs,"data":[$data]}"""
