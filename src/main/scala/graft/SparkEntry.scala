@@ -40,6 +40,9 @@ object SparkEntry {
     "agg_stats" -> (Relational.aggStats _),
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_percentiles" -> (Relational.aggPercentiles _),
+    "agg_cube" -> (Relational.aggCube _),
+    // --- §2.7 scalar expression library ---
+    "scalar_functions" -> (Relational.scalarFunctions _),
     // --- §2.6 sort / limit / top-k ---
     "topn_orders" -> (Relational.topNOrders _),
     "window_rank" -> (Relational.windowRank _),
@@ -154,6 +157,21 @@ object SparkEntry {
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    "scalar_functions" ->
+      """SELECT o_orderkey,
+        |       upper(substr(o_orderpriority, 1, 8)) AS prio_upper,
+        |       length(o_orderstatus) AS status_len,
+        |       concat_ws('-', o_orderstatus, o_orderpriority) AS tagged,
+        |       round(abs(o_totalprice - 1000.0), 2) AS dist_1k,
+        |       CAST(floor(o_totalprice / 100) AS BIGINT) AS price_bucket,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       datediff('day', CAST(o_orderdate AS DATE), DATE '1995-03-15') AS days_to_cutoff,
+        |       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
     "topn_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,

@@ -268,6 +268,32 @@ object Relational {
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
 
+  /** CUBE grouping sets — all 4 grouping combinations in one pass. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+
+  /** Scalar-function library breadth (the reference has no scalar library
+    * at all, SURVEY §2.7 — Spark's comes with the engine): string, math,
+    * date, and conditional functions in one deterministic projection.
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 100)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 8)).as("prio_upper"),
+        length(col("o_orderstatus")).cast("long").as("status_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tagged"),
+        round(abs(col("o_totalprice") - 1000.0), 2).as("dist_1k"),
+        floor(col("o_totalprice") / 100).cast("long").as("price_bucket"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        datediff(to_date(lit(Q3Date)), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_cutoff"),
+        when(col("o_totalprice") > 100000, "big").otherwise("small").as("size_class"))
+      .orderBy("o_orderkey")
+
   // ---------------------------------------------------------------------
   // §2.6 sort / limit / top-k
   // ---------------------------------------------------------------------
