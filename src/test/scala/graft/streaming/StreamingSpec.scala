@@ -70,6 +70,28 @@ class StreamingSpec extends SparkSpec {
     assert(full == fullA)
   }
 
+  test("sliding-window capacity: mid-stream live set has exactly W lineitems") {
+    import graft.sources.Tables
+    val nL = Tables.table(spark, sfDir, "lineitem").count()
+    val w = nL / 2
+    val ev = Changelog.generate(spark, sfDir, capacity = Some(w)).localCheckpoint()
+    // mid-stream cut: all events up to trigger tb are processed
+    val tb = (3L * nL) / 4
+    val prefix = ev.filter(col("t") <= tb)
+    // net live lineitems = inserts (t≤tb) − deletes (t≤tb) = tb − (tb−w) = w
+    val li = Changelog.lineitems(Changelog.parse(prefix.select("line")))
+    assert(li.agg(sum(col(ZSet.W))).head().getLong(0) == w)
+    // and the engine's converged mid-stream answer is batching-invariant:
+    // folding the prefix in 3 slices == one shot
+    val sliced = (0 until 3).foldLeft(IncrementalQ3.init(spark)) { (st, b) =>
+      IncrementalQ3.step(st,
+        prefix.filter(col("t") % 3 === b).select("line"))
+    }
+    val oneShot = IncrementalQ3.step(IncrementalQ3.init(spark), prefix.select("line"))
+    assert(IncrementalQ3.topN(sliced).collect().map(_.toSeq).toSeq ==
+      IncrementalQ3.topN(oneShot).collect().map(_.toSeq).toSeq)
+  }
+
   test("structured streaming wiring (readStream → foreachBatch) converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
     Changelog.write(Changelog.generate(spark, sfDir, insertOnly = true), dir, nFiles = 3)
