@@ -62,8 +62,10 @@ def main() -> int:
             n_bad += 1
             continue
         try:
+            # exact: the driver's gate hash-compares values, so any ulp
+            # drift that a tolerance would hide still fails the real gate
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
-                                          check_exact=False, rtol=0, atol=1e-9)
+                                          check_exact=True)
             print(f"  ✓ {name}: {len(g)} rows match")
             n_ok += 1
         except AssertionError as ex:
