@@ -77,10 +77,19 @@ object Changelog {
     */
   def generate(spark: SparkSession, dir: String,
                capacity: Option[Long] = None,
-               insertOnly: Boolean = false): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-    val or = Tables.table(spark, dir, "orders")
-    val cu = Tables.table(spark, dir, "customer")
+               insertOnly: Boolean = false): DataFrame =
+    generateFrom(
+      Tables.table(spark, dir, "lineitem"),
+      Tables.table(spark, dir, "orders"),
+      Tables.table(spark, dir, "customer"),
+      capacity, insertOnly)
+
+  /** [[generate]] over explicit table DataFrames (scale-up harnesses build
+    * synthetic larger tables and stream them through the same generator).
+    */
+  def generateFrom(li: DataFrame, or: DataFrame, cu: DataFrame,
+                   capacity: Option[Long] = None,
+                   insertOnly: Boolean = false): DataFrame = {
     val nL = li.count(); val nO = or.count(); val nC = cu.count()
     val cap = capacity.getOrElse(nL)
 

@@ -19,13 +19,25 @@ object StreamingWindows {
 
   /** Stage the events table as time-ordered parquet chunks (a replayable
     * "stream archive" — files arrive in event-time order like a log).
+    *
+    * Chunks are written SEQUENTIALLY with distinct mtimes: the file stream
+    * source orders by modification time, and a single multi-file write can
+    * finish its newest-events part first — the watermark would then jump
+    * ahead and silently drop the older chunks as late data.
     */
-  def stage(spark: SparkSession, dir: String, outDir: String, nFiles: Int = 3): Unit =
-    Tables.table(spark, dir, "events")
+  def stage(spark: SparkSession, dir: String, outDir: String, nFiles: Int = 3): Unit = {
+    val ev = Tables.table(spark, dir, "events")
       .select("ts", "user_id", "event_type", "value")
-      .repartitionByRange(nFiles, col("ts"))
-      .sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(outDir)
+      .withColumn("chunk", ntile(nFiles).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+      .localCheckpoint()
+    (1 to nFiles).foreach { i =>
+      ev.filter(col("chunk") === i).drop("chunk").coalesce(1)
+        .sortWithinPartitions("ts")
+        .write.mode(if (i == 1) "overwrite" else "append").parquet(outDir)
+      if (i < nFiles) Thread.sleep(1100)
+    }
+  }
 
   /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
     * append mode into an in-memory table named `sinkName`.
