@@ -70,7 +70,7 @@ object SparkEntry {
     "ann_lsh" -> (Similarity.annLsh _), // approximate: rows-only + recall spec
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
-    "multimodal_features" -> (Multimodal.featureSummary _), // stub decode: rows-only + spec
+    "multimodal_features" -> (Multimodal.featureSummary _),
     // --- composite pipelines ---
     "pipeline_curation" -> (operators.Pipelines.corpusCuration _),
     "pipeline_funnel" -> (operators.Pipelines.funnel _),
@@ -306,6 +306,11 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
         |  FROM p) t
         |WHERE rnk <= 5""".stripMargin,
+    "multimodal_features" ->
+      """SELECT source, count(*) AS n_docs,
+        |       SUM(octet_length(encode(text))) AS total_bytes,
+        |       SUM(length(regexp_replace(text, '[^a-o]', '', 'g'))) AS f6_bytes
+        |FROM documents GROUP BY source""".stripMargin,
     "multimodal_ingest" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS n_bytes,

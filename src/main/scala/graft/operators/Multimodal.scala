@@ -67,16 +67,20 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "features")
   }
 
-  /** Driver-contract summary of [[features]]: per-source mean of the first
-    * histogram bin + byte totals (deterministic, small).
+  /** Driver-contract summary of [[features]], in exact integers: per-source
+    * doc/byte totals plus the total mass of histogram bin 6 (bytes
+    * 0x60–0x6f — for the ASCII fixture text, exactly the chars `[a-o]`,
+    * which is what makes the stub decoder's output ORACLE-CHECKABLE in SQL:
+    * the bin count is recovered as `round(f6 · n_bytes)`).
     */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.table(spark, dir, "documents").select("doc_id", "source")
     features(spark, dir)
       .join(src, "doc_id")
-      .select(col("source"), col("n_bytes"), col("features").getItem(0).as("f0"))
+      .select(col("source"), col("n_bytes"),
+        round(col("features").getItem(6) * col("n_bytes")).cast("long").as("f6"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("f0")), 6).as("mean_f0"))
+        sum(col("f6")).as("f6_bytes"))
   }
 }

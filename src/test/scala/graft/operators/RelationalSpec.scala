@@ -73,9 +73,8 @@ class RelationalSpec extends SparkSpec {
   test("every query key has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list tight: anything here gets only a weak rows>0 check.
-    // ann_lsh is approximate-by-design (recall spec'd against brute force);
-    // multimodal_features hangs off the stubbed decoder (determinism spec'd).
-    val rowsOnly = Set("ann_lsh", "multimodal_features")
+    // ann_lsh is approximate-by-design (recall spec'd against brute force).
+    val rowsOnly = Set("ann_lsh")
     assert(noOracle == rowsOnly, s"queries without oracle: $noOracle")
   }
 
