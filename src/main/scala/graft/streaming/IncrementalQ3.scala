@@ -164,7 +164,10 @@ object IncrementalQ3 {
       least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
       .localCheckpoint()
     val fin = (0 until k).foldLeft(init(spark)) { (st, b) =>
-      step(st, batched.filter(col("batch") === b).select("line"))
+      val t0 = System.nanoTime()
+      val r = step(st, batched.filter(col("batch") === b).select("line"))
+      System.err.println(f"[ivm] batch $b: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
     }
     batched.unpersist(blocking = false)
     fin
