@@ -71,6 +71,7 @@ object SparkEntry {
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
     "multimodal_features" -> (Multimodal.featureSummary _),
+    "multimodal_frames" -> (Multimodal.frameSample _),
     // --- composite pipelines ---
     "pipeline_curation" -> (operators.Pipelines.corpusCuration _),
     "pipeline_funnel" -> (operators.Pipelines.funnel _),
@@ -311,6 +312,12 @@ object SparkEntry {
         |       SUM(octet_length(encode(text))) AS total_bytes,
         |       SUM(length(regexp_replace(text, '[^a-o]', '', 'g'))) AS f6_bytes
         |FROM documents GROUP BY source""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+        |       md5(substr(text, i * 100 + 1, 32)) AS frame_checksum
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (length(text) - 1) // 100 + 1)) AS i
+        |      FROM documents) t""".stripMargin,
     "multimodal_ingest" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS n_bytes,

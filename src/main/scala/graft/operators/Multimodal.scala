@@ -67,6 +67,47 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "features")
   }
 
+  private val ResizeDim = 8
+
+  /** STUB resize — stands in for image resize / audio resample: average-
+    * pools the payload byte signal to a fixed [[ResizeDim]]-length vector.
+    * Same mapPartitions batch shape as a real resampler.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ingest(spark, dir).select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (docId, payload) =>
+          val n = payload.length
+          val pooled = Array.tabulate(ResizeDim) { i =>
+            val from = i * n / ResizeDim
+            val to = math.max((i + 1) * n / ResizeDim, from + 1)
+            val slice = payload.slice(from, to)
+            slice.map(_ & 0xff).sum.toDouble / slice.length
+          }
+          (docId, n.toLong, pooled)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "resized")
+  }
+
+  private val FrameLen = 32
+  private val FrameStride = 100
+
+  /** STUB frame sampling — stands in for video frame extraction: every
+    * [[FrameStride]] bytes, take a [[FrameLen]]-byte "frame" and emit its
+    * checksum. One row per (doc, frame): the explode shape a real
+    * frame-sampler produces, and oracle-checkable because frames are
+    * substrings of the ASCII payload (md5 agrees across engines).
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((length(text) - 1) DIV $FrameStride AS INT)),
+             |  i -> md5(substr(text, i * $FrameStride + 1, $FrameLen)))""".stripMargin)))
+      .toDF("doc_id", "frame_no", "frame_checksum")
+
   /** Driver-contract summary of [[features]], in exact integers: per-source
     * doc/byte totals plus the total mass of histogram bin 6 (bytes
     * 0x60–0x6f — for the ASCII fixture text, exactly the chars `[a-o]`,

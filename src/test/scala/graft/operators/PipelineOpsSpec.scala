@@ -62,6 +62,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("multimodal resize: fixed dims, deterministic, mean preserved") {
+    val rows = Multimodal.resize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](r.fieldIndex("resized"))
+      assert(v.length == 8)
+      assert(v.forall(x => x >= 0 && x <= 255))
+    }
+    val again = Multimodal.resize(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("windows: sliding double-counts tumbling; session partitions events") {
     import graft.sources.Tables
     val nEvents = Tables.table(spark, sfDir, "events").count()
