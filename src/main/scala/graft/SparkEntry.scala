@@ -68,6 +68,7 @@ object SparkEntry {
     // --- similarity search ---
     "ann_brute_force" -> (Similarity.annBruteForce _),
     "ann_lsh" -> (Similarity.annLsh _), // approximate: rows-only + recall spec
+    "ann_ivf" -> (Similarity.annIvf _), // approximate: rows-only + recall spec
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
     "multimodal_features" -> (Multimodal.featureSummary _),

@@ -88,6 +88,53 @@ object Similarity {
     }
   }
 
+  // --- IVF (inverted-file) ANN -------------------------------------------
+
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
+  /** IVF-bucketed ANN — the other classic scale path: a coarse k-means
+    * quantizer (MLlib, trained once over the corpus) partitions vectors
+    * into cells; each query scores only its [[IvfProbes]] nearest cells
+    * (~25% of the corpus here instead of all of it; at 100 TB the cell
+    * count grows with the corpus and the scan fraction shrinks).
+    * Approximate: recall vs the exact baseline is spec'd, like [[annLsh]].
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    val v = vectors(spark, dir).localCheckpoint()
+    val withVec = v.withColumn("fv",
+      org.apache.spark.ml.functions.array_to_vector(col("e")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(IvfCells).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec).select("vec_id", "e", "nrm", "cell")
+    // probe list per query: nearest cells by euclidean distance to centroid
+    val centers = model.clusterCenters.map(_.toArray)
+    val queries = v.filter(col("vec_id") < NumQueries)
+      .select("vec_id", "e", "nrm").collect()
+    val probes = queries.flatMap { r =>
+      val q = r.getSeq[Double](1).toArray
+      centers.zipWithIndex
+        .map { case (c, i) =>
+          (i, math.sqrt(q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum))
+        }
+        .sortBy(_._2).take(IvfProbes)
+        .map { case (cell, _) => (r.getLong(0), cell) }
+    }
+    import spark.implicits._
+    val probeDf = probes.toSeq.toDF("query_id", "cell")
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val cand = assigned
+      .join(broadcast(probeDf), "cell")
+      .join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("qid") === col("query_id"))
+    topK(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
+  }
+
   /** LSH-bucketed ANN: sign-of-projection sketches put each vector in
     * `NumTables` buckets; a query only scores vectors sharing ≥1 bucket.
     * Approximate (recall measured in SimilaritySpec against the exact

@@ -38,6 +38,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(approx.forall(_._1 < Similarity.NumQueries))
   }
 
+  test("ann: ivf results are a high-recall subset of brute force") {
+    val exact = Similarity.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"ann_ivf recall@${Similarity.K} = $recall")
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("ann brute force: 5 neighbors per query, descending cosine") {
     val rows = Similarity.annBruteForce(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))

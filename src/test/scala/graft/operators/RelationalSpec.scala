@@ -73,8 +73,9 @@ class RelationalSpec extends SparkSpec {
   test("every query key has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list tight: anything here gets only a weak rows>0 check.
-    // ann_lsh is approximate-by-design (recall spec'd against brute force).
-    val rowsOnly = Set("ann_lsh")
+    // ann_lsh/ann_ivf are approximate-by-design (recall spec'd against
+    // the exact baseline).
+    val rowsOnly = Set("ann_lsh", "ann_ivf")
     assert(noOracle == rowsOnly, s"queries without oracle: $noOracle")
   }
 
