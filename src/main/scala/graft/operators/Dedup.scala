@@ -136,22 +136,15 @@ object Dedup {
   private val MaxHamming = 15
 
   /** 64-bit SimHash per doc: bit j = sign of Σ_shingles (±1 by bit j of
-    * xxhash64(shingle)). Computed via explode + 64 conditional sums (plain
-    * partial/final hash aggregation).
+    * the shingle hash), packed into 16 4-bit chunk values — computed by
+    * the native [[graft.functions.SimhashChunks]] codegen expression in a
+    * single pass per document (no explode, no 64-column aggregate, no
+    * shuffle).
     */
   def simhashSignatures(sh: DataFrame): DataFrame = {
-    val g = sh.filter(size(col("s")) > 0)
-      .select(col("doc_id"), explode(col("s")).as("g"))
-      .withColumn("h", xxhash64(col("g")))
-    val bitSums = (0 until SimBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val chunkCols = (0 until SimChunks).map { c =>
-      (0 until ChunkBits).map(k => when(col(s"b${ChunkBits * c + k}") > 0,
-          lit(1L << k)).otherwise(0L))
-        .reduce[Column](_ bitwiseOR _).as(s"chunk$c")
-    }
-    g.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id") +: chunkCols: _*)
+    graft.functions.SimhashChunks.register(sh.sparkSession)
+    sh.filter(size(col("s")) > 0)
+      .select(col("doc_id"), graft.functions.SimhashChunks(col("s")).as("sig"))
   }
 
   /** SimHash near-dup: candidates share at least one 4-bit chunk
@@ -167,14 +160,12 @@ object Dedup {
     // carry the compact signature through the band join so the hamming
     // bound evaluates INSIDE the join (codegen ALU ops on matched rows,
     // nothing materialized) — only true near-dups reach distinct/verify.
-    val chunks = sig.select(
-      col("doc_id") +:
-        posexplode(array((0 until SimChunks).map(c => col(s"chunk$c")): _*)) +:
-        (0 until SimChunks).map(c => col(s"chunk$c")): _*)
-    val x = chunks.toDF("doc_a" +: "chunk" +: "v" +: (0 until SimChunks).map(c => s"a$c"): _*)
-    val y = chunks.toDF("doc_b" +: "chunk" +: "v" +: (0 until SimChunks).map(c => s"b$c"): _*)
+    val chunks = sig.select(col("doc_id"), col("sig"), posexplode(col("sig")))
+      .toDF("doc_id", "sig", "chunk", "v")
+    val x = chunks.toDF("doc_a", "siga", "chunk", "v")
+    val y = chunks.toDF("doc_b", "sigb", "chunk", "v")
     val hamming = (0 until SimChunks)
-      .map(c => expr(s"bit_count(a$c ^ b$c)"))
+      .map(c => expr(s"bit_count(element_at(siga, ${c + 1}) ^ element_at(sigb, ${c + 1}))"))
       .reduce[Column](_ + _)
     val cand = x.join(y, Seq("chunk", "v"))
       .filter(col("doc_a") < col("doc_b") && hamming <= MaxHamming)
