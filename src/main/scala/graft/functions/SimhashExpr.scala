@@ -28,11 +28,13 @@ case class SimhashChunks(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < arr.numElements()) {
       val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var j = 0
-      while (j < 64) {
-        cnt(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
-        j += 1
+      if (s != null) { // null shingles contribute nothing (like built-ins)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          cnt(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
       }
       i += 1
     }
@@ -51,10 +53,12 @@ case class SimhashChunks(child: Expression) extends UnaryExpression {
       s"""
          |int[] $cnt = new int[64];
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
-         |  UTF8String $s = $arr.getUTF8String($i);
-         |  long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |  for (int $j = 0; $j < 64; $j++) {
-         |    $cnt[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |  if ($s != null) {
+         |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      $cnt[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |    }
          |  }
          |}
          |long[] $chunks = ${classOf[SimhashChunks].getName}.pack($cnt);

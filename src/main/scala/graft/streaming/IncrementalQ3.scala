@@ -42,7 +42,6 @@ object IncrementalQ3 {
 
   private val cutoff = to_date(lit(Relational.Q3Date))
 
-  private def d2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
   private val revType = "decimal(38,4)"
 
   private def empty(spark: SparkSession, fields: (String, DataType)*): DataFrame =
@@ -78,8 +77,7 @@ object IncrementalQ3 {
     val dL = Changelog.lineitems(parsed)
       .filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"),
-        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
-          .cast(revType).as("revenue"),
+        Relational.revenueExpr.cast(revType).as("revenue"),
         col(ZSet.W))
     (dC, dO, dL)
   }
@@ -114,16 +112,19 @@ object IncrementalQ3 {
       .withColumn(ZSet.W, lit(1L))
 
     // State upkeep, cheapest-sufficient form per state and batch:
-    //  - delta carries retractions → consolidate + checkpoint (compaction
+    //  - batch carries retractions → consolidate + checkpoint (compaction
     //    rewrite, so retracted rows actually leave the state);
-    //  - insert-only delta → a plain union over the already-cached delta
+    //  - insert-only batch → a plain union over the already-cached delta
     //    blocks: NOTHING is rewritten (the reference's per-record state
     //    insert, amortized). The union chain stays shallow because every
     //    link is a checkpointed delta; a long-running deployment compacts
     //    periodically (or uses a real state store).
-    // Old states stay persisted — they are live parents of the chain.
+    // One batch-level deletes check (a per-delta check would run four
+    // sequential actions here, serializing the materialization that the
+    // concurrent block below is supposed to parallelize). Old states stay
+    // persisted — they are live parents of the chain.
+    val hasDeletes = !parsed.filter(col(ZSet.W) < 0).isEmpty
     def upkeep(state: DataFrame, delta: DataFrame): DataFrame = {
-      val hasDeletes = !delta.filter(col(ZSet.W) < 0).isEmpty
       val merged = state.unionByName(delta)
       if (hasDeletes) ZSet.consolidate(merged).localCheckpoint(eager = false)
       else merged

@@ -40,9 +40,12 @@ final class JsonPushSink(port: Int = 0) {
     s.createContext("/watch", (ex: HttpExchange) => {
       ex.getResponseHeaders.add("Content-Type", "text/event-stream")
       ex.sendResponseHeaders(200, 0)
+      // register BEFORE the initial snapshot: a push landing in between
+      // would otherwise miss this subscriber, leaving it permanently stale
+      // if that push was the stream's last
+      listeners.add(ex)
       ex.getResponseBody.write(sse(latest.get()))
       ex.getResponseBody.flush()
-      listeners.add(ex)
     })
     s.start()
     s

@@ -16,8 +16,10 @@ import graft.operators.Relational
   * One deliberate upgrade over the reference: revenue state is held in
   * exact fixed-point ten-thousandths (the inputs carry ≤2 decimals each,
   * so `price·(1−discount)·10⁴` is an integer) instead of drifting double
-  * state — a retracted group returns to exactly 0 and is dropped, like
-  * the reference's `revenue > 0` emission gate (no_websocket.java:568).
+  * state — a retracted group's STATE returns to exactly 0 and is cleared;
+  * the zero-total update is still emitted so downstream consumers observe
+  * the retraction (unlike the reference's `revenue > 0` gate,
+  * no_websocket.java:568, which silently hides it).
   */
 class RetractableSum extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
 
@@ -45,9 +47,8 @@ object RetractableSum {
     Changelog.lineitems(Changelog.parse(lines))
       .filter(col("l_shipdate") > to_date(lit(Relational.Q3Date)))
       .select(col("l_orderkey"),
-        (col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000)
-          .cast("long").multiply(col(ZSet.W)).as("delta"))
+        (Relational.revenueExpr * 10000).cast("long")
+          .multiply(col(ZSet.W)).as("delta"))
 
   /** Continuous per-orderkey revenue via transformWithState. Emits
     * `(l_orderkey, revenue_e4)` on every update; requires the RocksDB
