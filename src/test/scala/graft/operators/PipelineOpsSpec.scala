@@ -21,7 +21,7 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("dedup_exact counts are consistent") {
-    val r = Dedup.dedupExact(spark, sfDir).head
+    val r = Dedup.dedupExact(spark, sfDir).head()
     assert(r.getAs[Long]("n_docs") ==
       r.getAs[Long]("n_unique") + r.getAs[Long]("n_dup_docs"))
   }
