@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries {
 
-  private val K = 4 // micro-batches per simulated run
+  // Micro-batches per simulated run. With the two-phase changelog this
+  // makes the middle batch a MIXED insert+delete batch (t spans the phase
+  // boundary) — the consolidation-triggering case — while the first is
+  // append-only and the last delete-only.
+  private val K = 3
 
   /** Generate + parse the full insert/delete changelog and count events per
     * (relation, action) — verifies the generator honors the reference's
