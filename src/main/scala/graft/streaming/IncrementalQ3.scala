@@ -119,11 +119,14 @@ object IncrementalQ3 {
     //    insert, amortized). The union chain stays shallow because every
     //    link is a checkpointed delta; a long-running deployment compacts
     //    periodically (or uses a real state store).
-    // One batch-level deletes check (a per-delta check would run four
-    // sequential actions here, serializing the materialization that the
-    // concurrent block below is supposed to parallelize). Old states stay
-    // persisted — they are live parents of the chain.
-    val hasDeletes = !parsed.filter(col(ZSet.W) < 0).isEmpty
+    // One deletes check as a single action over the CACHED deltas (a scan
+    // of the raw batch would re-parse millions of lines; per-delta checks
+    // would run four sequential actions). Old states stay persisted — they
+    // are live parents of the chain.
+    val w = col(ZSet.W)
+    val hasDeletes = !dC.select(w)
+      .unionByName(dO.select(w)).unionByName(dL.select(w))
+      .filter(w < 0).isEmpty
     def upkeep(state: DataFrame, delta: DataFrame): DataFrame = {
       val merged = state.unionByName(delta)
       if (hasDeletes) ZSet.consolidate(merged).localCheckpoint(eager = false)
