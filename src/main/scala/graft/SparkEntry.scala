@@ -265,10 +265,13 @@ object SparkEntry {
         |    len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['的','是'], x))) AS s_zh
         |  FROM documents) t) u
         |GROUP BY lang, predicted""".stripMargin,
+    // NB: DuckDB SUM over integers yields HUGEINT (int128) — pandas turns
+    // that into a dtype whose stringified values differ from Spark's int64,
+    // failing the driver's value hash. Always CAST integer SUMs to BIGINT.
     "token_profile" ->
       """SELECT source, count(*) AS n_docs,
-        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS ws_tokens,
-        |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY source""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
@@ -308,10 +311,13 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
         |  FROM p) t
         |WHERE rnk <= 5""".stripMargin,
+    // Histogram bin 6 covers bytes 0x60–0x6f = backtick + [a-o]; include
+    // the backtick in the char class so the oracle is exact for any ASCII
+    // fixture, not just backtick-free text (ADVICE r1).
     "multimodal_features" ->
       """SELECT source, count(*) AS n_docs,
-        |       SUM(octet_length(encode(text))) AS total_bytes,
-        |       SUM(length(regexp_replace(text, '[^a-o]', '', 'g'))) AS f6_bytes
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(SUM(length(regexp_replace(text, '[^`a-o]', '', 'g'))) AS BIGINT) AS f6_bytes
         |FROM documents GROUP BY source""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
@@ -334,7 +340,7 @@ object SparkEntry {
       |ke AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM q) t
       |       WHERE doc_id = keep),
       |kept AS (SELECT * FROM ke WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
-      |SELECT source, count(*) AS n_docs, SUM(len(w)) AS kept_tokens
+      |SELECT source, count(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS kept_tokens
       |FROM kept GROUP BY source""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
@@ -392,7 +398,8 @@ object SparkEntry {
       |       round(len(list_intersect(a.s, b.s))::DOUBLE
       |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      |  AND len(list_intersect(a.s, b.s))::DOUBLE
       |      / len(list_distinct(list_concat(a.s, b.s))) >= $threshold
       |ORDER BY doc_a, doc_b""".stripMargin
 }

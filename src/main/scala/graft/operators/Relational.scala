@@ -106,8 +106,11 @@ object Relational {
     * lossless.
     */
   def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // staging path is unique per session AND per fixture dir: concurrent
+    // sessions over the same fixture must not overwrite each other's stage
+    // mid-scan (ADVICE r1), and one session may stage several fixtures
     val tmp = System.getProperty("java.io.tmpdir") +
-      s"/graft_csv_${math.abs(dir.hashCode)}/lineitem"
+      s"/graft_csv_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/lineitem"
     graft.sources.Csv.stage(spark, dir, "lineitem", tmp)
     graft.sources.Csv.read(spark, tmp, "lineitem")
       .groupBy(col("l_returnflag"))

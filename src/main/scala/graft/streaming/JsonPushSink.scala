@@ -28,6 +28,13 @@ final class JsonPushSink(port: Int = 0) {
   private val listeners =
     java.util.concurrent.ConcurrentHashMap.newKeySet[HttpExchange]()
 
+  // SSE fan-out runs on its own daemon thread: a subscriber that stops
+  // reading (full TCP send buffer, no RST) blocks its write() forever, and
+  // that must never stall the streaming query's foreachBatch thread.
+  // Declared before `server` so it exists by the time a handler can run.
+  private val pusher = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-sse-push"); t.setDaemon(true); t })
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/top", (ex: HttpExchange) => {
@@ -42,10 +49,15 @@ final class JsonPushSink(port: Int = 0) {
       ex.sendResponseHeaders(200, 0)
       // register BEFORE the initial snapshot: a push landing in between
       // would otherwise miss this subscriber, leaving it permanently stale
-      // if that push was the stream's last
+      // if that push was the stream's last. The snapshot itself is written
+      // on the pusher thread so all writes to one exchange are serialized
+      // (a concurrent push() could otherwise interleave bytes mid-write).
       listeners.add(ex)
-      ex.getResponseBody.write(sse(latest.get()))
-      ex.getResponseBody.flush()
+      pusher.submit(new Runnable {
+        override def run(): Unit =
+          try { ex.getResponseBody.write(sse(latest.get())); ex.getResponseBody.flush() }
+          catch { case _: java.io.IOException => listeners.remove(ex); ex.close() }
+      })
     })
     s.start()
     s
@@ -56,12 +68,6 @@ final class JsonPushSink(port: Int = 0) {
 
   /** The bound port (useful with port=0 for tests). */
   def boundPort: Int = server.getAddress.getPort
-
-  // SSE fan-out runs on its own daemon thread: a subscriber that stops
-  // reading (full TCP send buffer, no RST) blocks its write() forever, and
-  // that must never stall the streaming query's foreachBatch thread.
-  private val pusher = java.util.concurrent.Executors.newSingleThreadExecutor(
-    (r: Runnable) => { val t = new Thread(r, "graft-sse-push"); t.setDaemon(true); t })
 
   /** Publish a new top-N snapshot to /top and all /watch subscribers. */
   def push(rows: Array[Row], timestampMs: Long = System.currentTimeMillis()): Unit = {

@@ -50,6 +50,20 @@ class StreamingSpec extends SparkSpec {
     assert(StreamQueries.q3FullCycle(spark, sfDir).collect().isEmpty)
   }
 
+  test("changelog well-formedness: every delete mirrors an insert exactly") {
+    // IncrementalQ3.newAgg drops groups on cnt=0 alone; that silently
+    // discards any revenue residue a malformed changelog (delete payload ≠
+    // insert payload) would leave behind (ADVICE r1). Assert the generator
+    // upholds the invariant the engine relies on: consolidating the FULL
+    // cycle per relation over ALL payload columns cancels to the empty
+    // z-set, so cnt=0 groups necessarily carry revenue=0 too.
+    val parsed = Changelog.parse(
+      Changelog.generate(spark, sfDir).select("line")).localCheckpoint()
+    for (rel <- Seq(Changelog.customers(parsed), Changelog.orders(parsed),
+                    Changelog.lineitems(parsed)))
+      assert(ZSet.consolidate(rel).isEmpty, "full cycle must consolidate to ∅")
+  }
+
   test("retraction: inserting A∪B then deleting B converges to state(A)") {
     val ins = Changelog.generate(spark, sfDir, insertOnly = true).localCheckpoint()
     // B = every 3rd event; its deletes are the same lines with flipped sign

@@ -20,9 +20,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Stringify EVERY column: the driver's gate hashes stringified values,
+    # so an int64-vs-float64 dtype drift (e.g. DuckDB HUGEINT SUMs landing
+    # in pandas as float) must fail here too, not be hidden by numeric
+    # comparison. r1 lesson: 3 queries passed locally but failed the
+    # driver's hash for exactly this reason.
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
