@@ -32,7 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts all executor threads in this one JVM: an 8g heap GC-
+  // thrashes under 32-way shuffles (and adds big run-to-run variance)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // Suites share one SparkSession (and temp views via registerAll) — run
 // them sequentially to avoid catalog races.

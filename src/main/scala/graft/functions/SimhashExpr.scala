@@ -3,24 +3,27 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Native SimHash signature: `array<string>` shingles → `array<long>` of
-  * [[SimhashChunks.NumChunks]] chunk values ([[SimhashChunks.ChunkBits]]
-  * bits each) of the 64-bit SimHash.
+/** Native SimHash signature: `array<string>` shingles → the 64-bit SimHash
+  * packed into ONE `long` (bit j set iff the per-bit ±1 counter over all
+  * shingle hashes is positive).
   *
   * The declarative route (explode → xxhash64 → 64 conditional SUMs →
   * re-pack) is a full shuffle of |docs|·|shingles| rows plus a 64-column
   * aggregate; this expression folds the whole signature per row inside
   * whole-stage codegen — one pass over the shingle array, no shuffle.
   * Hash family is the same XXH64 core Spark's `xxhash64` uses.
+  *
+  * A single long (vs. an array of chunk values) keeps the LSH band join
+  * payload at 2 longs per side and makes the in-join hamming prefilter one
+  * `bit_count(a ^ b)` — band values are recovered with shift/mask.
   */
-case class SimhashChunks(child: Expression) extends UnaryExpression {
+case class Simhash64(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_simhash_chunks"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -38,7 +41,7 @@ case class SimhashChunks(child: Expression) extends UnaryExpression {
       }
       i += 1
     }
-    new GenericArrayData(SimhashChunks.pack(cnt))
+    Simhash64.pack(cnt)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -48,7 +51,6 @@ case class SimhashChunks(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
       val s = ctx.freshName("s")
-      val chunks = ctx.freshName("chunks")
       val xxh = classOf[XXH64].getName
       s"""
          |int[] $cnt = new int[64];
@@ -61,8 +63,7 @@ case class SimhashChunks(child: Expression) extends UnaryExpression {
          |    }
          |  }
          |}
-         |long[] $chunks = ${classOf[SimhashChunks].getName}.pack($cnt);
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($chunks);
+         |${ev.value} = ${classOf[Simhash64].getName}.pack($cnt);
        """.stripMargin
     })
 
@@ -70,33 +71,25 @@ case class SimhashChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object SimhashChunks {
-  val NumChunks = 16
-  val ChunkBits = 64 / NumChunks
+object Simhash64 {
 
-  /** Pack 64 bit-counters into chunk values (bit set iff counter > 0). */
-  def pack(cnt: Array[Int]): Array[Long] = {
-    val chunks = new Array[Long](NumChunks)
-    var c = 0
-    while (c < NumChunks) {
-      var v = 0L
-      var k = 0
-      while (k < ChunkBits) {
-        if (cnt(c * ChunkBits + k) > 0) v |= (1L << k)
-        k += 1
-      }
-      chunks(c) = v
-      c += 1
+  /** Pack 64 bit-counters into the signature long (bit set iff counter > 0). */
+  def pack(cnt: Array[Int]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 64) {
+      if (cnt(j) > 0) v |= (1L << j)
+      j += 1
     }
-    chunks
+    v
   }
 
   def apply(c: Column): Column = {
     // reuse the registry plumbing VectorExprs established
-    org.apache.spark.sql.functions.call_function("graft_simhash_chunks", c)
+    org.apache.spark.sql.functions.call_function("graft_simhash64", c)
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash_chunks", exprs => SimhashChunks(exprs.head), "built-in")
+      "graft_simhash64", exprs => Simhash64(exprs.head), "built-in")
 }

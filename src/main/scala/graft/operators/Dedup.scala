@@ -131,44 +131,49 @@ object Dedup {
   // 16 chunks of 4 bits: pigeonhole-guaranteed recall up to hamming 15.
   // With ~100 shingles/doc the per-bit sums are noisy (std ≈ √n), so true
   // near-dups can sit at hamming ~10 — wider than the classic ≤3 regime.
+  // Scale note: 4-bit chunk values give only 16 buckets per chunk, so the
+  // band join degenerates toward O(n²/16) per chunk as the corpus grows —
+  // bits-per-chunk must grow with corpus size (wider signature, or a
+  // tighter hamming regime with fewer, wider chunks).
   private val SimChunks = 16
   private val ChunkBits = SimBits / SimChunks
   private val MaxHamming = 15
 
   /** 64-bit SimHash per doc: bit j = sign of Σ_shingles (±1 by bit j of
-    * the shingle hash), packed into 16 4-bit chunk values — computed by
-    * the native [[graft.functions.SimhashChunks]] codegen expression in a
-    * single pass per document (no explode, no 64-column aggregate, no
-    * shuffle).
+    * the shingle hash), packed into ONE long — computed by the native
+    * [[graft.functions.Simhash64]] codegen expression in a single pass per
+    * document (no explode, no 64-column aggregate, no shuffle).
     */
   def simhashSignatures(sh: DataFrame): DataFrame = {
-    graft.functions.SimhashChunks.register(sh.sparkSession)
+    graft.functions.Simhash64.register(sh.sparkSession)
     sh.filter(size(col("s")) > 0)
-      .select(col("doc_id"), graft.functions.SimhashChunks(col("s")).as("sig"))
+      .select(col("doc_id"), graft.functions.Simhash64(col("s")).as("sig"))
   }
 
   /** SimHash near-dup: candidates share at least one 4-bit chunk
     * (pigeonhole: hamming ≤ 15 ⇒ some chunk equal), are prefiltered by
-    * exact signature hamming ≤ 15 (bit_count(xor) on the compact sigs — a
-    * few ALU ops, so the expensive shingle verification only ever sees
+    * exact signature hamming ≤ 15 (ONE bit_count(xor) on the packed sigs —
+    * 2 ALU ops, so the expensive shingle verification only ever sees
     * true near-dups; unrelated docs sit near hamming 32), then
     * exact-verified — same output contract as the Jaccard paths.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).localCheckpoint()
     val sig = simhashSignatures(sh).localCheckpoint()
-    // carry the compact signature through the band join so the hamming
-    // bound evaluates INSIDE the join (codegen ALU ops on matched rows,
-    // nothing materialized) — only true near-dups reach distinct/verify.
-    val chunks = sig.select(col("doc_id"), col("sig"), posexplode(col("sig")))
+    // band values are shift/mask views of the packed signature; the sig
+    // rides along so the hamming bound evaluates INSIDE the join (codegen
+    // ALU ops on matched rows, nothing materialized) — only true near-dups
+    // reach distinct/verify.
+    val mask = (1L << ChunkBits) - 1
+    val chunks = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr(s"""transform(sequence(0, ${SimChunks - 1}),
+                         |  c -> shiftright(sig, c * $ChunkBits) & ${mask}L)""".stripMargin)))
       .toDF("doc_id", "sig", "chunk", "v")
     val x = chunks.toDF("doc_a", "siga", "chunk", "v")
     val y = chunks.toDF("doc_b", "sigb", "chunk", "v")
-    val hamming = (0 until SimChunks)
-      .map(c => expr(s"bit_count(element_at(siga, ${c + 1}) ^ element_at(sigb, ${c + 1}))"))
-      .reduce[Column](_ + _)
     val cand = x.join(y, Seq("chunk", "v"))
-      .filter(col("doc_a") < col("doc_b") && hamming <= MaxHamming)
+      .filter(col("doc_a") < col("doc_b") &&
+        expr("bit_count(siga ^ sigb)") <= MaxHamming)
       .select("doc_a", "doc_b")
       .distinct()
     verifyCandidates(cand, sh, SimhashJaccardThreshold).orderBy("doc_a", "doc_b")

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Temporal join/window operators over the `events` table — the time-series
+  * surface a streaming analytics engine needs beyond plain equi-joins
+  * (SURVEY §2.4 lists the reference as equi-inner-only; these are the
+  * classic extensions: as-of join, bounded range join, moving frames).
+  *
+  * All time arithmetic is on exact epoch-microsecond longs (`unix_micros`)
+  * — never double seconds — so results are engine-portable bit-for-bit.
+  */
+object Temporal {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+
+  private val us = unix_micros(col("ts"))
+
+  /** AS-OF JOIN: for every purchase event, the latest view event of the
+    * same user at-or-before the purchase (`v.ts <= p.ts`, max ts wins) —
+    * the attribution join.
+    *
+    * NOT a pairwise join: one shuffle on `user_id`, then a running
+    * `max(view ts)` over the time-ordered union of both event kinds — the
+    * sort-merge as-of realization that scales linearly instead of
+    * exploding on long histories. Views sort before purchases at equal ts
+    * so the at-or-before bound is inclusive. Duplicate purchase rows per
+    * (user, ts) collapse — every duplicate sees the identical last-view.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), us.as("us"),
+        (col("event_type") === "view").as("is_view"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("is_view").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_view_us", max(when(col("is_view"), col("us"))).over(w))
+      .filter(!col("is_view"))
+      .groupBy(col("user_id"), col("us").as("purchase_us"))
+      .agg(max(col("last_view_us")).as("last_view_us"))
+  }
+
+  private val RangeWindowUs = 300000000L // 5 minutes
+
+  /** Bounded RANGE JOIN: for every distinct error event, how many clicks
+    * the same user made in the preceding 5 minutes (inclusive).
+    *
+    * Scale shape: bucketize time at the window width and equi-join on
+    * (user, bucket) with clicks replicated into their own and the next
+    * bucket — every qualifying pair shares exactly one bucket key, so the
+    * shuffle is an equi-join (never an all-pairs theta join) and the exact
+    * bound evaluates inside the join.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = RangeWindowUs
+    val ev = events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), us.as("e_us")).distinct()
+      .withColumn("bucket", expr(s"e_us DIV ${W}L"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), us.as("c_us"))
+      .select(col("c_user"), col("c_us"),
+        explode(array(expr(s"c_us DIV ${W}L"), expr(s"c_us DIV ${W}L + 1L"))).as("bucket"))
+    errors.join(clicks,
+        col("user_id") === col("c_user") && errors("bucket") === clicks("bucket") &&
+          col("c_us") >= col("e_us") - W && col("c_us") <= col("e_us"),
+        "left")
+      .groupBy(col("user_id"), col("e_us").as("error_us"))
+      .agg(count(col("c_us")).as("n_clicks_5m"))
+  }
+
+  private val FrameUs = 3600000000L // 1 hour
+
+  /** Moving window frames: per user, time-ordered trailing-1-hour count and
+    * sum plus the running cumulative sum. RANGE frames (not ROWS): frame
+    * membership is a function of the timestamp VALUE, so rows with tied
+    * timestamps see identical frames — deterministic under any sort-order
+    * tie-break, which a ROWS frame is not. Money sums are decimal so frame
+    * totals are addition-order-independent.
+    */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val trailing = byUser.rangeBetween(-FrameUs, 0)
+    val cumulative = byUser.rangeBetween(Window.unboundedPreceding, 0)
+    events(spark, dir)
+      .select(col("user_id"), us.as("us"), v.as("v"))
+      .select(col("user_id"), col("us"),
+        count(lit(1)).over(trailing).as("n_1h"),
+        sum(col("v")).over(trailing).cast("double").as("sum_1h"),
+        sum(col("v")).over(cumulative).cast("double").as("cum_sum"))
+  }
+}

@@ -84,10 +84,16 @@ object IncrementalQ3 {
 
   /** Apply one micro-batch of raw changelog lines to the state. */
   def step(st: State, lines: DataFrame): State = {
+    // ONE pass over the raw text: parse into a cached tagged z-set, then
+    // derive the three relation deltas from the cached blocks. (Checkpointing
+    // the deltas individually instead would re-run the line parse once per
+    // relation — 3 scans of the batch.) Unpersisted at the end of the step:
+    // the delta checkpoints are self-contained by then.
     val parsed = Changelog.parse(lines)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each delta is reused 2–3× (both branches of the next delta join plus
-    // the state upkeep union); checkpoint lazily so the batch parse and the
-    // delta joins run once and later uses hit the cached blocks.
+    // the state upkeep union); checkpoint lazily so the projection runs once
+    // and later uses hit the cached blocks.
     val (dC0, dO0, dL0) = project(parsed)
     val dC = dC0.localCheckpoint(eager = false)
     val dO = dO0.localCheckpoint(eager = false)
@@ -119,14 +125,21 @@ object IncrementalQ3 {
     //    insert, amortized). The union chain stays shallow because every
     //    link is a checkpointed delta; a long-running deployment compacts
     //    periodically (or uses a real state store).
-    // One deletes check as a single action over the CACHED deltas (a scan
-    // of the raw batch would re-parse millions of lines; per-delta checks
-    // would run four sequential actions). Old states stay persisted — they
-    // are live parents of the chain.
-    val w = col(ZSet.W)
-    val hasDeletes = !dC.select(w)
-      .unionByName(dO.select(w)).unionByName(dL.select(w))
-      .filter(w < 0).isEmpty
+    // Materialize the SHARED plan parents in dependency order BEFORE the
+    // concurrent per-state fan-out below. Concurrent Spark jobs do not
+    // share in-flight computation — five futures racing over the same
+    // un-checkpointed parents each re-run the parse and the delta joins
+    // (observed: escalating per-batch times on the delete phase). A
+    // count() per layer pins each layer's blocks exactly once:
+    //   1. full text parse (count, not isEmpty — isEmpty short-circuits on
+    //      the first delete and leaves most parsed partitions uncached);
+    val hasDeletes = parsed.filter(col(ZSet.W) < 0).count() > 0
+    //   2. the three relation deltas, in ONE action over the cached parse;
+    dC.select(col(ZSet.W)).unionByName(dO.select(col(ZSet.W)))
+      .unionByName(dL.select(col(ZSet.W))).count()
+    //   3. the first delta join (both branches of ΔJ and the co upkeep
+    //      read it).
+    dCO.count()
     def upkeep(state: DataFrame, delta: DataFrame): DataFrame = {
       val merged = state.unionByName(delta)
       if (hasDeletes) ZSet.consolidate(merged).localCheckpoint(eager = false)
@@ -145,6 +158,7 @@ object IncrementalQ3 {
     import scala.concurrent.duration.Duration
     Await.result(
       Future.sequence(next.all.map(df => Future { df.count() })), Duration.Inf)
+    parsed.unpersist(blocking = false)
     next
   }
 
