@@ -36,6 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thrashes under 32-way shuffles (and adds big run-to-run variance)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Tests run the incremental stream in strict mode: invariant violations
+// (e.g. a malformed changelog leaving revenue residue in a zero-count
+// group) fail loudly instead of being silently compacted away.
+Test / javaOptions += "-Dgraft.strict=true"
 // Suites share one SparkSession (and temp views via registerAll) — run
 // them sequentially to avoid catalog races.
 Test / parallelExecution := false

@@ -80,6 +80,11 @@ object SparkEntry {
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
     "window_session" -> (Windows.session _),
+    // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
+    // reference as equi-inner-only) ---
+    "temporal_asof_join" -> (operators.Temporal.asofJoin _),
+    "temporal_range_join" -> (operators.Temporal.rangeJoin _),
+    "temporal_window_frames" -> (operators.Temporal.windowFrames _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -382,6 +387,37 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // The as-of oracle is DuckDB's NATIVE ASOF JOIN — a genuinely
+    // independent realization of the semantics (greatest v.us <= p.us per
+    // purchase), not a re-transcription of our running-max plan.
+    "temporal_asof_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |p AS (SELECT DISTINCT user_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT DISTINCT user_id, us FROM e WHERE event_type = 'view')
+        |SELECT p.user_id, p.us AS purchase_us, v.us AS last_view_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.us <= p.us""".stripMargin,
+    "temporal_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |err AS (SELECT DISTINCT user_id, us AS e_us FROM e WHERE event_type = 'error'),
+        |c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click')
+        |SELECT err.user_id, e_us AS error_us, count(c_us) AS n_clicks_5m
+        |FROM err LEFT JOIN c
+        |  ON err.user_id = c.user_id
+        | AND c_us >= e_us - 300000000 AND c_us <= e_us
+        |GROUP BY err.user_id, e_us""".stripMargin,
+    "temporal_window_frames" ->
+      """SELECT user_id, us,
+        |       count(*) OVER w1h AS n_1h,
+        |       CAST(SUM(v) OVER w1h AS DOUBLE) AS sum_1h,
+        |       CAST(SUM(v) OVER wcum AS DOUBLE) AS cum_sum
+        |FROM (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |WINDOW
+        |  w1h AS (PARTITION BY user_id ORDER BY us
+        |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        |  wcum AS (PARTITION BY user_id ORDER BY us
+        |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 
   /** Shared oracle for the near-dup paths (exact inverted-index at 0.8,

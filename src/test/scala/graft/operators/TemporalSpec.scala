@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Invariant checks for the temporal operators; exact value parity is
+  * enforced by the driver's DuckDB gate (temporal_asof_join's oracle is
+  * DuckDB's native ASOF JOIN).
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("asof join: one row per distinct purchase, bound is at-or-before") {
+    val ev = Tables.table(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .distinct().count()
+    val out = Temporal.asofJoin(spark, sfDir)
+    assert(out.count() == purchases)
+    assert(out.filter(col("last_view_us") > col("purchase_us")).isEmpty)
+  }
+
+  test("asof join: picked view is the LATEST view at-or-before") {
+    val ev = Tables.table(spark, sfDir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    // a strictly-later view still <= purchase_us would contradict maximality
+    val violated = Temporal.asofJoin(spark, sfDir)
+      .join(views, col("user_id") === col("v_user") &&
+        col("v_us") <= col("purchase_us") && col("v_us") > col("last_view_us"))
+    assert(violated.isEmpty)
+  }
+
+  test("range join: bucketized count equals the naive theta-join count") {
+    val ev = Tables.table(spark, sfDir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("e_us")).distinct()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+    val naive = errors.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_us") >= col("e_us") - 300000000L && col("c_us") <= col("e_us"),
+        "left")
+      .groupBy(col("user_id"), col("e_us").as("error_us"))
+      .agg(count(col("c_us")).as("n_clicks_5m"))
+    val fast = Temporal.rangeJoin(spark, sfDir)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("window frames: trailing never exceeds cumulative; counts positive") {
+    val out = Temporal.windowFrames(spark, sfDir)
+    assert(out.filter(col("n_1h") < 1).isEmpty)
+    assert(out.filter(col("sum_1h") > col("cum_sum") + 1e-6).isEmpty)
+  }
+}
