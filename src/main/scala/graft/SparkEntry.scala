@@ -85,6 +85,8 @@ object SparkEntry {
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
     "temporal_range_join" -> (operators.Temporal.rangeJoin _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
+    // --- sketches ---
+    "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -418,6 +420,20 @@ object SparkEntry {
         |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
         |  wcum AS (PARTITION BY user_id ORDER BY us
         |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // KMV sketch is deterministic given md5, so even the APPROXIMATE
+    // estimate is bit-exact reproducible: the oracle rebuilds the K-minimum
+    // set declaratively and applies the same (K-1)/h_K estimator through
+    // the same hex→int64→double cast chain.
+    "agg_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+        |s AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |k AS (SELECT max(h) AS hk, count(*) AS n FROM s)
+        |SELECT 64 AS kmv_k,
+        |       (SELECT count(*) FROM h) AS n_exact,
+        |       CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |            ELSE 63.0 / (CAST(CAST(concat('0x', substr(hk, 1, 15)) AS BIGINT) AS DOUBLE)
+        |                         / 1152921504606846976.0) END AS kmv_estimate
+        |FROM k""".stripMargin,
   )
 
   /** Shared oracle for the near-dup paths (exact inverted-index at 0.8,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.KmvSketch
+
+class SketchesSpec extends SparkSpec {
+
+  test("kmv sketch holds exactly the K smallest distinct hashes") {
+    KmvSketch.register(spark)
+    import spark.implicits._
+    // 40 partitions over 10k values with duplicates: exercises update,
+    // partial/merge and the serde path across shuffle boundaries
+    val df = spark.range(10000).repartition(40)
+      .select(md5((col("id") % 3000).cast("string")).as("h"))
+    val sketch = df.agg(KmvSketch(col("h")).as("s"))
+      .select(explode(col("s")).as("h")).as[String].collect().toSeq
+    val expected = df.select("h").distinct().orderBy("h")
+      .as[String].take(KmvSketch.DefaultK).toSeq
+    assert(sketch == expected)
+  }
+
+  test("kmv under-full sketch returns the exact distinct set") {
+    KmvSketch.register(spark)
+    import spark.implicits._
+    val df = spark.range(1000)
+      .select(md5((col("id") % 10).cast("string")).as("h"))
+    val s = df.agg(KmvSketch(col("h")).as("s"))
+      .select(size(col("s")).as("n"), Sketches.kmvEstimate(col("s"), KmvSketch.DefaultK).as("est"))
+      .head()
+    assert(s.getInt(0) == 10 && s.getDouble(1) == 10.0)
+  }
+
+  test("kmv estimate lands within 40% of the true distinct count") {
+    val row = Sketches.kmvDistinct(spark, sfDir).head()
+    val exact = row.getAs[Long]("n_exact").toDouble
+    val est = row.getAs[Double]("kmv_estimate")
+    assert(math.abs(est - exact) / exact < 0.4, s"est=$est exact=$exact")
+  }
+}
