@@ -76,6 +76,8 @@ object SparkEntry {
     // --- composite pipelines ---
     "pipeline_curation" -> (operators.Pipelines.corpusCuration _),
     "pipeline_funnel" -> (operators.Pipelines.funnel _),
+    "pipeline_split" -> (operators.Pipelines.trainValTestSplit _),
+    "pipeline_sample" -> (operators.Pipelines.stratifiedSample _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -349,6 +351,27 @@ object SparkEntry {
       |kept AS (SELECT * FROM ke WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
       |SELECT source, count(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS kept_tokens
       |FROM kept GROUP BY source""".stripMargin,
+    // Deterministic hash-bucket membership (md5 of the key, first 15 hex
+    // chars as int64, mod 1000) — identical arithmetic on both engines, so
+    // split/sample MEMBERSHIP is bit-reproducible, unlike seeded RNG
+    // sampling which is engine- and partitioning-dependent.
+    "pipeline_split" ->
+      """WITH b AS (
+        |  SELECT text,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 800 THEN 'train'
+        |            WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1""".stripMargin,
+    "pipeline_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |m AS (SELECT min(n_s) AS n_min FROM c),
+        |r AS (SELECT source, (500 * n_min) // n_s AS thr FROM c, m)
+        |SELECT doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < thr
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
         |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'

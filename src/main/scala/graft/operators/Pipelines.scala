@@ -55,4 +55,53 @@ object Pipelines {
           .otherwise("view_click_purchase").as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
+
+  /** Content-hash bucket in [0, 1000): the basis for deterministic
+    * sampling/splitting. A pure function of the KEY (not of partitioning,
+    * row order, or cluster size), so membership is stable across reruns,
+    * engines, and scale-ups — the property `df.sample()` (seeded RNG over
+    * partition/row position) cannot give, and the one that matters when a
+    * 100 TB corpus is re-materialized and the split must not move.
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 1000
+
+  /** Deterministic train/val/test split (80/10/10 of hash space) over
+    * documents, by doc_id. Emits per-split doc and whitespace-token counts
+    * — what a pretraining run budgets against.
+    */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("split",
+        when(hashBucket(col("doc_id")) < 800, "train")
+          .when(hashBucket(col("doc_id")) < 900, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextOps.tokens)).cast("long").as("n_tokens"))
+
+  /** Deterministic stratified (balancing) sample: every source stratum is
+    * hash-downsampled toward HALF the smallest stratum's size — the
+    * mixture rebalancing step of a pretraining data recipe (half, so the
+    * rule visibly samples even when all strata are equal). Per-stratum
+    * rate is `(500·n_min) DIV n_s` of hash space (integer arithmetic end
+    * to end).
+    * Returns the sampled MEMBERSHIP (doc_id, source) so the gate checks
+    * row-exact reproducibility, not just counts. The per-source rate table
+    * is tiny → broadcast; the big table is filtered by a pure row-local
+    * predicate, so the only wide work is the rate aggregation itself.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("n_min",
+        min(col("n_s")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      // integer DIV: Column `/` is double division (exactness trap)
+      .withColumn("thr", expr("(500 * n_min) DIV n_s"))
+      .select(col("source"), col("thr"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(hashBucket(col("doc_id")) < col("thr"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -95,6 +95,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sessN == nEvents)
   }
 
+  test("split covers all docs; sample is stable, stratified, and a subset") {
+    import graft.sources.Tables
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    val split = Pipelines.trainValTestSplit(spark, sfDir).collect()
+    assert(split.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(split.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+
+    val s1 = Pipelines.stratifiedSample(spark, sfDir).collect()
+    val s2 = Pipelines.stratifiedSample(spark, sfDir).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq, "membership must be rerun-stable")
+    assert(s1.length > 0 && s1.length < nDocs, "sample must actually sample")
+    // balancing: target is HALF the smallest stratum, so even with hash
+    // noise no sampled stratum should reach its own original size or far
+    // exceed the smallest original stratum
+    val origBySource = Tables.table(spark, sfDir, "documents").groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val minOrig = origBySource.values.min
+    s1.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.length <= minOrig, s"stratum $src not downsampled: ${rows.length} vs min $minOrig")
+    }
+  }
+
   test("text stats: ratios in [0,1], fingerprints are hex md5") {
     val rows = graft.functions.TextOps.textStats(spark, sfDir).collect()
     rows.foreach { r =>
