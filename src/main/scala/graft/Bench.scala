@@ -30,7 +30,17 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       // failed queries report -1, never a healthy-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // Per-query isolation (outside the timed window): queries checkpoint
+      // intermediates and never unpersist — 45 queries of leaked blocks
+      // fill the storage pool and push later stateful queries to disk
+      // (observed: stream_q3_full_cycle 32s standalone vs 127s at the tail
+      // of a shared session). Memoized changelogs must be invalidated
+      // together with the blocks (their lineage is truncated).
+      streaming.Changelog.clearCache(spark)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

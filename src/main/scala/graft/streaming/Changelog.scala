@@ -149,6 +149,16 @@ object Changelog {
     if (insertOnly) full.filter(col("sub") < 3) else full
   }
 
+  /** Drop the memoized changelogs for a session. Callers that bulk-
+    * unpersist a session's RDD blocks (per-query isolation in Bench /
+    * Verify) MUST call this too — a memo entry whose checkpoint blocks
+    * were dropped is unrecoverable (checkpointing truncated its lineage).
+    */
+  def clearCache(spark: SparkSession): Unit = {
+    val m = cache.get(spark)
+    if (m != null) m.clear()
+  }
+
   /** Write the changelog as ordered text files. `nFiles` range-partitions by
     * trigger so file order ≈ event order (micro-batch replay order).
     */
