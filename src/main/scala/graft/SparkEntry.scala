@@ -23,6 +23,7 @@ object SparkEntry {
     "q3_sql" -> (Relational.q3ViaSql _),
     // --- §2.1 sources ---
     "source_csv_roundtrip" -> (Relational.sourceCsvRoundtrip _),
+    "source_json_roundtrip" -> (Relational.sourceJsonRoundtrip _),
     // --- §2.3 projections / filters ---
     "filter_customer_segment" -> (Relational.filterCustomerSegment _),
     "filter_orders_date" -> (Relational.filterOrdersDate _),
@@ -100,6 +101,11 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "source_json_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT md5(text)) AS n_distinct_texts
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "filter_customer_segment" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,

@@ -119,6 +119,22 @@ object Relational {
         sum(revenueExpr).cast("double").as("revenue"))
   }
 
+  /** §2.1 JSONL source roundtrip: stage documents as JSON lines and
+    * aggregate from the JSON scan; the oracle computes the same aggregate
+    * from parquet, so equality (incl. a distinct-content-hash column)
+    * proves text survives JSON string escaping byte-for-byte.
+    */
+  def sourceJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir") +
+      s"/graft_json_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/documents"
+    graft.sources.Json.stage(spark, dir, "documents", tmp)
+    graft.sources.Json.read(spark, tmp, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.3 projections / filters
   // ---------------------------------------------------------------------
