@@ -42,6 +42,7 @@ object SparkEntry {
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_percentiles" -> (Relational.aggPercentiles _),
     "agg_cube" -> (Relational.aggCube _),
+    "agg_pivot" -> (Relational.aggPivot _),
     // --- §2.7 scalar expression library ---
     "scalar_functions" -> (Relational.scalarFunctions _),
     // --- §2.6 sort / limit / top-k ---
@@ -178,6 +179,16 @@ object SparkEntry {
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    // conditional aggregation, not DuckDB's PIVOT syntax: fixed CASE
+    // columns are engine-portable and mirror Spark's explicit values list
+    "agg_pivot" ->
+      """SELECT source,
+        |       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
     "scalar_functions" ->
       """SELECT o_orderkey,
         |       upper(substr(o_orderpriority, 1, 8)) AS prio_upper,

@@ -135,6 +135,22 @@ object Relational {
         countDistinct(md5(col("text"))).as("n_distinct_texts"))
   }
 
+  /** PIVOT (beyond-parity): per-source document counts spread across an
+    * EXPLICIT language column list. The explicit values list matters at
+    * scale: `pivot(col)` without values runs an extra distinct-collect
+    * job over the full input to discover columns; with values it is one
+    * pass, a plain partial/final aggregate with one output column per
+    * listed value.
+    */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotLangs)
+
   // ---------------------------------------------------------------------
   // §2.3 projections / filters
   // ---------------------------------------------------------------------

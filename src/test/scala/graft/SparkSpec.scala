@@ -17,6 +17,9 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      // the engine's session-build-time function surface: suites exercise
+      // graft_dot / graft_simhash64 / graft_kmv_sketch through plain SQL
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

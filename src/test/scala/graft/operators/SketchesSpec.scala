@@ -32,6 +32,17 @@ class SketchesSpec extends SparkSpec {
     assert(s.getInt(0) == 10 && s.getDouble(1) == 10.0)
   }
 
+  test("GraftExtensions injects all engine functions into plain SQL") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_simhash64(array('a', 'b')) AS s,
+        |       (SELECT size(graft_kmv_sketch(md5(CAST(id AS STRING))))
+        |        FROM range(10)) AS k""".stripMargin).head()
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Long]("s") != 0L)
+    assert(r.getAs[Int]("k") == 10)
+  }
+
   test("kmv estimate lands within 40% of the true distinct count") {
     val row = Sketches.kmvDistinct(spark, sfDir).head()
     val exact = row.getAs[Long]("n_exact").toDouble
