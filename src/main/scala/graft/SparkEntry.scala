@@ -89,6 +89,7 @@ object SparkEntry {
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
     "temporal_range_join" -> (operators.Temporal.rangeJoin _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
+    "window_lag_lead" -> (operators.Temporal.windowLagLead _),
     // --- sketches ---
     "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
   )
@@ -460,6 +461,15 @@ object SparkEntry {
         |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
         |  wcum AS (PARTITION BY user_id ORDER BY us
         |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "window_lag_lead" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                  event_type, value FROM events)
+        |SELECT user_id, us, event_type,
+        |       us - lag(us) OVER w AS gap_us,
+        |       lead(event_type) OVER w AS next_type,
+        |       first_value(event_type) OVER w AS first_type
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_type, value)""".stripMargin,
     // KMV sketch is deterministic given md5, so even the APPROXIMATE
     // estimate is bit-exact reproducible: the oracle rebuilds the K-minimum
     // set declaratively and applies the same (K-1)/h_K estimator through

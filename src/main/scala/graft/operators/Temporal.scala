@@ -75,6 +75,23 @@ object Temporal {
       .agg(count(col("c_us")).as("n_clicks_5m"))
   }
 
+  /** Analytic navigation functions (lag / lead / first_value) per user in
+    * time order. The ORDER BY tuple (us, event_type, value) is a TOTAL
+    * order up to fully-identical rows, which are interchangeable — so the
+    * output multiset is deterministic and engine-portable, which a bare
+    * ORDER BY us (ties broken by partition layout) is not.
+    */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_type"), col("value"))
+    events(spark, dir)
+      .select(col("user_id"), us.as("us"), col("event_type"), col("value"))
+      .select(col("user_id"), col("us"), col("event_type"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("event_type")).over(w).as("first_type"))
+  }
+
   private val FrameUs = 3600000000L // 1 hour
 
   /** Moving window frames: per user, time-ordered trailing-1-hour count and
