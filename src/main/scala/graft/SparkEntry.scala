@@ -84,6 +84,7 @@ object SparkEntry {
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
     "window_session" -> (Windows.session _),
+    "stream_windows_tumbling" -> (streaming.StreamingWindows.streamTumbling _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -430,6 +431,17 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // the finalized-window set of the real streaming run: every window
+    // whose end is at or before the terminal watermark max(ts) - 1h
+    "stream_windows_tumbling" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |             count(*) AS n,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |      FROM e GROUP BY 1, 2)
+        |SELECT CAST(ws AS VARCHAR) AS window_start, event_type, n, value_sum
+        |FROM b
+        |WHERE ws + INTERVAL '1 hour' <= (SELECT max(ts) - INTERVAL '1 hour' FROM e)""".stripMargin,
     // The as-of oracle is DuckDB's NATIVE ASOF JOIN — a genuinely
     // independent realization of the semantics (greatest v.us <= p.us per
     // purchase), not a re-transcription of our running-max plan.

@@ -39,6 +39,25 @@ object StreamingWindows {
     }
   }
 
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Driver-contract entry: run the watermarked append-mode tumbling query
+    * END TO END through real Structured Streaming (stage → readStream →
+    * AvailableNow → memory sink) and return the finalized windows. The
+    * result is deterministic — at termination the watermark sits at
+    * `max(ts) − 1 h`, so exactly the windows whose end ≤ that finalize —
+    * which is what makes a true streaming run DuckDB-oracle-checkable.
+    */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      s"/graft_stream_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/events"
+    stage(spark, dir, staged)
+    val sink = s"graft_stream_tumbling_${sinkCounter.incrementAndGet()}"
+    val q = startTumbling(spark, staged, sink)
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
     * append mode into an in-memory table named `sinkName`.
     */
