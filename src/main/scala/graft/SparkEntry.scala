@@ -43,6 +43,7 @@ object SparkEntry {
     "agg_percentiles" -> (Relational.aggPercentiles _),
     "agg_cube" -> (Relational.aggCube _),
     "agg_pivot" -> (Relational.aggPivot _),
+    "agg_unpivot" -> (Relational.aggUnpivot _),
     // --- §2.7 scalar expression library ---
     "scalar_functions" -> (Relational.scalarFunctions _),
     // --- §2.6 sort / limit / top-k ---
@@ -181,6 +182,13 @@ object SparkEntry {
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    "agg_unpivot" ->
+      """SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'n_tokens',
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |FROM documents""".stripMargin,
     // conditional aggregation, not DuckDB's PIVOT syntax: fixed CASE
     // columns are engine-portable and mirror Spark's explicit values list
     "agg_pivot" ->

@@ -151,6 +151,18 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L, PivotLangs)
 
+  /** UNPIVOT/melt (the pivot inverse): wide per-document metrics into
+    * (doc_id, metric, value) long form — the shape feature stores and
+    * plotting/aggregation layers want. `Dataset.unpivot` is a zero-shuffle
+    * Expand: each input row fans out to one row per metric in place.
+    */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        size(graft.functions.TextOps.tokens).cast("long").as("n_tokens"))
+      .unpivot(Array(col("doc_id")), Array(col("n_chars"), col("n_tokens")),
+        "metric", "value")
+
   // ---------------------------------------------------------------------
   // §2.3 projections / filters
   // ---------------------------------------------------------------------
