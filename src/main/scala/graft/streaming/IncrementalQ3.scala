@@ -158,8 +158,11 @@ object IncrementalQ3 {
     // un-checkpointed parents each re-run the parse and the delta joins
     // (observed: escalating per-batch times on the delete phase). A
     // count() per layer pins each layer's blocks exactly once:
-    //   1. full text parse (count, not isEmpty — isEmpty short-circuits on
-    //      the first delete and leaves most parsed partitions uncached);
+    //   1. full text parse FIRST, as its own serial action (count, never
+    //      isEmpty — isEmpty short-circuits and leaves most partitions
+    //      uncached). Folding this into the deltas action below re-runs
+    //      the parse up to 3× concurrently (one per union branch racing
+    //      before the cache fills) — measured 233K → 145K events/s at k=8;
     val hasDeletes = parsed.filter(col(ZSet.W) < 0).count() > 0
     //   2. the three relation deltas, in ONE action over the cached parse;
     dC.select(col(ZSet.W)).unionByName(dO.select(col(ZSet.W)))
