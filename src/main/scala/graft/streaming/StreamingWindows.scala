@@ -20,23 +20,40 @@ object StreamingWindows {
   /** Stage the events table as time-ordered parquet chunks (a replayable
     * "stream archive" — files arrive in event-time order like a log).
     *
-    * Chunks are written SEQUENTIALLY with distinct mtimes: the file stream
-    * source orders by modification time, and a single multi-file write can
-    * finish its newest-events part first — the watermark would then jump
-    * ahead and silently drop the older chunks as late data.
+    * The file stream source orders files by MODIFICATION TIME, and a
+    * single multi-file write can finish its newest-events part first — the
+    * watermark would then jump ahead and silently drop the older chunks as
+    * late data. Rather than sleeping between sequential writes (1.1 s per
+    * chunk), each chunk's files get an explicit back-dated mtime encoding
+    * its event-time order.
     */
   def stage(spark: SparkSession, dir: String, outDir: String, nFiles: Int = 3): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val ev = Tables.table(spark, dir, "events")
       .select("ts", "user_id", "event_type", "value")
       .withColumn("chunk", ntile(nFiles).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
       .localCheckpoint()
+    val tmp = outDir + ".staging"
     (1 to nFiles).foreach { i =>
       ev.filter(col("chunk") === i).drop("chunk").coalesce(1)
         .sortWithinPartitions("ts")
-        .write.mode(if (i == 1) "overwrite" else "append").parquet(outDir)
-      if (i < nFiles) Thread.sleep(1100)
+        .write.mode("overwrite").parquet(s"$tmp/$i")
     }
+    val out = Paths.get(outDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
+    Files.createDirectories(out)
+    val now = System.currentTimeMillis()
+    (1 to nFiles).foreach { i =>
+      Files.list(Paths.get(s"$tmp/$i")).filter(_.toString.endsWith(".parquet"))
+        .forEach { p =>
+          val dest = out.resolve(s"chunk$i-${p.getFileName}")
+          Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(now - (nFiles - i) * 60000L))
+        }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(tmp).toFile)
   }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
