@@ -46,6 +46,7 @@ object SparkEntry {
     "agg_unpivot" -> (Relational.aggUnpivot _),
     // --- §2.7 scalar expression library ---
     "scalar_functions" -> (Relational.scalarFunctions _),
+    "scalar_collections" -> (Relational.scalarCollections _),
     // --- §2.6 sort / limit / top-k ---
     "topn_orders" -> (Relational.topNOrders _),
     "window_rank" -> (Relational.windowRank _),
@@ -210,6 +211,17 @@ object SparkEntry {
         |       datediff('day', CAST(o_orderdate AS DATE), DATE '1995-03-15') AS days_to_cutoff,
         |       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class
         |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+    "scalar_collections" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents)
+        |SELECT doc_id,
+        |       w[1] AS first_token,
+        |       CAST(len(w) AS BIGINT) AS n_tokens,
+        |       CAST(list_contains(w, 'the') AS INT) AS has_the,
+        |       array_to_string(list_sort(list_distinct(w))[1:3], ',') AS first3_distinct,
+        |       CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars_in_tokens,
+        |       CAST(len(w) AS BIGINT) AS map_lookup
+        |FROM t""".stripMargin,
     "topn_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,

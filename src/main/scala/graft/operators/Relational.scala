@@ -151,6 +151,29 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L, PivotLangs)
 
+  /** Collections function library (beyond-parity: SURVEY §2.7 notes the
+    * reference has "no string/math/array/map/JSON function library"):
+    * array indexing/size/membership, sort+distinct+slice, a higher-order
+    * transform+aggregate fold, and map construction+lookup — all emitted
+    * as scalars (never array columns) so the cross-engine compare is on
+    * values, not on engine-specific array stringification.
+    */
+  def scalarCollections(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.TextOps.tokens.as("w"))
+      .select(
+        col("doc_id"),
+        element_at(col("w"), 1).as("first_token"),
+        size(col("w")).cast("long").as("n_tokens"),
+        array_contains(col("w"), "the").cast("int").as("has_the"),
+        array_join(slice(sort_array(array_distinct(col("w"))), 1, 3), ",")
+          .as("first3_distinct"),
+        aggregate(transform(col("w"), x => length(x)), lit(0),
+          (acc, x) => acc + x).cast("long").as("chars_in_tokens"),
+        element_at(
+          map_from_arrays(array(lit("n")), array(size(col("w")))), lit("n"))
+          .cast("long").as("map_lookup"))
+
   /** UNPIVOT/melt (the pivot inverse): wide per-document metrics into
     * (doc_id, metric, value) long form — the shape feature stores and
     * plotting/aggregation layers want. `Dataset.unpivot` is a zero-shuffle
