@@ -47,6 +47,7 @@ object SparkEntry {
     // --- §2.7 scalar expression library ---
     "scalar_functions" -> (Relational.scalarFunctions _),
     "scalar_collections" -> (Relational.scalarCollections _),
+    "scalar_json" -> (Relational.scalarJson _),
     // --- §2.6 sort / limit / top-k ---
     "topn_orders" -> (Relational.topNOrders _),
     "window_rank" -> (Relational.windowRank _),
@@ -222,6 +223,17 @@ object SparkEntry {
         |       CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars_in_tokens,
         |       CAST(len(w) AS BIGINT) AS map_lookup
         |FROM t""".stripMargin,
+    "scalar_json" ->
+      """WITH j AS (
+        |  SELECT o_orderkey,
+        |         to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+        |                             d := CAST(CAST(o_orderdate AS DATE) AS VARCHAR)))::VARCHAR AS js
+        |  FROM orders WHERE o_orderkey < 100)
+        |SELECT o_orderkey, js,
+        |       json_extract_string(js, '$.s') AS status_extracted,
+        |       CAST(json_extract_string(js, '$.k') AS BIGINT) AS key_extracted,
+        |       json_extract_string(js, '$.d') AS date_extracted
+        |FROM j""".stripMargin,
     "topn_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,

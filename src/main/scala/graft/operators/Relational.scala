@@ -174,6 +174,25 @@ object Relational {
           map_from_arrays(array(lit("n")), array(size(col("w")))), lit("n"))
           .cast("long").as("map_lookup"))
 
+  /** JSON function library: build a JSON document per row (`to_json` over
+    * a struct — integers/strings/pre-stringified dates only, so the text
+    * is engine-portable; float formatting is not) and extract fields back
+    * out (`get_json_object` path queries). Round-tripping through the
+    * TEXT proves both directions.
+    */
+  def scalarJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        to_json(struct(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("s"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))).as("js"))
+      .select(col("o_orderkey"), col("js"),
+        get_json_object(col("js"), "$.s").as("status_extracted"),
+        get_json_object(col("js"), "$.k").cast("long").as("key_extracted"),
+        get_json_object(col("js"), "$.d").as("date_extracted"))
+
   /** UNPIVOT/melt (the pivot inverse): wide per-document metrics into
     * (doc_id, metric, value) long form — the shape feature stores and
     * plotting/aggregation layers want. `Dataset.unpivot` is a zero-shuffle
