@@ -21,6 +21,7 @@ object SparkEntry {
     // --- reference parity: TPC-H Q3 (SURVEY.md §0) ---
     "q3_batch" -> (Relational.q3Batch _),
     "q3_sql" -> (Relational.q3ViaSql _),
+    "q3_typed" -> (operators.Typed.q3Typed _),
     // --- §2.1 sources ---
     "source_csv_roundtrip" -> (Relational.sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (Relational.sourceJsonRoundtrip _),
@@ -101,6 +102,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q3_batch" -> Relational.q3Sql,
     "q3_sql" -> Relational.q3Sql,
+    "q3_typed" -> Relational.q3Sql,
     "source_csv_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

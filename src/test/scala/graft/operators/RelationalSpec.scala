@@ -21,6 +21,16 @@ class RelationalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("q3_typed (Dataset[T] + exact-decimal Aggregator) ≡ q3_batch") {
+    // normalize the date column through DATE on both sides: q3_batch
+    // passes the fixture's raw timestamp through, q3_typed emits DATE
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("o_orderdate",
+        org.apache.spark.sql.functions.col("o_orderdate").cast("date").cast("string"))
+      .collect().map(_.toSeq).toSeq
+    assert(norm(Relational.q3Batch(spark, sfDir)) == norm(Typed.q3Typed(spark, sfDir)))
+  }
+
   test("filters select strict subsets") {
     import graft.sources.Tables
     val cAll = Tables.table(spark, sfDir, "customer").count()
