@@ -32,6 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+) ++
+// forward engine knobs (-Dgraft.*: compact.every, simhash.chunks, strict)
+// from the sbt JVM into the forked run/test JVMs
+sys.props.toSeq.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" } ++ Seq(
   // local[32] puts all executor threads in this one JVM: an 8g heap GC-
   // thrashes under 32-way shuffles (and adds big run-to-run variance)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

@@ -128,16 +128,25 @@ object Dedup {
   }
 
   private val SimBits = 64
-  // 16 chunks of 4 bits: pigeonhole-guaranteed recall up to hamming 15.
-  // With ~100 shingles/doc the per-bit sums are noisy (std ≈ √n), so true
-  // near-dups can sit at hamming ~10 — wider than the classic ≤3 regime.
-  // Scale note: 4-bit chunk values give only 16 buckets per chunk, so the
-  // band join degenerates toward O(n²/16) per chunk as the corpus grows —
-  // bits-per-chunk must grow with corpus size (wider signature, or a
-  // tighter hamming regime with fewer, wider chunks).
-  private val SimChunks = 16
+  // Default 16 chunks of 4 bits: pigeonhole-guaranteed recall up to
+  // hamming SimChunks−1 = 15. With ~100 shingles/doc the per-bit sums are
+  // noisy (std ≈ √n), so true near-dups can sit at hamming ~10 — wider
+  // than the classic ≤3 regime.
+  //
+  // THE scale knob (-Dgraft.simhash.chunks): 4-bit chunk values give only
+  // 16 buckets per chunk, so the default band join degenerates toward
+  // O(n²/16) per chunk as the corpus grows. Fewer, wider chunks (8 × 8 bit
+  // → 256 buckets, hamming ≤ 7; 4 × 16 bit → 65 536 buckets, hamming ≤ 3 —
+  // the classic web-dedup regime) trade recall radius for bucket
+  // selectivity; recall within the guaranteed radius stays exact by the
+  // pigeonhole argument at every setting.
+  private val SimChunks = {
+    val c = Integer.getInteger("graft.simhash.chunks", 16).intValue()
+    require(SimBits % c == 0, s"graft.simhash.chunks must divide 64, got $c")
+    c
+  }
   private val ChunkBits = SimBits / SimChunks
-  private val MaxHamming = 15
+  private val MaxHamming = SimChunks - 1
 
   /** 64-bit SimHash per doc: bit j = sign of Σ_shingles (±1 by bit j of
     * the shingle hash), packed into ONE long — computed by the native
