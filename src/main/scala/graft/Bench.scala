@@ -24,6 +24,9 @@ object Bench {
         streaming.Changelog.generate(spark, warmSf).select("line"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    // the warmup pins checkpoint blocks too — don't let them contaminate
+    // the first timed query's storage pool
+    streaming.Changelog.resetSession(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -35,11 +38,8 @@ object Bench {
       // intermediates and never unpersist — 45 queries of leaked blocks
       // fill the storage pool and push later stateful queries to disk
       // (observed: stream_q3_full_cycle 32s standalone vs 127s at the tail
-      // of a shared session). Memoized changelogs must be invalidated
-      // together with the blocks (their lineage is truncated).
-      streaming.Changelog.clearCache(spark)
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // of a shared session).
+      streaming.Changelog.resetSession(spark)
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

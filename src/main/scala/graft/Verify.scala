@@ -25,11 +25,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query isolation — see Bench: leaked checkpoint blocks from
-      // earlier queries degrade later stateful ones
-      streaming.Changelog.clearCache(spark)
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // per-query isolation — see Changelog.resetSession: leaked
+      // checkpoint blocks from earlier queries degrade later stateful ones
+      streaming.Changelog.resetSession(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,17 +67,33 @@ case class KmvSketch(
     new GenericArrayData(arr)
   }
 
+  // length-prefixed (never delimiter-based: the function is injected as
+  // general SQL, so input strings may contain any byte — a separator char
+  // would split them on the serde round-trip and corrupt the sketch)
   override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
-    val sb = new java.lang.StringBuilder
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
     val it = buf.iterator()
-    while (it.hasNext) { sb.append(it.next()); sb.append('\n') }
-    sb.toString.getBytes(StandardCharsets.UTF_8)
+    while (it.hasNext) {
+      val b = it.next().getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = new java.util.TreeSet[String]()
-    val s = new String(bytes, StandardCharsets.UTF_8)
-    if (s.nonEmpty) s.split('\n').foreach(buf.add)
+    var n = in.readInt()
+    while (n > 0) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.add(new String(b, StandardCharsets.UTF_8))
+      n -= 1
+    }
     buf
   }
 

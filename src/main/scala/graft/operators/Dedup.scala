@@ -142,7 +142,11 @@ object Dedup {
   // pigeonhole argument at every setting.
   private val SimChunks = {
     val c = Integer.getInteger("graft.simhash.chunks", 16).intValue()
-    require(SimBits % c == 0, s"graft.simhash.chunks must divide 64, got $c")
+    // ≥2: one 64-bit chunk would need mask -1L ((1L<<64)-1 wraps to 0 and
+    // would collapse every band to bucket 0 = a full cross product), and
+    // banding on the whole signature defeats the point anyway
+    require(c >= 2 && c <= 32 && SimBits % c == 0,
+      s"graft.simhash.chunks must be in 2..32 and divide 64, got $c")
     c
   }
   private val ChunkBits = SimBits / SimChunks

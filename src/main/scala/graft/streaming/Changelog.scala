@@ -152,13 +152,25 @@ object Changelog {
   }
 
   /** Drop the memoized changelogs for a session. Callers that bulk-
-    * unpersist a session's RDD blocks (per-query isolation in Bench /
-    * Verify) MUST call this too — a memo entry whose checkpoint blocks
-    * were dropped is unrecoverable (checkpointing truncated its lineage).
+    * unpersist a session's RDD blocks MUST call this too — a memo entry
+    * whose checkpoint blocks were dropped is unrecoverable (checkpointing
+    * truncated its lineage). Prefer [[resetSession]], which keeps the two
+    * steps together.
     */
   def clearCache(spark: SparkSession): Unit = {
     val m = cache.get(spark)
     if (m != null) m.clear()
+  }
+
+  /** Per-query isolation (Bench/Verify): drop every cached/checkpointed
+    * block the previous query left behind — leaked blocks fill the storage
+    * pool and push later stateful queries to disk — together with the
+    * session-level memos whose entries those blocks back.
+    */
+  def resetSession(spark: SparkSession): Unit = {
+    clearCache(spark)
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
   /** Write the changelog as ordered text files. `nFiles` range-partitions by

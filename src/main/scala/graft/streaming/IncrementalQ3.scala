@@ -126,16 +126,20 @@ object IncrementalQ3 {
       .agg(sum(col(ZSet.W) * col("revenue")).cast(revType).as("revenue"),
         sum(col(ZSet.W)).as("cnt"))
 
-    val merged = st.agg.unionByName(
+    val strict = java.lang.Boolean.getBoolean("graft.strict")
+    val merged0 = st.agg.unionByName(
         dAgg.withColumn(ZSet.W, lit(1L)).select(st.agg.columns.toIndexedSeq.map(col): _*))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("revenue")).cast(revType).as("revenue"), sum(col("cnt")).as("cnt"))
+    // checkpoint under strict mode so the invariant count and newAgg share
+    // one computation of the merge instead of running it twice
+    val merged = if (strict) merged0.localCheckpoint(eager = false) else merged0
     // A well-formed changelog's deletes mirror their inserts exactly, so a
     // group whose membership count reaches 0 must also have revenue exactly
     // 0 — dropping it is then pure compaction. Strict mode (tests:
     // -Dgraft.strict=true) checks the invariant loudly instead of silently
     // discarding a residue left by a malformed stream (ADVICE r1).
-    if (java.lang.Boolean.getBoolean("graft.strict")) {
+    if (strict) {
       val bad = merged.filter(col("cnt") === 0 && col("revenue") =!= 0).count()
       require(bad == 0,
         s"malformed changelog: $bad zero-count groups carry nonzero revenue")

@@ -45,13 +45,15 @@ object StreamingWindows {
     Files.createDirectories(out)
     val now = System.currentTimeMillis()
     (1 to nFiles).foreach { i =>
-      Files.list(Paths.get(s"$tmp/$i")).filter(_.toString.endsWith(".parquet"))
-        .forEach { p =>
+      // Files.list holds an open directory handle until closed
+      scala.util.Using.resource(Files.list(Paths.get(s"$tmp/$i"))) { files =>
+        files.filter(_.toString.endsWith(".parquet")).forEach { p =>
           val dest = out.resolve(s"chunk$i-${p.getFileName}")
           Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
           Files.setLastModifiedTime(dest,
             java.nio.file.attribute.FileTime.fromMillis(now - (nFiles - i) * 60000L))
         }
+      }
     }
     org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(tmp).toFile)
   }

@@ -21,6 +21,20 @@ class SketchesSpec extends SparkSpec {
     assert(sketch == expected)
   }
 
+  test("kmv serde is delimiter-safe: newline-bearing values survive shuffle") {
+    KmvSketch.register(spark)
+    import spark.implicits._
+    // values containing '\n' forced through the partial/merge serde path
+    val df = spark.range(200).repartition(20)
+      .select(concat(lit("a\nb"), (col("id") % 50).cast("string")).as("h"))
+    val s = df.agg(KmvSketch(col("h")).as("s"))
+      .select(explode(col("s")).as("h")).as[String].collect().toSeq
+    val expected = df.select("h").distinct().orderBy("h")
+      .as[String].take(KmvSketch.DefaultK).toSeq
+    assert(s == expected)
+    assert(s.forall(_.contains("a\nb")))
+  }
+
   test("kmv under-full sketch returns the exact distinct set") {
     KmvSketch.register(spark)
     import spark.implicits._
