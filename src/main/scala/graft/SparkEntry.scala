@@ -45,6 +45,8 @@ object SparkEntry {
     "agg_cube" -> (Relational.aggCube _),
     "agg_pivot" -> (Relational.aggPivot _),
     "agg_unpivot" -> (Relational.aggUnpivot _),
+    "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "agg_distinct_multi" -> (Relational.aggDistinctMulti _),
     // --- §2.7 scalar expression library ---
     "scalar_functions" -> (Relational.scalarFunctions _),
     "scalar_collections" -> (Relational.scalarCollections _),
@@ -186,6 +188,17 @@ object SparkEntry {
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin,
+    "agg_distinct_multi" ->
+      """SELECT o_orderstatus,
+        |       COUNT(DISTINCT o_custkey) AS n_customers,
+        |       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "agg_unpivot" ->
       """SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value
         |FROM documents

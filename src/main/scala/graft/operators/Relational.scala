@@ -174,6 +174,32 @@ object Relational {
           map_from_arrays(array(lit("n")), array(size(col("w")))), lit("n"))
           .cast("long").as("map_lookup"))
 
+  /** Explicit GROUPING SETS (beyond rollup/cube: an arbitrary set list —
+    * here per-priority and per-status marginals WITHOUT the cross
+    * product). SQL-only surface in Spark, so this query exercises the
+    * parser path; one Expand feeds both groupings in a single scan.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)
+  }
+
+  /** Several DISTINCT aggregates over different columns in one query —
+    * planner-wise a different animal from single-distinct: Catalyst
+    * expands the input N ways and aggregates each stream, visible as one
+    * Expand + double aggregation in the plan.
+    */
+  def aggDistinctMulti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n"))
+
   /** JSON function library: build a JSON document per row (`to_json` over
     * a struct — integers/strings/pre-stringified dates only, so the text
     * is engine-portable; float formatting is not) and extract fields back
