@@ -97,6 +97,7 @@ object SparkEntry {
     "temporal_range_join" -> (operators.Temporal.rangeJoin _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
     "window_lag_lead" -> (operators.Temporal.windowLagLead _),
+    "window_ntile" -> (Relational.windowNtile _),
     // --- sketches ---
     "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
   )
@@ -520,6 +521,14 @@ object SparkEntry {
         |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
         |  wcum AS (PARTITION BY user_id ORDER BY us
         |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "window_ntile" ->
+      """SELECT decile, count(*) AS n,
+        |       MIN(o_totalprice) AS min_price,
+        |       MAX(o_totalprice) AS max_price
+        |FROM (SELECT o_totalprice,
+        |        CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+        |      FROM orders) t
+        |GROUP BY decile""".stripMargin,
     "window_lag_lead" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |                  event_type, value FROM events)

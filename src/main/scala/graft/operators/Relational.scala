@@ -174,6 +174,21 @@ object Relational {
           map_from_arrays(array(lit("n")), array(size(col("w")))), lit("n"))
           .cast("long").as("map_lookup"))
 
+  /** NTILE decile bucketing over a TOTAL order ((o_totalprice,
+    * o_orderkey) — price alone has ties, and ntile over a tied order is
+    * partition-layout-dependent): per-decile count and exact money
+    * bounds, the spend-distribution summary an analyst reads.
+    */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
   /** Explicit GROUPING SETS (beyond rollup/cube: an arbitrary set list —
     * here per-priority and per-status marginals WITHOUT the cross
     * product). SQL-only surface in Spark, so this query exercises the
