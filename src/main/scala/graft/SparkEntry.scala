@@ -75,8 +75,10 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (Dedup.dedupEmbeddingCosine _),
     // --- similarity search ---
     "ann_brute_force" -> (Similarity.annBruteForce _),
-    "ann_lsh" -> (Similarity.annLsh _), // approximate: rows-only + recall spec
-    "ann_ivf" -> (Similarity.annIvf _), // approximate: rows-only + recall spec
+    // LSH/IVF are recall stages + exact rerank; at the fixture scale their
+    // default regimes have full recall, so they share brute-force's oracle.
+    "ann_lsh" -> (Similarity.annLsh _),
+    "ann_ivf" -> (Similarity.annIvf _),
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
     "multimodal_features" -> (Multimodal.featureSummary _),
@@ -101,6 +103,23 @@ object SparkEntry {
     // --- sketches ---
     "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
   )
+
+  /** Exact cosine top-K — shared by ann_brute_force and (because their
+    * default regimes are full-recall at fixture scale and candidates are
+    * exact-reranked) ann_lsh / ann_ivf.
+    */
+  private val annTopKOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
+      |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+      |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
+      |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < 10)
+      |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, round(c, 6) AS cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+      |  FROM p) t
+      |WHERE rnk <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q3_batch" -> Relational.q3Sql,
@@ -375,18 +394,12 @@ object SparkEntry {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT doc_a, doc_b, round(c, 6) AS cosine FROM p
         |WHERE c >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
-    "ann_brute_force" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |p AS (
-        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-        |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
-        |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
-        |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
-        |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < 10)
-        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, round(c, 6) AS cosine FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
-        |  FROM p) t
-        |WHERE rnk <= 5""".stripMargin,
+    "ann_brute_force" -> annTopKOracle,
+    // Same oracle as brute force: the LSH/IVF defaults are the full-recall
+    // regime at verification scale, and candidates are exact-reranked, so
+    // the approximate paths must reproduce the exact top-K bit-for-bit.
+    "ann_lsh" -> annTopKOracle,
+    "ann_ivf" -> annTopKOracle,
     // Histogram bin 6 covers bytes 0x60–0x6f = backtick + [a-o]; include
     // the backtick in the char class so the oracle is exact for any ASCII
     // fixture, not just backtick-free text (ADVICE r1).

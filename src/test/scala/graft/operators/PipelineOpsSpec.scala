@@ -26,26 +26,20 @@ class PipelineOpsSpec extends SparkSpec {
       r.getAs[Long]("n_unique") + r.getAs[Long]("n_dup_docs"))
   }
 
-  test("ann: lsh results are a high-recall subset of brute force") {
-    val exact = Similarity.annBruteForce(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Similarity.annLsh(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    info(s"ann_lsh recall@${Similarity.K} = $recall")
-    assert(recall >= 0.6, s"LSH recall too low: $recall")
-    // every reported neighbor must be a real vector with correct cosine sign
-    assert(approx.forall(_._1 < Similarity.NumQueries))
+  test("ann: lsh reproduces brute force exactly (full-recall regime)") {
+    // The fixed seed-42 family at T=28/b=3 has full recall on the fixture,
+    // and candidates are exact-reranked — so equality, not subset.
+    val exact = Similarity.annBruteForce(spark, sfDir).collect().map(_.toSeq).toSeq
+    val approx = Similarity.annLsh(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(approx == exact, "LSH must reproduce the exact top-K on fixtures")
   }
 
-  test("ann: ivf results are a high-recall subset of brute force") {
-    val exact = Similarity.annBruteForce(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Similarity.annIvf(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    info(s"ann_ivf recall@${Similarity.K} = $recall")
-    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  test("ann: ivf reproduces brute force exactly (triangle-inequality pruning)") {
+    // IVF is exact BY CONSTRUCTION (cell pruning bound never discards a
+    // possible top-K neighbor), independent of clustering quality.
+    val exact = Similarity.annBruteForce(spark, sfDir).collect().map(_.toSeq).toSeq
+    val approx = Similarity.annIvf(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(approx == exact, "IVF pruning must never change the answer")
   }
 
   test("ann brute force: 5 neighbors per query, descending cosine") {

@@ -83,10 +83,9 @@ class RelationalSpec extends SparkSpec {
   test("every query key has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list tight: anything here gets only a weak rows>0 check.
-    // ann_lsh/ann_ivf are approximate-by-design (recall spec'd against
-    // the exact baseline).
-    val rowsOnly = Set("ann_lsh", "ann_ivf")
-    assert(noOracle == rowsOnly, s"queries without oracle: $noOracle")
+    // Empty since r3: ann_lsh/ann_ivf now run full-recall/exact-pruned
+    // regimes and share the brute-force oracle.
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
   test("entry returns rows on sf0.001") {
