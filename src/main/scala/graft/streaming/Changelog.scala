@@ -2,8 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-
 import graft.sources.Tables
 
 /** Changelog-stream format + generator (SURVEY.md §1.4).
@@ -93,20 +91,26 @@ object Changelog {
     val nL = li.count(); val nO = or.count(); val nC = cu.count()
     val cap = capacity.getOrElse(nL)
 
-    // Insertion rank per table. The global row_number window sorts only a
-    // NARROW projection (ordering keys + a surrogate row id — the fixture
-    // lineitem key is not unique, so ties need the surrogate), and the wide
-    // rows join back in parallel. The surrogate must be identical across
-    // the two uses, hence the localCheckpoint. At cluster scale swap in
-    // zipWithIndex or the dense-key identity.
+    // Insertion rank per table, fully distributed: range-partition on the
+    // ordering keys, sort within partitions, then zipWithIndex — partition
+    // ranges are globally ordered, so the per-partition offsets RDD
+    // zipWithIndex computes (one lightweight count job) yield the same
+    // total order a global row_number window would, with NO single-
+    // partition sort and no join-back. Ties on the ordering keys (the
+    // fixture lineitem key is not unique) take scan order; the
+    // localCheckpoint pins the assignment so the two downstream uses
+    // (insert + delete event branches) see identical ranks.
     def ranked(df: DataFrame, order: Seq[Column]): DataFrame = {
-      val withRid = df.withColumn("__rid", monotonically_increasing_id())
-        .localCheckpoint()
-      val idx = withRid.select(order :+ col("__rid"): _*)
-        .withColumn("idx", row_number()
-          .over(Window.orderBy(order :+ col("__rid"): _*)).cast("long"))
-        .select("__rid", "idx")
-      withRid.join(idx, "__rid").drop("__rid")
+      val spark = df.sparkSession
+      val n = spark.sessionState.conf.numShufflePartitions
+      val sorted = df.repartitionByRange(n, order: _*)
+        .sortWithinPartitions(order: _*)
+      val schema = sorted.schema.add("idx", org.apache.spark.sql.types.LongType,
+        nullable = false)
+      val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
+      spark.createDataFrame(withIdx, schema).localCheckpoint()
     }
 
     def events(df: DataFrame, tag: String, cols: Seq[(String, String)],
