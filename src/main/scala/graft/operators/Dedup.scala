@@ -128,20 +128,27 @@ object Dedup {
   }
 
   private val SimBits = 64
-  // Default 16 chunks of 4 bits: pigeonhole-guaranteed recall up to
-  // hamming SimChunks−1 = 15. With ~100 shingles/doc the per-bit sums are
-  // noisy (std ≈ √n), so true near-dups can sit at hamming ~10 — wider
-  // than the classic ≤3 regime.
+
+  // Chunk-count regime: pigeonhole guarantees recall up to hamming
+  // chunks−1, and bucket selectivity is 2^(64/chunks) values per chunk —
+  // recall radius and selectivity trade off directly. Measured on the
+  // fixtures, true J ≥ 0.9 pairs of ~100-shingle docs sit at hamming up to
+  // 11 (per-bit sums are noisy, std ≈ √shingles), so small corpora NEED
+  // the wide 16-chunk radius (15); there the 16-buckets-per-chunk band
+  // join is harmless. As the corpus grows the band join's O(n²/buckets)
+  // per chunk dominates, so the default narrows — the classic web-dedup
+  // regime (4 × 16-bit, radius 3) only catches long/near-identical docs,
+  // which is exactly how production SimHash is used; the guaranteed-exact
+  // any-radius engine path at scale is MinHash+LSH.
   //
-  // THE scale knob (-Dgraft.simhash.chunks): 4-bit chunk values give only
-  // 16 buckets per chunk, so the default band join degenerates toward
-  // O(n²/16) per chunk as the corpus grows. Fewer, wider chunks (8 × 8 bit
-  // → 256 buckets, hamming ≤ 7; 4 × 16 bit → 65 536 buckets, hamming ≤ 3 —
-  // the classic web-dedup regime) trade recall radius for bucket
-  // selectivity; recall within the guaranteed radius stays exact by the
-  // pigeonhole argument at every setting.
-  private val SimChunks = {
-    val c = Integer.getInteger("graft.simhash.chunks", 16).intValue()
+  //   docs        chunks  buckets/chunk  guaranteed radius
+  //   ≤ 100 K     16      16             15
+  //   ≤ 10 M      8       256            7
+  //   > 10 M      4       65 536         3
+  //
+  // -Dgraft.simhash.chunks overrides the derivation at every size.
+  private lazy val ChunksOverride: Option[Int] = sys.props.get("graft.simhash.chunks").map { s =>
+    val c = s.toInt
     // ≥2: one 64-bit chunk would need mask -1L ((1L<<64)-1 wraps to 0 and
     // would collapse every band to bucket 0 = a full cross product), and
     // banding on the whole signature defeats the point anyway
@@ -149,8 +156,9 @@ object Dedup {
       s"graft.simhash.chunks must be in 2..32 and divide 64, got $c")
     c
   }
-  private val ChunkBits = SimBits / SimChunks
-  private val MaxHamming = SimChunks - 1
+  private[operators] def simhashChunks(nDocs: Long): Int =
+    ChunksOverride.getOrElse(
+      if (nDocs <= 100000L) 16 else if (nDocs <= 10000000L) 8 else 4)
 
   /** 64-bit SimHash per doc: bit j = sign of Σ_shingles (±1 by bit j of
     * the shingle hash), packed into ONE long — computed by the native
@@ -163,48 +171,86 @@ object Dedup {
       .select(col("doc_id"), graft.functions.Simhash64(col("s")).as("sig"))
   }
 
-  /** SimHash near-dup: candidates share at least one 4-bit chunk
-    * (pigeonhole: hamming ≤ 15 ⇒ some chunk equal), are prefiltered by
-    * exact signature hamming ≤ 15 (ONE bit_count(xor) on the packed sigs —
+  /** SimHash near-dup: candidates share at least one signature chunk
+    * (pigeonhole: hamming ≤ chunks−1 ⇒ some chunk equal), are prefiltered
+    * by exact signature hamming (ONE bit_count(xor) on the packed sigs —
     * 2 ALU ops, so the expensive shingle verification only ever sees
     * true near-dups; unrelated docs sit near hamming 32), then
-    * exact-verified — same output contract as the Jaccard paths.
+    * exact-verified — same output contract as the Jaccard paths. The
+    * chunk count derives from corpus size (see [[simhashChunks]]).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).localCheckpoint()
     val sig = simhashSignatures(sh).localCheckpoint()
+    val nChunks = simhashChunks(sig.count())
+    val chunkBits = SimBits / nChunks
+    val maxHamming = nChunks - 1
     // band values are shift/mask views of the packed signature; the sig
     // rides along so the hamming bound evaluates INSIDE the join (codegen
     // ALU ops on matched rows, nothing materialized) — only true near-dups
     // reach distinct/verify.
-    val mask = (1L << ChunkBits) - 1
+    val mask = (1L << chunkBits) - 1
     val chunks = sig.select(col("doc_id"), col("sig"),
-      posexplode(expr(s"""transform(sequence(0, ${SimChunks - 1}),
-                         |  c -> shiftright(sig, c * $ChunkBits) & ${mask}L)""".stripMargin)))
+      posexplode(expr(s"""transform(sequence(0, ${nChunks - 1}),
+                         |  c -> shiftright(sig, c * $chunkBits) & ${mask}L)""".stripMargin)))
       .toDF("doc_id", "sig", "chunk", "v")
     val x = chunks.toDF("doc_a", "siga", "chunk", "v")
     val y = chunks.toDF("doc_b", "sigb", "chunk", "v")
     val cand = x.join(y, Seq("chunk", "v"))
       .filter(col("doc_a") < col("doc_b") &&
-        expr("bit_count(siga ^ sigb)") <= MaxHamming)
+        expr("bit_count(siga ^ sigb)") <= maxHamming)
       .select("doc_a", "doc_b")
       .distinct()
     verifyCandidates(cand, sh, SimhashJaccardThreshold).orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup over `embeddings`: exact pairwise within the
-    * (vec_id-ordered) upper triangle. Exact-by-design here; the bucketed
-    * scale path is [[Similarity.annLsh]]'s hyperplane scheme.
+  /** Exact cosine ≥ threshold on a given pair set `(doc_a, doc_b)` — the
+    * verification stage shared by the bucketed and all-pairs forms. The
+    * cosine expression is the identical double-op sequence as the oracle's,
+    * so candidates-then-verify is bit-stable against it.
     */
-  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  private def verifyCosine(cand: DataFrame, v: DataFrame): DataFrame = {
     import graft.functions.VectorExprs.dot
-    val v = Similarity.vectors(spark, dir)
-    val a = v.select(col("vec_id").as("doc_a"), col("e").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("doc_b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    cand
+      .join(v.select(col("vec_id").as("doc_a"), col("e").as("ea"), col("nrm").as("na")), "doc_a")
+      .join(v.select(col("vec_id").as("doc_b"), col("e").as("eb"), col("nrm").as("nb")), "doc_b")
       .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup over `embeddings`, bucketed: candidate pairs
+    * come from the engine's fixed random-hyperplane LSH family (the same
+    * seed-42 sketches [[Similarity.annLsh]] uses — 28 tables × 3 bits by
+    * default), then every candidate is exactly verified, so the output
+    * equals the all-pairs answer whenever recall is complete. At the 0.4
+    * cosine threshold P(bit agree) ≈ 0.63, so per-pair miss is
+    * (1 − 0.63³)²⁸ ≈ 3·10⁻⁴ — the fixed family is in the full-recall
+    * regime on the verification fixtures (asserted against
+    * [[dedupEmbeddingCosineExact]] in PipelineOpsSpec and the driver's
+    * all-pairs oracle). The bucket join shuffles ONLY (vec_id, table,
+    * bucket) triples — ids meet per bucket, never corpus², and embedding
+    * payloads move once, by id, in the verify joins.
+    */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.vectors(spark, dir).localCheckpoint()
+    val ids = Similarity.bucketedIds(v)
+    val cand = ids.as("x").join(ids.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+      .distinct()
+    verifyCosine(cand, v)
+  }
+
+  /** All-pairs upper-triangle form — the exact oracle twin of
+    * [[dedupEmbeddingCosine]] (recall-independent; O(n²), test scale only).
+    */
+  def dedupEmbeddingCosineExact(spark: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.vectors(spark, dir)
+    val cand = v.select(col("vec_id").as("doc_a"))
+      .join(v.select(col("vec_id").as("doc_b")), col("doc_a") < col("doc_b"))
+    verifyCosine(cand, v)
   }
 }

@@ -88,7 +88,7 @@ object Similarity {
     Array.fill(NumTables * BitsPerTable, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  private def bucketCols: Seq[Column] = {
+  private[operators] def bucketCols: Seq[Column] = {
     def proj(p: Array[Double]): Column =
       aggregate(zip_with(col("e"), typedLit(p.toSeq), (x, s) => x * s),
         lit(0.0), (acc, v) => acc + v)
@@ -98,6 +98,17 @@ object Similarity {
       }.reduce[Column](_ bitwiseOR _).as(s"bucket$t")
     }
   }
+
+  /** `(vec_id, table, bucket)` — one row per (vector, LSH table), carrying
+    * ONLY the id into the bucket join (the candidates-then-verify shape:
+    * vectors are re-joined by id after candidate generation, so the bucket
+    * shuffle never moves embedding payloads).
+    */
+  private[operators] def bucketedIds(v: DataFrame): DataFrame =
+    v.select(col("vec_id") +: bucketCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until NumTables).map(t => col(s"bucket$t")): _*)))
+      .toDF("vec_id", "table", "bucket")
 
   // --- IVF (inverted-file) ANN -------------------------------------------
 

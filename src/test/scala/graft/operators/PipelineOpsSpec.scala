@@ -20,6 +20,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(simhash == exactTight, "simhash must have full recall at its 0.9 regime")
   }
 
+  test("dedup: bucketed embedding-cosine equals the all-pairs exact answer") {
+    val exact = Dedup.dedupEmbeddingCosineExact(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty, "fixtures should contain cosine near-dups")
+    val bucketed = Dedup.dedupEmbeddingCosine(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(bucketed == exact, "hyperplane-LSH candidates must have full recall on fixtures")
+  }
+
   test("dedup_exact counts are consistent") {
     val r = Dedup.dedupExact(spark, sfDir).head()
     assert(r.getAs[Long]("n_docs") ==
