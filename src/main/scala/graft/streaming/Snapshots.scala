@@ -32,12 +32,64 @@ object Snapshots {
       st.dirty.toString.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Load a snapshot; the returned state folds on via [[IncrementalQ3.step]]. */
+  /** Load a snapshot; the returned state folds on via [[IncrementalQ3.step]].
+    *
+    * Each state is eagerly localCheckpoint'd on load: the non-compacting
+    * upkeep path in [[IncrementalQ3.step]] keeps the loaded frames in its
+    * union lineage indefinitely, and without severing it here a later
+    * [[saveBatch]] prune (or an overwriting [[save]]) would delete the very
+    * parquet files the live state still scans.
+    */
   def load(spark: SparkSession, dir: String): IncrementalQ3.State = {
     val Seq(c, o, l, co, agg) =
-      parts.map(name => spark.read.parquet(s"$dir/$name"))
+      parts.map(name => spark.read.parquet(s"$dir/$name").localCheckpoint())
     IncrementalQ3.State(c, o, l, co, agg,
       new String(Files.readAllBytes(Paths.get(s"$dir/dirty")),
         StandardCharsets.UTF_8).trim.toInt)
+  }
+
+  // --- per-batch snapshots for the continuous query (auto-resume) ------
+  //
+  // Layout: $dir/b<batchId>/{c,o,l,co,agg,dirty} plus a LATEST pointer
+  // file holding the last fully-written batch id. The pointer is flipped
+  // by ATOMIC_MOVE only AFTER the snapshot directory is complete, so a
+  // crash mid-save leaves LATEST at the previous consistent snapshot.
+  // Snapshots older than LATEST are pruned after the flip — at any moment
+  // at most two live on disk (the one being written + the last good one).
+
+  /** Persist the post-batch state and advance the LATEST pointer. */
+  def saveBatch(st: IncrementalQ3.State, dir: String, batchId: Long): Unit = {
+    save(st, s"$dir/b$batchId")
+    val tmp = Paths.get(s"$dir/.LATEST.tmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$dir/LATEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // prune superseded snapshots (anything but b<batchId>)
+    val ds = Files.list(Paths.get(dir))
+    try {
+      ds.filter(p => p.getFileName.toString.startsWith("b") &&
+          p.getFileName.toString != s"b$batchId")
+        .forEach { p =>
+          val fs = Files.walk(p)
+          try fs.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+          finally fs.close()
+        }
+    } finally ds.close()
+  }
+
+  /** Latest consistent per-batch snapshot, if one exists:
+    * `(state, lastAppliedBatchId)`.
+    */
+  def loadLatest(spark: SparkSession, dir: String): Option[(IncrementalQ3.State, Long)] = {
+    val latest = Paths.get(s"$dir/LATEST")
+    if (!Files.exists(latest)) None
+    else {
+      val id = new String(Files.readAllBytes(latest),
+        StandardCharsets.UTF_8).trim.toLong
+      Some((load(spark, s"$dir/b$id"), id))
+    }
   }
 }

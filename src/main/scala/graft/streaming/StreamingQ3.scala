@@ -22,36 +22,56 @@ object StreamingQ3 {
 
   /** Start the continuous query. `onEmit` receives the current top-20 rows
     * and micro-batch id after every batch (console/JSON sinks below).
+    *
+    * Recovery: Structured Streaming's checkpoint persists only SOURCE
+    * offsets for a `foreachBatch` query; the IVM state lives on the driver.
+    * With `snapshotDir` set, the state is snapshotted durably after every
+    * batch ([[Snapshots.saveBatch]]) and `start` auto-resumes: it loads the
+    * latest consistent snapshot and skips any re-delivered batch already
+    * folded into it (a batch can be re-delivered when the driver dies
+    * between the snapshot flip and the offset-log commit — exactly-once
+    * comes from the skip, not from luck). Pair `snapshotDir` with
+    * `checkpointDir` on the same query; restart with both unchanged.
+    *
+    * Without `snapshotDir`, resuming from an existing checkpoint would
+    * replay only post-restart offsets against an empty state and silently
+    * under-count — the batch-id guard turns that into a loud failure. The
+    * reference checkpoints nothing at all (SURVEY §2.8).
     */
   def start(spark: SparkSession, changelogDir: String,
             trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
             maxFilesPerTrigger: Int = 1,
             checkpointDir: Option[String] = None,
+            snapshotDir: Option[String] = None,
             onEmit: (Array[Row], Long) => Unit = consoleSink): StreamingQuery = {
-    var state = IncrementalQ3.init(spark)
-    var expectedBatch = 0L
+    val resumed = snapshotDir.flatMap(d => Snapshots.loadLatest(spark, d))
+    var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
+    // next batch id this state expects; ids below it are already applied
+    var expectedBatch = resumed.fold(0L)(_._2 + 1)
     val writer = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(changelogDir)
       .writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (id != expectedBatch) throw new IllegalStateException(
-          s"batch $id delivered but in-memory IVM state is at $expectedBatch — " +
-            "resumed/replayed batches would corrupt the aggregate; start from " +
-            "a fresh checkpoint dir")
-        expectedBatch += 1
-        state = IncrementalQ3.step(state, batch)
-        onEmit(IncrementalQ3.topN(state).collect(), id)
+        if (id < expectedBatch) {
+          // re-delivered batch already folded into the loaded snapshot:
+          // skip the fold, re-emit the current answer (idempotent sink)
+          onEmit(IncrementalQ3.topN(state).collect(), id)
+        } else if (id > expectedBatch) {
+          throw new IllegalStateException(
+            s"batch $id delivered but IVM state is at $expectedBatch — " +
+              "resumed/replayed batches would corrupt the aggregate; pass " +
+              "snapshotDir for auto-resume or start from a fresh checkpoint")
+        } else {
+          expectedBatch += 1
+          state = IncrementalQ3.step(state, batch)
+          // snapshot BEFORE the offset commit: a crash after this point
+          // re-delivers `id`, which the branch above then skips
+          snapshotDir.foreach(d => Snapshots.saveBatch(state, d, id))
+          onEmit(IncrementalQ3.topN(state).collect(), id)
+        }
       }
-    // Source-offset checkpointing comes from Structured Streaming, but the
-    // IVM state lives on the driver and is NOT checkpointed: resuming from
-    // an existing checkpoint would replay only post-restart offsets against
-    // an empty state and silently under-count. The batch-id guard below
-    // turns that (and a re-delivered batch after a commit failure) into a
-    // loud failure; production recovery would persist the state tables per
-    // batch and skip re-applied ids. The reference checkpoints nothing at
-    // all (SURVEY §2.8).
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
   }
