@@ -7,18 +7,23 @@ import graft.streaming.{Changelog, JsonPushSink, StreamingQ3}
 
 /** End-to-end continuous-query demo — the engine's equivalent of the
   * reference's `TPCHQuery3_StreamProcessor` main (changelog source →
-  * incremental Q3 → live top-20 on console + HTTP push):
+  * incremental Q3 → live top-20 on console + WebSocket/HTTP push):
   *
   * {{{
   *   sbt "runMain graft.StreamDemo /root/testdata/sf0.001 8080"
-  *   curl localhost:8080/top      # latest JSON snapshot
-  *   curl -N localhost:8080/watch # SSE stream
+  *   # ws://localhost:8080        — the reference's own dashboard
+  *   #                             (simple_index.html) connects unmodified
+  *   curl localhost:8081/top      # latest JSON snapshot
+  *   curl -N localhost:8081/watch # SSE stream
   * }}}
   */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val port = args.drop(1).headOption.map(_.toInt).getOrElse(8080)
+    // WebSocket gets the named port (the reference serves WS on 8080,
+    // StreamProcessor.java:586); HTTP/SSE sits next to it
+    val wsPort = args.drop(1).headOption.map(_.toInt).getOrElse(8080)
+    val port = args.drop(2).headOption.map(_.toInt).getOrElse(wsPort + 1)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,8 +34,9 @@ object StreamDemo {
       java.nio.file.Files.createTempDirectory("graft-demo-changelog").toString
     Changelog.write(Changelog.generate(spark, dir), changelogDir, nFiles = 8)
 
-    val sink = new JsonPushSink(port)
-    println(s"[demo] serving http://127.0.0.1:${sink.boundPort}/top and /watch")
+    val sink = new JsonPushSink(port, wsPort)
+    println(s"[demo] serving ws://127.0.0.1:${sink.boundWsPort} and " +
+      s"http://127.0.0.1:${sink.boundPort}/top + /watch")
     val query = StreamingQ3.start(spark, changelogDir,
       trigger = Trigger.ProcessingTime("2 seconds"),
       onEmit = (rows, id) => {

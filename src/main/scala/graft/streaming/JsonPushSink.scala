@@ -11,18 +11,23 @@ import org.apache.spark.sql.Row
 /** Live results push sink — the Spark stand-in for the reference's
   * hand-rolled NIO WebSocket server (TPCHQuery3_StreamProcessor.java:
   * 584–974: RFC 6455 handshake, frame encoding, broadcast loop, all
-  * bespoke). Transport is presentation, not query semantics (SURVEY §2.2),
-  * so this engine keeps it to ~60 lines of JDK `HttpServer`:
+  * bespoke). Transport is presentation, not query semantics (SURVEY §2.2);
+  * three transports share one message contract:
   *
   *  - `GET /top`   → latest top-N message, the reference's exact JSON
   *    contract `{"timestamp":…,"data":[{"rank","orderkey","revenue",
   *    "orderdate","shippriority"}]}` (StreamProcessor.java:1037–1052);
   *  - `GET /watch` → server-sent-events stream of the same messages (the
-  *    push channel a dashboard subscribes to).
+  *    push channel a dashboard subscribes to);
+  *  - `ws://…:wsPort` → RFC 6455 WebSocket broadcast of the same messages
+  *    (handshake per StreamProcessor.java:663–691, text frames per
+  *    :954–973), so the reference's own dashboard — which opens
+  *    `new WebSocket('ws://localhost:8080')`, simple_index.html:1068 —
+  *    connects unmodified when `wsPort = 8080`.
   *
   * Wire into the query as `onEmit = sink.onEmit` on [[StreamingQ3.start]].
   */
-final class JsonPushSink(port: Int = 0) {
+final class JsonPushSink(port: Int = 0, wsPort: Int = 0) {
 
   private val latest = new AtomicReference[String]("""{"timestamp":0,"data":[]}""")
   private val listeners =
@@ -66,10 +71,121 @@ final class JsonPushSink(port: Int = 0) {
   private def sse(msg: String): Array[Byte] =
     s"data: $msg\n\n".getBytes(StandardCharsets.UTF_8)
 
+  // ------------------------- WebSocket transport ----------------------
+  // Blocking-IO per connection (one daemon reader thread each) is the
+  // right size here: subscriber counts are dashboard-scale, not C10K —
+  // the reference's NIO selector loop (StreamProcessor.java:596–650)
+  // solves a problem this sink does not have. ALL writes to a socket go
+  // through the single-threaded `pusher`, so handshake snapshot,
+  // broadcasts, pongs, and close echoes never interleave mid-frame.
+
+  private val wsClients =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
+
+  private val wsServer = {
+    val s = new java.net.ServerSocket()
+    s.bind(new InetSocketAddress("127.0.0.1", wsPort))
+    s
+  }
+
+  private def daemon(name: String)(body: => Unit): Unit = {
+    val t = new Thread(() => body, name); t.setDaemon(true); t.start()
+  }
+
+  daemon("graft-ws-accept") {
+    try while (true) {
+      val sock = wsServer.accept()
+      daemon(s"graft-ws-${sock.getPort}")(serveWs(sock))
+    } catch { case _: java.io.IOException => () } // server closed
+  }
+
+  /** RFC 6455 text frame, server→client (unmasked): FIN|0x1 opcode, then
+    * 7/16/64-bit length (StreamProcessor.java:954–973 is the same layout).
+    */
+  private def wsFrame(payload: Array[Byte], opcode: Int = 0x1): Array[Byte] = {
+    val n = payload.length
+    val header =
+      if (n <= 125) Array((0x80 | opcode).toByte, n.toByte)
+      else if (n <= 0xFFFF)
+        Array((0x80 | opcode).toByte, 126.toByte, (n >> 8).toByte, n.toByte)
+      else Array((0x80 | opcode).toByte, 127.toByte) ++
+        (7 to 0 by -1).map(i => (n.toLong >> (8 * i)).toByte)
+    header ++ payload
+  }
+
+  private def wsWrite(sock: java.net.Socket, bytes: Array[Byte]): Unit =
+    pusher.submit(new Runnable {
+      override def run(): Unit =
+        try { sock.getOutputStream.write(bytes); sock.getOutputStream.flush() }
+        catch { case _: java.io.IOException => wsClients.remove(sock); sock.close() }
+    })
+
+  /** Handshake (Sec-WebSocket-Accept = base64(sha1(key + magic)), RFC 6455
+    * §4.2.2; StreamProcessor.java:663–691), then consume client frames —
+    * ping→pong, close→close-echo — until EOF. Broadcast happens in push().
+    */
+  private def serveWs(sock: java.net.Socket): Unit = try {
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val req = new java.io.ByteArrayOutputStream()
+    var headersDone = false
+    while (!headersDone) {
+      val b = in.read()
+      if (b == -1) { sock.close(); return }
+      req.write(b)
+      val a = req.toByteArray
+      headersDone = a.length >= 4 && a(a.length - 4) == '\r' &&
+        a(a.length - 3) == '\n' && a(a.length - 2) == '\r' &&
+        a(a.length - 1) == '\n'
+    }
+    val keyOpt = req.toString(StandardCharsets.UTF_8).split("\r\n")
+      .collectFirst { case l if l.toLowerCase.startsWith("sec-websocket-key:") =>
+        l.substring(l.indexOf(':') + 1).trim }
+    if (keyOpt.isEmpty) { sock.close(); return }
+    val key = keyOpt.get
+    val accept = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1").digest(
+        (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+          .getBytes(StandardCharsets.UTF_8)))
+    sock.getOutputStream.write(
+      ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+        s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n")
+        .getBytes(StandardCharsets.UTF_8))
+    sock.getOutputStream.flush()
+    // add BEFORE the snapshot send, same no-missed-push order as /watch
+    wsClients.add(sock)
+    wsWrite(sock, wsFrame(latest.get().getBytes(StandardCharsets.UTF_8)))
+    while (true) {
+      val b0 = in.read()
+      if (b0 == -1) { wsClients.remove(sock); sock.close(); return }
+      val b1 = in.read()
+      var len = b1 & 0x7F
+      if (len == 126) len = (in.read() << 8) | in.read()
+      else if (len == 127) { // client frames this size don't happen here,
+        len = 0              // but drain the 8-byte length correctly
+        for (_ <- 0 until 8) len = (len << 8) | in.read()
+      }
+      val masked = (b1 & 0x80) != 0
+      if (masked) for (_ <- 0 until 4) in.read()
+      for (_ <- 0 until len) in.read() // payload (mask key unused: dropped)
+      (b0 & 0x0F) match {
+        case 0x8 => // close: echo and drop (RFC 6455 §5.5.1)
+          wsClients.remove(sock)
+          wsWrite(sock, wsFrame(Array.emptyByteArray, opcode = 0x8))
+          pusher.submit(new Runnable { override def run(): Unit = sock.close() })
+          return
+        case 0x9 => wsWrite(sock, wsFrame(Array.emptyByteArray, opcode = 0xA))
+        case _   => () // text/binary/pong from client: ignored
+      }
+    }
+  } catch { case _: java.io.IOException => wsClients.remove(sock); sock.close() }
+
   /** The bound port (useful with port=0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
-  /** Publish a new top-N snapshot to /top and all /watch subscribers. */
+  /** The bound WebSocket port (the reference dashboard expects 8080). */
+  def boundWsPort: Int = wsServer.getLocalPort
+
+  /** Publish a new top-N snapshot to /top, /watch, and WebSocket clients. */
   def push(rows: Array[Row], timestampMs: Long = System.currentTimeMillis()): Unit = {
     val msg = StreamingQ3.jsonMessage(rows, timestampMs)
     latest.set(msg)
@@ -79,6 +195,8 @@ final class JsonPushSink(port: Int = 0) {
         catch { case _: java.io.IOException => listeners.remove(ex); ex.close() }
       }
     })
+    val frame = wsFrame(msg.getBytes(StandardCharsets.UTF_8))
+    wsClients.forEach(sock => wsWrite(sock, frame))
   }
 
   /** Adapter for [[StreamingQ3.start]]'s onEmit. */
@@ -87,5 +205,7 @@ final class JsonPushSink(port: Int = 0) {
   def stop(): Unit = {
     listeners.forEach(ex => try ex.close() catch { case _: Throwable => })
     server.stop(0)
+    try wsServer.close() catch { case _: Throwable => }
+    wsClients.forEach(s => try s.close() catch { case _: Throwable => })
   }
 }

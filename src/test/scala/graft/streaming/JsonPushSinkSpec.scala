@@ -33,4 +33,41 @@ class JsonPushSinkSpec extends SparkSpec {
       assert(body.split("\\{\"rank\":").length - 1 == rows.length)
     } finally sink.stop()
   }
+
+  test("RFC 6455 WebSocket transport broadcasts the same contract") {
+    import java.net.http.{HttpClient, WebSocket}
+    import java.util.concurrent.{CompletionStage, LinkedBlockingQueue, TimeUnit}
+
+    val sink = new JsonPushSink()
+    try {
+      val msgs = new LinkedBlockingQueue[String]()
+      val listener = new WebSocket.Listener {
+        private val buf = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): CompletionStage[_] = {
+          buf.append(data)
+          if (last) { msgs.add(buf.toString); buf.clear() }
+          ws.request(1)
+          null
+        }
+      }
+      // the JDK's own client performs the strict §4.2.2 handshake — a
+      // wrong Sec-WebSocket-Accept or malformed frame fails loudly here
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(java.net.URI.create(s"ws://127.0.0.1:${sink.boundWsPort}/"),
+          listener)
+        .get(5, TimeUnit.SECONDS)
+      // connect replays the latest snapshot (short frame, 7-bit length)
+      assert(msgs.poll(5, TimeUnit.SECONDS) == """{"timestamp":0,"data":[]}""")
+      val rows = Relational.q3Batch(spark, sfDir)
+        .selectExpr("l_orderkey", "to_date(o_orderdate) AS o_orderdate",
+          "o_orderpriority", "revenue").collect()
+      sink.push(rows, timestampMs = 888L) // top-20 payload >125B: 16-bit length
+      val got = msgs.poll(5, TimeUnit.SECONDS)
+      assert(got != null && got.startsWith("""{"timestamp":888,"data":[{"rank":1,"""))
+      assert(got.split("\\{\"rank\":").length - 1 == rows.length)
+      // clean close handshake: server must echo the close frame
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").get(5, TimeUnit.SECONDS)
+    } finally sink.stop()
+  }
 }
