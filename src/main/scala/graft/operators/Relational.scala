@@ -178,16 +178,34 @@ object Relational {
     * o_orderkey) — price alone has ties, and ntile over a tied order is
     * partition-layout-dependent): per-decile count and exact money
     * bounds, the spend-distribution summary an analyst reads.
+    *
+    * NTILE semantically needs a total order, but `ntile().over(Window
+    * .orderBy(...))` plans as a single-partition sort of the whole table —
+    * the 100×-unsafe shape. This is the two-pass realization with the
+    * identical answer: a distributed global rank ([[Ranked.globalRank]] —
+    * range-partitioned local sorts + per-partition offsets), then SQL
+    * NTILE's bucket rule applied in closed form (first n%k buckets hold
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — what the window's incremental bucketing
+    * computes row-at-a-time).
     */
-  def windowNtile(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    val n = orders.count()
+    val q = n / 10; val r = n % 10
+    val decile = (
+      if (q == 0) col("idx") // n < 10: one row per bucket, decile = rank
+      else when(col("idx") <= lit(r * (q + 1)),
+        expr(s"(idx - 1) DIV ${q + 1}") + 1)
+        .otherwise(expr(s"(idx - 1 - ${r * (q + 1)}) DIV $q") + lit(r) + 1)
+    ).cast("int")
+    Ranked.globalRank(orders, Seq(col("o_totalprice"), col("o_orderkey")))
+      .withColumn("decile", decile)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
+  }
 
   /** Explicit GROUPING SETS (beyond rollup/cube: an arbitrary set list —
     * here per-priority and per-status marginals WITHOUT the cross

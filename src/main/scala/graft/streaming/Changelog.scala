@@ -91,27 +91,13 @@ object Changelog {
     val nL = li.count(); val nO = or.count(); val nC = cu.count()
     val cap = capacity.getOrElse(nL)
 
-    // Insertion rank per table, fully distributed: range-partition on the
-    // ordering keys, sort within partitions, then zipWithIndex — partition
-    // ranges are globally ordered, so the per-partition offsets RDD
-    // zipWithIndex computes (one lightweight count job) yield the same
-    // total order a global row_number window would, with NO single-
-    // partition sort and no join-back. Ties on the ordering keys (the
-    // fixture lineitem key is not unique) take scan order; the
-    // localCheckpoint pins the assignment so the two downstream uses
-    // (insert + delete event branches) see identical ranks.
-    def ranked(df: DataFrame, order: Seq[Column]): DataFrame = {
-      val spark = df.sparkSession
-      val n = spark.sessionState.conf.numShufflePartitions
-      val sorted = df.repartitionByRange(n, order: _*)
-        .sortWithinPartitions(order: _*)
-      val schema = sorted.schema.add("idx", org.apache.spark.sql.types.LongType,
-        nullable = false)
-      val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-      }
-      spark.createDataFrame(withIdx, schema).localCheckpoint()
-    }
+    // Insertion rank per table, fully distributed ([[graft.operators.
+    // Ranked.globalRank]] — no single-partition sort, no join-back). Ties
+    // on the ordering keys (the fixture lineitem key is not unique) take
+    // scan order; the localCheckpoint pins the assignment so the two
+    // downstream uses (insert + delete event branches) see identical ranks.
+    def ranked(df: DataFrame, order: Seq[Column]): DataFrame =
+      graft.operators.Ranked.globalRank(df, order).localCheckpoint()
 
     def events(df: DataFrame, tag: String, cols: Seq[(String, String)],
                t: Column, subIns: Int): DataFrame = {
