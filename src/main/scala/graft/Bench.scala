@@ -27,7 +27,13 @@ object Bench {
     // the warmup pins checkpoint blocks too — don't let them contaminate
     // the first timed query's storage pool
     streaming.Changelog.resetSession(spark)
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -40,6 +46,10 @@ object Bench {
       // (observed: stream_q3_full_cycle 32s standalone vs 127s at the tail
       // of a shared session).
       streaming.Changelog.resetSession(spark)
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
+        val rt = Runtime.getRuntime
+        System.err.println(f"[bench-debug] $name%-28s ${sec}%8.1f s  gc=${gcMillis - gc0}%6d ms  heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%6d MB")
+      }
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
