@@ -188,7 +188,16 @@ final class JsonPushSink(port: Int = 0, wsPort: Int = 0) {
   /** Publish a new top-N snapshot to /top, /watch, and WebSocket clients. */
   def push(rows: Array[Row], timestampMs: Long = System.currentTimeMillis()): Unit = {
     val msg = StreamingQ3.jsonMessage(rows, timestampMs)
-    latest.set(msg)
+    latest.set(msg) // /top serves the latest TOP-N only, as the reference does
+    broadcast(msg)
+  }
+
+  /** Broadcast the engine-thread monitor message (the reference pairs one
+    * with each top-N update, StreamProcessor.java:806–810).
+    */
+  def pushThreads(): Unit = broadcast(JsonPushSink.threadsMessage())
+
+  private def broadcast(msg: String): Unit = {
     pusher.submit(new Runnable {
       override def run(): Unit = listeners.forEach { ex =>
         try { ex.getResponseBody.write(sse(msg)); ex.getResponseBody.flush() }
@@ -200,12 +209,52 @@ final class JsonPushSink(port: Int = 0, wsPort: Int = 0) {
   }
 
   /** Adapter for [[StreamingQ3.start]]'s onEmit. */
-  def onEmit: (Array[Row], Long) => Unit = (rows, _) => push(rows)
+  def onEmit: (Array[Row], Long) => Unit = (rows, _) => { push(rows); pushThreads() }
 
   def stop(): Unit = {
     listeners.forEach(ex => try ex.close() catch { case _: Throwable => })
     server.stop(0)
     try wsServer.close() catch { case _: Throwable => }
     wsClients.forEach(s => try s.close() catch { case _: Throwable => })
+  }
+}
+
+object JsonPushSink {
+
+  /** The reference's thread-monitor message
+    * (StreamProcessor.java:813–869): `{"type":"threads","timestamp":"…",
+    * "data":[{id,name,state,priority,cpuTime,type}]}`, rendered by the
+    * dashboard's thread grid (simple_index.html:1086, 1180–1210). The
+    * reference enumerates its Flink operator threads; the local-mode Spark
+    * analogue is the executor task-launch workers plus the streaming
+    * micro-batch machinery (on a real cluster this panel would read
+    * `SparkStatusTracker` instead — executors are processes, not threads).
+    */
+  def threadsMessage(now: java.util.Date = new java.util.Date()): String = {
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    var g = Thread.currentThread().getThreadGroup
+    while (g.getParent != null) g = g.getParent
+    val arr = new Array[Thread](g.activeCount() + 50)
+    val n = g.enumerate(arr, true)
+    val engine = arr.take(n).filter(_ != null).filter { t =>
+      val nm = t.getName
+      nm.contains("Executor task launch worker") ||
+        nm.contains("stream execution thread") || nm.startsWith("graft-") ||
+        nm.contains("shuffle-") || nm == "main"
+    }
+    val data = engine.sortBy(_.getId).map { t =>
+      val cpuMs =
+        try if (bean.isThreadCpuTimeSupported) bean.getThreadCpuTime(t.getId) / 1000000
+        else 0L
+        catch { case _: Throwable => 0L }
+      val kind =
+        if (t.getName.contains("Executor task launch worker") ||
+          t.getName.contains("stream execution thread")) "important"
+        else "normal"
+      s"""{"id":${t.getId},"name":"${t.getName.replace("\"", "\\\"")}",""" +
+        s""""state":"${t.getState}","priority":${t.getPriority},""" +
+        s""""cpuTime":$cpuMs,"type":"$kind"}"""
+    }.mkString(",")
+    s"""{"type":"threads","timestamp":"$now","data":[$data]}"""
   }
 }

@@ -66,6 +66,15 @@ class JsonPushSinkSpec extends SparkSpec {
       val got = msgs.poll(5, TimeUnit.SECONDS)
       assert(got != null && got.startsWith("""{"timestamp":888,"data":[{"rank":1,"""))
       assert(got.split("\\{\"rank\":").length - 1 == rows.length)
+      // thread-monitor broadcast: same channel, dashboard's expected shape
+      // (simple_index.html:1086 branches on data.type === 'threads')
+      spark.range(100).count() // ensure executor worker threads exist
+      sink.pushThreads()
+      val threads = msgs.poll(5, TimeUnit.SECONDS)
+      assert(threads != null && threads.startsWith("""{"type":"threads","timestamp":""""))
+      assert(threads.contains(""""name":"Executor task launch worker"""))
+      assert(threads.contains(""""type":"important""""))
+      assert(threads.contains(""""state":""") && threads.contains(""""cpuTime":"""))
       // clean close handshake: server must echo the close frame
       ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").get(5, TimeUnit.SECONDS)
     } finally sink.stop()
