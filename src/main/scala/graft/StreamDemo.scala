@@ -30,15 +30,25 @@ object StreamDemo {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val changelogDir =
-      java.nio.file.Files.createTempDirectory("graft-demo-changelog").toString
-    Changelog.write(Changelog.generate(spark, dir), changelogDir, nFiles = 8)
+    // Stable per-fixture working dir: killing the demo mid-stream and
+    // rerunning it auto-resumes from the per-batch snapshot instead of
+    // replaying into an empty aggregate (StreamingQ3 recovery contract).
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-demo-" + Integer.toHexString(dir.hashCode))
+    val changelogDir = base.resolve("changelog").toString
+    if (!Files.exists(Paths.get(changelogDir))) {
+      Changelog.write(Changelog.generate(spark, dir), changelogDir, nFiles = 8)
+      println(s"[demo] changelog staged under $base")
+    } else println(s"[demo] resuming from $base")
 
     val sink = new JsonPushSink(port, wsPort)
     println(s"[demo] serving ws://127.0.0.1:${sink.boundWsPort} and " +
       s"http://127.0.0.1:${sink.boundPort}/top + /watch")
     val query = StreamingQ3.start(spark, changelogDir,
       trigger = Trigger.ProcessingTime("2 seconds"),
+      checkpointDir = Some(base.resolve("ckpt").toString),
+      snapshotDir = Some(base.resolve("snap").toString),
       onEmit = (rows, id) => {
         StreamingQ3.consoleSink(rows, id)
         sink.push(rows)

@@ -164,12 +164,32 @@ object Changelog {
   }
 
   /** Write the changelog as ordered text files. `nFiles` range-partitions by
-    * trigger so file order ≈ event order (micro-batch replay order).
+    * trigger so file order = event order (micro-batch replay order).
+    *
+    * The file stream source replays oldest-mtime-first, and one write job
+    * gives every part file the same mtime — leaving replay order to the
+    * source's tie-break, which can put delete batches before their inserts
+    * (mid-stream top-N then shows negative-revenue garbage even though the
+    * converged state is order-invariant). Stamp strictly increasing mtimes
+    * in part-file name order (= range order) so replay follows event time.
     */
-  def write(events: DataFrame, path: String, nFiles: Int = 4): Unit =
+  def write(events: DataFrame, path: String, nFiles: Int = 4): Unit = {
     events.repartitionByRange(nFiles, col("t"), col("sub"), col("idx"))
       .sortWithinPartitions(col("t"), col("sub"), col("idx"))
       .select("line").write.mode("overwrite").text(path)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    try {
+      import scala.jdk.CollectionConverters._
+      val base = System.currentTimeMillis() - 1000L * nFiles
+      parts.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .zipWithIndex
+        .foreach { case (p, i) =>
+          p.toFile.setLastModified(base + i * 1000L)
+        }
+    } finally parts.close()
+  }
 
   // -------------------------------------------------------------------
   // Parser (no_websocket.java:281–320 re-expressed as declarative columns)

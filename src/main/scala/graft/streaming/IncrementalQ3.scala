@@ -192,8 +192,14 @@ object IncrementalQ3 {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    Await.result(
+    val sizes = Await.result(
       Future.sequence(next.all.map(df => Future { df.count() })), Duration.Inf)
+    // the materialization already counted every state — surface the sizes
+    // (z-set rows incl. not-yet-compacted ± pairs) for capacity planning
+    if (java.lang.Boolean.getBoolean("graft.ivm.sizes"))
+      System.err.println("[ivm] state rows " +
+        Seq("c", "o", "l", "co", "agg").zip(sizes)
+          .map { case (n, s) => s"$n=$s" }.mkString(" "))
     parsed.unpersist(blocking = false)
     next
   }

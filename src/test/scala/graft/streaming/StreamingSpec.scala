@@ -106,6 +106,29 @@ class StreamingSpec extends SparkSpec {
       IncrementalQ3.topN(oneShot).collect().map(_.toSeq).toSeq)
   }
 
+  test("file replay preserves event order: no negative mid-stream revenue") {
+    // One write job used to give all part files the same mtime, letting the
+    // file source's tie-break replay delete batches before their inserts —
+    // converged state is order-invariant, but mid-stream top-N then showed
+    // negative-revenue groups. With stamped mtimes every emission of a
+    // well-formed insert-then-delete cycle stays non-negative and the
+    // stream still cancels to empty.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ordered").toString
+    Changelog.write(Changelog.generate(spark, sfDir), dir, nFiles = 6)
+    @volatile var minRevenue = Double.MaxValue
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamingQ3.start(spark, dir,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+      onEmit = (rows, _) => {
+        last = rows
+        rows.foreach(r => minRevenue = math.min(minRevenue, r.getDouble(3)))
+      })
+    assert(q.awaitTermination(300000), "streaming query did not finish in time")
+    assert(minRevenue >= 0.0,
+      s"mid-stream top-N went negative ($minRevenue): replay out of order")
+    assert(last.isEmpty, "full cycle must converge to an empty top-N")
+  }
+
   test("structured streaming wiring (readStream → foreachBatch) converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
     Changelog.write(Changelog.generate(spark, sfDir, insertOnly = true), dir, nFiles = 3)
