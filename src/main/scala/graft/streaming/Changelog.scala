@@ -96,25 +96,31 @@ object Changelog {
     // on the ordering keys (the fixture lineitem key is not unique) take
     // scan order; the localCheckpoint pins the assignment so the two
     // downstream uses (insert + delete event branches) see identical ranks.
-    def ranked(df: DataFrame, order: Seq[Column]): DataFrame =
-      graft.operators.Ranked.globalRank(df, order).localCheckpoint()
+    // The line BODY (`TAG|field|field|…`) is serialized here too, before
+    // the checkpoint: an insert and its delete differ only in the sign
+    // prefix, so the 11–16-column formatting work runs ONCE per row and
+    // the checkpoint holds just (idx, body) instead of the raw table.
+    def ranked(df: DataFrame, order: Seq[Column], tag: String,
+               cols: Seq[(String, String)]): DataFrame =
+      graft.operators.Ranked.globalRank(df, order)
+        .select(col("idx"), concat(lit(tag), lit("|"), payload(cols)).as("body"))
+        .localCheckpoint()
 
-    def events(df: DataFrame, tag: String, cols: Seq[(String, String)],
-               t: Column, subIns: Int): DataFrame = {
+    def events(df: DataFrame, t: Column, subIns: Int): DataFrame = {
       val ins = df.select(t.as("t"), lit(subIns).as("sub"), col("idx"),
-        concat(lit("+" + tag), lit("|"), payload(cols)).as("line"))
+        concat(lit("+"), col("body")).as("line"))
       if (insertOnly) ins
       else ins.unionByName(df.select((t + cap).as("t"), lit(subIns + 3).as("sub"),
-        col("idx"), concat(lit("-" + tag), lit("|"), payload(cols)).as("line")))
+        col("idx"), concat(lit("-"), col("body")).as("line")))
     }
 
-    val liR = ranked(li, Seq(col("l_orderkey"), col("l_linenumber")))
-    val orR = ranked(or, Seq(col("o_orderkey")))
-    val cuR = ranked(cu, Seq(col("c_custkey")))
+    val liR = ranked(li, Seq(col("l_orderkey"), col("l_linenumber")), "LI", lineitemCols)
+    val orR = ranked(or, Seq(col("o_orderkey")), "OR", ordersCols)
+    val cuR = ranked(cu, Seq(col("c_custkey")), "CU", customerCols)
 
-    events(liR, "LI", lineitemCols, col("idx"), 0)
-      .unionByName(events(orR, "OR", ordersCols, trigger(nL, nO), 1))
-      .unionByName(events(cuR, "CU", customerCols, trigger(nL, nC), 2))
+    events(liR, col("idx"), 0)
+      .unionByName(events(orR, trigger(nL, nO), 1))
+      .unionByName(events(cuR, trigger(nL, nC), 2))
   }
 
   /** Per-session memo of the generated changelog per (dir, insertOnly).

@@ -20,7 +20,10 @@ object StreamQueries {
     * 2×(nL+nO+nC) event-count contract (README.md:731; SURVEY §1.4).
     */
   def changelogCounts(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = Changelog.parse(Changelog.generateCached(spark, dir))
+    // generate, NOT generateCached: this query scans the stream exactly
+    // once, so materializing 2×(nL+nO+nC) lines into block storage first
+    // (the memo's localCheckpoint) is pure overhead here
+    val parsed = Changelog.parse(Changelog.generate(spark, dir))
     parsed.select(
         when(col("tag") === "CU", "customer")
           .when(col("tag") === "OR", "orders")
