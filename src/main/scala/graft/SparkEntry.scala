@@ -66,6 +66,8 @@ object SparkEntry {
     "text_stats" -> (graft.functions.TextOps.textStats _),
     "lang_id" -> (graft.functions.TextOps.langId _),
     "token_profile" -> (graft.functions.TextOps.tokenProfile _),
+    "text_frequent_tokens" -> ((s: SparkSession, d: String) =>
+      graft.functions.TextOps.frequentTokens(s, d)),
     "doc_fingerprint" -> (graft.functions.TextOps.docFingerprint _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -368,6 +370,13 @@ object SparkEntry {
         |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
         |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY source""".stripMargin,
+    // the Spark side is sketch-recall + exact-verify with a checked
+    // completeness bound, so plain exact top-k is the equivalent oracle
+    "text_frequent_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  list_min(g) AS fp,

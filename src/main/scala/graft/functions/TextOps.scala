@@ -88,6 +88,72 @@ object TextOps {
         sum(col("bpe")).as("bpe_tokens"))
   }
 
+  /** Exact top-k most frequent tokens via a bounded-memory recall stage —
+    * the "frequent n-grams" pass every corpus-curation pipeline runs.
+    *
+    * The naive plan (explode → groupBy → top-k) shuffles one row per
+    * DISTINCT TOKEN PER PARTITION: at corpus scale the vocabulary dwarfs
+    * the answer. Two passes instead, the dedup family's recall-then-verify
+    * shape applied to counting:
+    *
+    *  1. RECALL: per-partition Misra–Gries summaries of capacity `c`
+    *     (the one genuinely imperative per-partition loop, so
+    *     `mapPartitions`). Summing summaries undercounts any token by at
+    *     most N/(c+1) total, so every token with global count > N/(c+1)
+    *     survives into the merged candidate set (≤ c·partitions rows —
+    *     broadcastable).
+    *  2. VERIFY: exact counts for candidate tokens only (broadcast
+    *     semi-join before the aggregate — the shuffle carries candidates,
+    *     not vocabulary).
+    *
+    * Completeness is CHECKED, not assumed: the k-th exact count must
+    * exceed N/(c+1), the bound under which the sketch cannot have missed
+    * a qualifying token — same discipline as the LSH dedup paths, which
+    * makes the approximate machinery exactly oracle-checkable.
+    */
+  def frequentTokens(spark: SparkSession, dir: String,
+                     k: Int = 20, capacity: Int = 4096): DataFrame = {
+    import spark.implicits._
+    def tok = docs(spark, dir).select(explode(tokens).as("token")).as[String]
+
+    val summaries = tok.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var total = 0L
+      it.foreach { t =>
+        total += 1
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < capacity => counts.update(t, 1L)
+          case None => // Misra–Gries decrement-all, dropping zeros
+            counts.mapValuesInPlace((_, c) => c - 1)
+            counts.filterInPlace((_, c) => c > 0)
+        }
+      }
+      counts.iterator.map { case (t, c) => (t, c, false) } ++
+        Iterator(("", total, true))
+    }.toDF("token", "cnt", "is_total").localCheckpoint()
+
+    val n = summaries.filter(col("is_total"))
+      .agg(sum(col("cnt"))).head().getLong(0)
+    val candidates = summaries.filter(!col("is_total")).select("token").distinct()
+
+    val exact = tok.toDF("token")
+      .join(broadcast(candidates), "token")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+      .localCheckpoint()
+    // Conservative completeness gate: the WEAKEST returned count must beat
+    // the sketch's miss bound (an extreme capacity can even end with every
+    // counter evicted — kth = 0 then, and the gate fires instead of
+    // returning a silently-wrong answer).
+    val kth = exact.agg(coalesce(min(col("n")), lit(0L))).head().getLong(0)
+    require(kth > n / (capacity + 1),
+      s"recall bound violated: k-th count $kth ≤ N/(c+1) = ${n / (capacity + 1)} " +
+        s"— raise capacity (c=$capacity) for this corpus")
+    exact
+  }
+
   /** Rolling-hash document fingerprint: MIN(md5(8-char-gram)) — a
     * min-sampled content signature (winnowing's selection rule over a
     * full-overlap window), plus the distinct-gram count. md5 is the one

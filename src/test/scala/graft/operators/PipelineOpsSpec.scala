@@ -10,6 +10,26 @@ import graft.SparkSpec
   */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("frequent tokens: sketch recall + exact verify equals naive top-k") {
+    import graft.functions.TextOps
+    // capacity 64 « vocabulary forces real Misra–Gries evictions, yet the
+    // checked bound (kth > N/(c+1)) still holds at fixture skew
+    val got = TextOps.frequentTokens(spark, sfDir, k = 10, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want && got.size == 10)
+    // an absurdly small sketch must fail the completeness check LOUDLY,
+    // never return a silently-wrong top-k
+    val ex = intercept[Exception] {
+      TextOps.frequentTokens(spark, sfDir, k = 10, capacity = 2).collect()
+    }
+    assert(ex.getMessage.contains("recall bound violated"))
+  }
+
   test("dedup: minhash-LSH and simhash both recover the exact jaccard pairs") {
     val exact = Dedup.dedupNgramJaccard(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(exact.nonEmpty, "fixtures should contain planted near-dups")
