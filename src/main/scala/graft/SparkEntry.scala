@@ -95,6 +95,7 @@ object SparkEntry {
     "window_sliding" -> (Windows.sliding _),
     "window_session" -> (Windows.session _),
     "stream_windows_tumbling" -> (streaming.StreamingWindows.streamTumbling _),
+    "stream_windows_session" -> (streaming.StreamingWindows.streamSession _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -512,6 +513,24 @@ object SparkEntry {
         |SELECT CAST(ws AS VARCHAR) AS window_start, event_type, n, value_sum
         |FROM b
         |WHERE ws + INTERVAL '1 hour' <= (SELECT max(ts) - INTERVAL '1 hour' FROM e)""".stripMargin,
+    // gaps-and-islands session reconstruction (as in window_session), kept
+    // to sessions FINALIZED by the terminal watermark: append mode emits a
+    // session once the watermark passes its end = last event + gap
+    "stream_windows_session" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |b AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '12 hours'
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM x),
+        |s AS (SELECT user_id, ts, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM b)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY user_id, sid
+        |HAVING MAX(ts) + INTERVAL '12 hours' <= (SELECT max(ts) - INTERVAL '1 hour' FROM x)""".stripMargin,
     // The as-of oracle is DuckDB's NATIVE ASOF JOIN — a genuinely
     // independent realization of the semantics (greatest v.us <= p.us per
     // purchase), not a re-transcription of our running-max plan.

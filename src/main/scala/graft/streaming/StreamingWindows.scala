@@ -77,6 +77,52 @@ object StreamingWindows {
     spark.table(sink)
   }
 
+  /** Session windows (12 h gap, per user) as a REAL watermarked streaming
+    * query — the stateful shape tumbling can't exercise: sessions MERGE
+    * across micro-batches (an event can bridge two open sessions into
+    * one), so this drives the session-state store, not just bucket
+    * assignment. Append mode finalizes a session once the watermark
+    * passes its end (= last event + gap); at AvailableNow termination the
+    * watermark sits at max(ts) − 1 h, so the finalized set — every
+    * session whose end ≤ that — is deterministic and oracle-checkable,
+    * same contract as [[streamTumbling]].
+    */
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      s"/graft_stream_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/events"
+    stage(spark, dir, staged)
+    val sink = s"graft_stream_session_${sinkCounter.incrementAndGet()}"
+    val q = startSession(spark, staged, sink)
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** 12-hour-gap session windows per user with a 1-hour watermark, append
+    * mode into an in-memory table named `sinkName`. Output schema matches
+    * the batch twin [[graft.operators.Windows.session]].
+    */
+  def startSession(spark: SparkSession, stagedDir: String,
+                   sinkName: String): StreamingQuery = {
+    val schema = "ts timestamp, user_id bigint, event_type string, value double"
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n_events"), col("value_sum"))
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
     * append mode into an in-memory table named `sinkName`.
     */

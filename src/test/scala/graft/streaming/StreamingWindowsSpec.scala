@@ -25,4 +25,27 @@ class StreamingWindowsSpec extends SparkSpec {
     // and the watermark really held data back: strictly fewer than batch
     assert(emitted.size < batch.size)
   }
+
+  test("append-mode session windows merge across batches and match batch") {
+    val staged = java.nio.file.Files.createTempDirectory("graft-events-s").toString
+    StreamingWindows.stage(spark, sfDir, staged, nFiles = 3)
+    val q = StreamingWindows.startSession(spark, staged, "session_sink")
+    assert(q.awaitTermination(300000), "streaming query did not finish in time")
+    val emitted = spark.table("session_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(emitted.nonEmpty, "watermark must have finalized some sessions")
+    assert(emitted.size == spark.table("session_sink").count(),
+      "append mode must emit each session exactly once")
+    // Every finalized session agrees exactly with the batch twin — this is
+    // the merge proof: a session whose events span multiple micro-batches
+    // only matches batch (session_start, n_events, value_sum) if the state
+    // store merged its fragments instead of emitting them separately.
+    val batch = Windows.session(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    emitted.foreach { case (k, v) =>
+      assert(batch(k) == v, s"session $k: stream=$v batch=${batch(k)}")
+    }
+    // sessions still open at the terminal watermark were held back
+    assert(emitted.size < batch.size)
+  }
 }
