@@ -96,6 +96,7 @@ object SparkEntry {
     "window_session" -> (Windows.session _),
     "stream_windows_tumbling" -> (streaming.StreamingWindows.streamTumbling _),
     "stream_windows_session" -> (streaming.StreamingWindows.streamSession _),
+    "stream_windows_sliding" -> (streaming.StreamingWindows.streamSliding _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -513,6 +514,18 @@ object SparkEntry {
         |SELECT CAST(ws AS VARCHAR) AS window_start, event_type, n, value_sum
         |FROM b
         |WHERE ws + INTERVAL '1 hour' <= (SELECT max(ts) - INTERVAL '1 hour' FROM e)""".stripMargin,
+    // two overlapping 1h-aligned buckets per event; finalized = window
+    // end (start + 2h) at or before the terminal watermark max(ts) - 1h
+    "stream_windows_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |w AS (SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+        |                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,
+        |             value
+        |      FROM e)
+        |SELECT CAST(ws AS VARCHAR) AS window_start, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM w GROUP BY ws
+        |HAVING ws + INTERVAL '2 hours' <= (SELECT max(ts) - INTERVAL '1 hour' FROM e)""".stripMargin,
     // gaps-and-islands session reconstruction (as in window_session), kept
     // to sessions FINALIZED by the terminal watermark: append mode emits a
     // session once the watermark passes its end = last event + gap

@@ -123,6 +123,34 @@ object StreamingWindows {
       .start()
   }
 
+  /** Sliding windows (2 h length, 1 h slide — each event lands in two
+    * windows) as a watermarked append-mode streaming query, completing the
+    * tumbling/sliding/session triad. Distinct aggregation is not allowed
+    * on a streaming aggregate, so unlike the batch twin this counts events
+    * and sums value. Finalization contract as [[streamTumbling]]: windows
+    * whose END (start + 2 h) ≤ terminal watermark emit exactly once.
+    */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      s"/graft_stream_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/events"
+    stage(spark, dir, staged)
+    val sink = s"graft_stream_sliding_${sinkCounter.incrementAndGet()}"
+    val q = spark.readStream
+      .schema("ts timestamp, user_id bigint, event_type string, value double")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("window.start").cast("string").as("window_start"),
+        col("n"), col("value_sum"))
+      .writeStream.queryName(sink).format("memory")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
     * append mode into an in-memory table named `sinkName`.
     */
