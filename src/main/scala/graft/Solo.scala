@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Time individual queries in a fresh JVM, isolated like Bench isolates
+  * (resetSession between queries) — the tool for separating a genuine
+  * per-query regression from bench-session or host effects:
+  *
+  * {{{ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Solo q3_batch changelog_counts" }}}
+  *
+  * Run a name twice to see warm-vs-cold codegen cost.
+  */
 object Solo {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
