@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding_cosine" -> (Dedup.dedupEmbeddingCosine _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     // --- similarity search ---
     "ann_brute_force" -> (Similarity.annBruteForce _),
     // LSH/IVF are recall stages + exact rerank; at the fixture scale their
@@ -90,6 +91,7 @@ object SparkEntry {
     "pipeline_funnel" -> (operators.Pipelines.funnel _),
     "pipeline_split" -> (operators.Pipelines.trainValTestSplit _),
     "pipeline_sample" -> (operators.Pipelines.stratifiedSample _),
+    "pipeline_decontaminate" -> (operators.Pipelines.decontaminate _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "stream_windows_tumbling" -> (streaming.StreamingWindows.streamTumbling _),
     "stream_windows_session" -> (streaming.StreamingWindows.streamSession _),
     "stream_windows_sliding" -> (streaming.StreamingWindows.streamSliding _),
+    "stream_dedup" -> (streaming.StreamingWindows.streamDedup _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -104,8 +107,12 @@ object SparkEntry {
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
     "window_lag_lead" -> (operators.Temporal.windowLagLead _),
     "window_ntile" -> (Relational.windowNtile _),
+    "window_distribution" -> (Relational.windowDistribution _),
+    "scalar_datetime" -> (Relational.scalarDatetime _),
     // --- sketches ---
     "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
+    // --- embedding hygiene ---
+    "embed_norms" -> (operators.Similarity.embedNorms _),
   )
 
   /** Exact cosine top-K — shared by ann_brute_force and (because their
@@ -405,6 +412,21 @@ object SparkEntry {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT doc_a, doc_b, round(c, 6) AS cosine FROM p
         |WHERE c >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components over the near-dup pairs via recursive
+    // reachability (fixture-scale); the Spark side is min-label propagation
+    // — both assign min reachable doc_id per component
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${dedupJaccardOracle(0.8)}),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "ann_brute_force" -> annTopKOracle,
     // Same oracle as brute force: the LSH/IVF defaults are the full-recall
     // regime at verification scale, and candidates are exact-reranked, so
@@ -463,6 +485,17 @@ object SparkEntry {
         |SELECT doc_id, d.source FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < thr
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents) t),
+        |grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+        |SELECT grams.doc_id, count(DISTINCT grams.g) AS n_contaminated_grams
+        |FROM grams JOIN bench USING (g)
+        |WHERE grams.doc_id % 20 != 0
+        |GROUP BY grams.doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
         |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'
@@ -544,6 +577,10 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, sid
         |HAVING MAX(ts) + INTERVAL '12 hours' <= (SELECT max(ts) - INTERVAL '1 hour' FROM x)""".stripMargin,
+    // streaming dropDuplicates: the emitted set is exactly batch DISTINCT
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     // The as-of oracle is DuckDB's NATIVE ASOF JOIN — a genuinely
     // independent realization of the semantics (greatest v.us <= p.us per
     // purchase), not a re-transcription of our running-max plan.
@@ -583,6 +620,27 @@ object SparkEntry {
         |        CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
         |      FROM orders) t
         |GROUP BY decile""".stripMargin,
+    // percent_rank/cume_dist are tie-stable (equal keys share the value),
+    // so no row-order tiebreak is needed for determinism
+    "window_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
+    "scalar_datetime" ->
+      """SELECT o_orderkey,
+        |       CAST(EXTRACT(YEAR FROM d) AS INTEGER) AS y,
+        |       CAST(EXTRACT(MONTH FROM d) AS INTEGER) AS m,
+        |       CAST(EXTRACT(QUARTER FROM d) AS INTEGER) AS q,
+        |       CAST(EXTRACT(DAY FROM d) AS INTEGER) AS dom,
+        |       CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR) AS month_start,
+        |       CAST(last_day(d) AS VARCHAR) AS month_end,
+        |       CAST(date_diff('day', DATE '1995-01-01', d) AS INTEGER) AS days_since_95,
+        |       CAST(d + 30 AS VARCHAR) AS plus30
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin,
     "window_lag_lead" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |                  event_type, value FROM events)
@@ -606,6 +664,20 @@ object SparkEntry {
         |            ELSE 63.0 / (CAST(CAST(concat('0x', substr(hk, 1, 15)) AS BIGINT) AS DOUBLE)
         |                         / 1152921504606846976.0) END AS kmv_estimate
         |FROM k""".stripMargin,
+    // norms rounded per vector before aggregating; the mean is an exact
+    // decimal sum over those rounded values, so group stats are
+    // merge-order-independent on both engines
+    "embed_norms" ->
+      """WITH v AS (SELECT label,
+        |    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS nrm,
+        |    len(embedding) AS dim
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |       count(DISTINCT dim) AS n_dims,
+        |       CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm,
+        |       min(nrm) AS min_norm,
+        |       max(nrm) AS max_norm
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
   )
 
   /** Shared oracle for the near-dup paths (exact inverted-index at 0.8,

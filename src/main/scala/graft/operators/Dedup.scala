@@ -253,4 +253,46 @@ object Dedup {
       .join(v.select(col("vec_id").as("doc_b")), col("doc_a") < col("doc_b"))
     verifyCosine(cand, v)
   }
+
+  /** Near-dup clustering: connected components over the verified
+    * MinHash-LSH pair set, labeling every clustered doc with the smallest
+    * doc_id reachable through near-dup edges (the canonical keeper) and
+    * its component size — the step that turns pairwise dedup output into
+    * keep-one-per-group decisions (pairs alone can't: transitive groups
+    * A~B~C must collapse to ONE keeper even when A~C was never a pair).
+    *
+    * Scale design: Pregel-style min-label propagation over the edge set,
+    * which is tiny relative to the corpus (only docs in some near-dup
+    * pair). Each round is one shuffle keyed by vertex and the round count
+    * is the component diameter — near-dup chains, not corpus size. The
+    * per-round convergence check is a scalar count; no row data ever
+    * reaches the driver. localCheckpoint truncates the per-round lineage
+    * so the plan doesn't grow with rounds.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("next"))
+      val merged = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("next"), col("label"))).as("label"),
+          (col("next") < col("label")).as("moved"))
+        .localCheckpoint()
+      changed = merged.filter(col("moved")).count()
+      labels = merged.drop("moved")
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("csize"))
+      .orderBy("doc_id")
+  }
 }

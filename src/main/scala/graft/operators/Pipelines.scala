@@ -80,6 +80,30 @@ object Pipelines {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(graft.functions.TextOps.tokens)).cast("long").as("n_tokens"))
 
+  /** Benchmark decontamination: flag training-corpus docs that share any
+    * word 3-gram with a held-out benchmark set (doc_id % 20 == 0 — a
+    * deterministic 5% slice standing in for an eval suite), reporting how
+    * many distinct benchmark grams each doc leaks. The standard
+    * pretraining hygiene step (eval contamination removal) as one
+    * declarative plan.
+    *
+    * Scale design: the benchmark's distinct gram set is small by
+    * construction (eval suites are ~10⁴–10⁶ grams) and is broadcast; the
+    * corpus side is an exploded inverted index, so detection is one
+    * broadcast hash join — never a doc×doc or doc×benchmark pairwise
+    * comparison, and the corpus text itself never shuffles.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val inv = Dedup.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+    val bench = inv.filter(col("doc_id") % 20 === 0).select("g").distinct()
+    inv.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_contaminated_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified (balancing) sample: every source stratum is
     * hash-downsampled toward HALF the smallest stratum's size — the
     * mixture rebalancing step of a pretraining data recipe (half, so the

@@ -457,6 +457,39 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(20)
 
+  /** Distribution window functions (absent from the reference; SURVEY.md
+    * §2.10): percent_rank + cume_dist of each customer's balance within
+    * its market segment. Tie-stable by definition (equal balances share
+    * the value), so deterministic without a row-order tiebreak.
+    */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  /** Date/time scalar library (the reference's only date ops are parse +
+    * compare, SURVEY.md §2.7): extract fields, truncate, offset, diff —
+    * all constant-folded Catalyst date arithmetic on the scan output.
+    */
+  def scalarDatetime(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .select(
+        col("o_orderkey"),
+        year(col("d")).as("y"),
+        month(col("d")).as("m"),
+        quarter(col("d")).as("q"),
+        dayofmonth(col("d")).as("dom"),
+        trunc(col("d"), "month").cast("string").as("month_start"),
+        last_day(col("d")).cast("string").as("month_end"),
+        datediff(col("d"), to_date(lit("1995-01-01"))).as("days_since_95"),
+        date_add(col("d"), 30).cast("string").as("plus30"))
+      .orderBy("o_orderkey")
+
   /** Per-group top-k via window rank (absent from the reference;
     * SURVEY.md §2.10): top-3 orders per priority class.
     */

@@ -216,4 +216,28 @@ object Similarity {
     topK(cand.select(col("query_id"), col("neighbor_id"),
       (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
   }
+
+  /** Per-label embedding norm profile — the sanity screen that runs before
+    * any similarity work (zero, denormal, or wrong-dimension vectors poison
+    * cosine pipelines silently). One scan, codegen'd [[graft.functions
+    * .VectorExprs]] norms, partial/final hash agg. Norms are rounded per
+    * vector BEFORE aggregating and the mean is summed in exact decimal, so
+    * group stats are independent of partitioning/merge order (the property
+    * that keeps a double aggregate oracle-checkable).
+    */
+  def embedNorms(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    Tables.table(spark, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      .select(col("label"), size(col("e")).as("dim"),
+        round(graft.functions.VectorExprs.norm(col("e")), 6).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("dim")).as("n_dims"),
+        (sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_norm"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy("label")
+  }
 }

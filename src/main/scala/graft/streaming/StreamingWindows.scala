@@ -151,6 +151,32 @@ object StreamingWindows {
     spark.table(sink)
   }
 
+  /** Streaming exact deduplication: `dropDuplicates` over the staged event
+    * stream — the streaming twin of batch DISTINCT, and the shape a
+    * continuous training-data ingest runs (emit each newly-seen key once,
+    * as it arrives). State is one entry per distinct key; at production
+    * scale the bounded form is `dropDuplicatesWithinWatermark` (keys age
+    * out past the horizon) — here the unbounded form keeps the final
+    * emitted set exactly equal to batch DISTINCT, which is what the
+    * DuckDB oracle checks.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      s"/graft_stream_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/events"
+    stage(spark, dir, staged)
+    val sink = s"graft_stream_dedup_${sinkCounter.incrementAndGet()}"
+    val q = spark.readStream
+      .schema("ts timestamp, user_id bigint, event_type string, value double")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.queryName(sink).format("memory")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("user_id", "event_type")
+  }
+
   /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
     * append mode into an in-memory table named `sinkName`.
     */

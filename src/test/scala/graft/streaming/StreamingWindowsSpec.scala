@@ -48,4 +48,16 @@ class StreamingWindowsSpec extends SparkSpec {
     // sessions still open at the terminal watermark were held back
     assert(emitted.size < batch.size)
   }
+
+  test("streaming dedup emits each distinct key exactly once, equal to batch DISTINCT") {
+    val got = StreamingWindows.streamDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == got.distinct.length, "append dedup must never re-emit a key")
+    val batch = graft.sources.Tables.table(spark, sfDir, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == batch.toSet)
+    assert(got.length < graft.sources.Tables.table(spark, sfDir, "events").count(),
+      "fixture events must contain duplicates for the test to mean anything")
+  }
 }
