@@ -62,6 +62,7 @@ object SparkEntry {
     "changelog_counts" -> (streaming.StreamQueries.changelogCounts _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
+    "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
     // --- text analysis (training-data pipeline) ---
     "text_stats" -> (graft.functions.TextOps.textStats _),
     "lang_id" -> (graft.functions.TextOps.langId _),
@@ -345,6 +346,20 @@ object SparkEntry {
         |       CAST(NULL AS VARCHAR) AS o_orderpriority,
         |       CAST(NULL AS DOUBLE) AS revenue
         |WHERE 1 = 0""".stripMargin,
+    // same filters/join/revenue as Q3, different aggregation grain — the
+    // converged answer of the generic-grain incremental engine
+    "stream_agg_priority" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

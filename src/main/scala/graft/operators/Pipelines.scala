@@ -94,7 +94,12 @@ object Pipelines {
     * comparison, and the corpus text itself never shuffles.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val inv = Dedup.shingled(spark, dir)
+    // materialize the shingles BEFORE exploding (at cluster scale: a
+    // persisted gram index). Exploding the raw shingle expression re-runs
+    // the whole transform/array_distinct chain per OUTPUT row — measured
+    // 22 s vs 0.3 s on the sf0.1 fixture — and the index is read twice
+    // (benchmark + corpus branches) anyway.
+    val inv = Dedup.shingled(spark, dir).localCheckpoint()
       .select(col("doc_id"), explode(col("s")).as("g"))
     val bench = inv.filter(col("doc_id") % 20 === 0).select("g").distinct()
     inv.filter(col("doc_id") % 20 =!= 0)

@@ -60,13 +60,27 @@ object IncrementalQ3 {
 
   private val revType = "decimal(38,4)"
 
+  /** Q3's native aggregation grain. The grain is a PARAMETER of the
+    * engine, not part of it: any subset of the join output's dimension
+    * columns maintains the same way (see [[StreamQueries
+    * .priorityRevenueConverged]] for the per-priority grain — only the key
+    * list differs).
+    */
+  val DefaultAggKeys: Seq[String] =
+    Seq("l_orderkey", "o_orderdate", "o_orderpriority")
+
+  private val keyTypes: Map[String, DataType] = Map(
+    "l_orderkey" -> LongType, "o_orderkey" -> LongType,
+    "o_orderdate" -> DateType, "o_orderpriority" -> StringType)
+
   private def empty(spark: SparkSession, fields: (String, DataType)*): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(fields.map { case (n, t) => StructField(n, t) } :+
         StructField(ZSet.W, LongType)))
 
-  def init(spark: SparkSession): State = State(
+  def init(spark: SparkSession,
+           aggKeys: Seq[String] = DefaultAggKeys): State = State(
     c = empty(spark, "c_custkey" -> LongType),
     o = empty(spark, "o_orderkey" -> LongType, "o_custkey" -> LongType,
       "o_orderdate" -> DateType, "o_orderpriority" -> StringType),
@@ -74,9 +88,8 @@ object IncrementalQ3 {
       "revenue" -> DataType.fromDDL(revType)),
     co = empty(spark, "o_orderkey" -> LongType, "o_orderdate" -> DateType,
       "o_orderpriority" -> StringType),
-    agg = empty(spark, "l_orderkey" -> LongType, "o_orderdate" -> DateType,
-      "o_orderpriority" -> StringType, "revenue" -> DataType.fromDDL(revType),
-      "cnt" -> LongType))
+    agg = empty(spark, aggKeys.map(k => k -> keyTypes(k)) :+
+      ("revenue" -> DataType.fromDDL(revType)) :+ ("cnt" -> (LongType: DataType)): _*))
 
   /** Q3's pushed-down filters + projections on the delta, mirroring the
     * reference's pre-join filter placement (no_websocket.java:192–201) and
@@ -98,8 +111,12 @@ object IncrementalQ3 {
     (dC, dO, dL)
   }
 
-  /** Apply one micro-batch of raw changelog lines to the state. */
-  def step(st: State, lines: DataFrame): State = {
+  /** Apply one micro-batch of raw changelog lines to the state.
+    * `aggKeys` sets the maintained aggregate's grain (must match the
+    * `init` that produced `st`).
+    */
+  def step(st: State, lines: DataFrame,
+           aggKeys: Seq[String] = DefaultAggKeys): State = {
     // ONE pass over the raw text: parse into a cached tagged z-set, then
     // derive the three relation deltas from the cached blocks. (Checkpointing
     // the deltas individually instead would re-run the line parse once per
@@ -122,14 +139,14 @@ object IncrementalQ3 {
     val dJ = ZSet.deltaJoin(st.co, dCO, st.l, dL,
       col("o_orderkey") === col("l_orderkey"))
     val dAgg = dJ
-      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .groupBy(aggKeys.map(col): _*)
       .agg(sum(col(ZSet.W) * col("revenue")).cast(revType).as("revenue"),
         sum(col(ZSet.W)).as("cnt"))
 
     val strict = java.lang.Boolean.getBoolean("graft.strict")
     val merged0 = st.agg.unionByName(
         dAgg.withColumn(ZSet.W, lit(1L)).select(st.agg.columns.toIndexedSeq.map(col): _*))
-      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .groupBy(aggKeys.map(col): _*)
       .agg(sum(col("revenue")).cast(revType).as("revenue"), sum(col("cnt")).as("cnt"))
     // checkpoint under strict mode so the invariant count and newAgg share
     // one computation of the merge instead of running it twice
@@ -218,14 +235,15 @@ object IncrementalQ3 {
   /** Batch-simulated run: slice the generated changelog into `k`
     * trigger-ordered micro-batches and fold [[step]] over them.
     */
-  def runBatches(spark: SparkSession, events: DataFrame, k: Int): State = {
+  def runBatches(spark: SparkSession, events: DataFrame, k: Int,
+                 aggKeys: Seq[String] = DefaultAggKeys): State = {
     val tMax = events.agg(max(col("t"))).head().getLong(0)
     val batched = events.withColumn("batch",
       least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
       .localCheckpoint()
-    val fin = (0 until k).foldLeft(init(spark)) { (st, b) =>
+    val fin = (0 until k).foldLeft(init(spark, aggKeys)) { (st, b) =>
       val t0 = System.nanoTime()
-      val r = step(st, batched.filter(col("batch") === b).select("line"))
+      val r = step(st, batched.filter(col("batch") === b).select("line"), aggKeys)
       System.err.println(f"[ivm] batch $b: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }

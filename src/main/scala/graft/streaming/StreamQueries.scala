@@ -54,4 +54,19 @@ object StreamQueries {
   def q3FullCycle(spark: SparkSession, dir: String): DataFrame =
     topAsStrings(IncrementalQ3.runBatches(spark,
       Changelog.generateCached(spark, dir), K))
+
+  /** A SECOND incremental query over the same changelog — revenue per
+    * order priority — on the SAME z-set machinery: the aggregation grain
+    * is a parameter ([[IncrementalQ3.DefaultAggKeys]]), so nothing but the
+    * key list changes. Demonstrates the IVM engine is not Q3-shaped.
+    * Converged insert-only answer ≡ the batch group-sum (DuckDB oracle).
+    */
+  def priorityRevenueConverged(spark: SparkSession, dir: String): DataFrame = {
+    val st = IncrementalQ3.runBatches(spark,
+      Changelog.generateCached(spark, dir, insertOnly = true), k = 2,
+      aggKeys = Seq("o_orderpriority"))
+    st.agg
+      .select(col("o_orderpriority"), col("revenue").cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -20,12 +20,12 @@ class SnapshotsSpec extends SparkSpec {
 
   test("save/load mid-stream resumes to the exact uninterrupted answer") {
     val bs = batches(insertOnly = true, k = 4)
-    val direct = bs.foldLeft(IncrementalQ3.init(spark))(IncrementalQ3.step)
+    val direct = bs.foldLeft(IncrementalQ3.init(spark))(IncrementalQ3.step(_, _))
     val snapDir = java.nio.file.Files.createTempDirectory("graft-snap").toString
 
-    val half = bs.take(2).foldLeft(IncrementalQ3.init(spark))(IncrementalQ3.step)
+    val half = bs.take(2).foldLeft(IncrementalQ3.init(spark))(IncrementalQ3.step(_, _))
     Snapshots.save(half, snapDir)
-    val resumed = bs.drop(2).foldLeft(Snapshots.load(spark, snapDir))(IncrementalQ3.step)
+    val resumed = bs.drop(2).foldLeft(Snapshots.load(spark, snapDir))(IncrementalQ3.step(_, _))
 
     val a = IncrementalQ3.topN(direct).collect().map(_.toSeq).toSeq
     val b = IncrementalQ3.topN(resumed).collect().map(_.toSeq).toSeq
@@ -37,7 +37,7 @@ class SnapshotsSpec extends SparkSpec {
     val snapDir = java.nio.file.Files.createTempDirectory("graft-snap2").toString
     val first = IncrementalQ3.step(IncrementalQ3.init(spark), bs.head)
     Snapshots.save(first, snapDir)
-    val fin = bs.tail.foldLeft(Snapshots.load(spark, snapDir))(IncrementalQ3.step)
+    val fin = bs.tail.foldLeft(Snapshots.load(spark, snapDir))(IncrementalQ3.step(_, _))
     assert(IncrementalQ3.topN(fin).collect().isEmpty)
   }
 
