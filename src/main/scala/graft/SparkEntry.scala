@@ -93,6 +93,7 @@ object SparkEntry {
     "pipeline_split" -> (operators.Pipelines.trainValTestSplit _),
     "pipeline_sample" -> (operators.Pipelines.stratifiedSample _),
     "pipeline_decontaminate" -> (operators.Pipelines.decontaminate _),
+    "pipeline_pack" -> (operators.Pipelines.packSequences _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -511,6 +512,20 @@ object SparkEntry {
         |FROM grams JOIN bench USING (g)
         |WHERE grams.doc_id % 20 != 0
         |GROUP BY grams.doc_id ORDER BY doc_id""".stripMargin,
+    // concatenate in doc_id order, cut every 2048 tokens: a doc's sequence
+    // is where it starts; the running sum is the one order-dependent step
+    "pipeline_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |       before // 2048 AS seq_id,
+        |       before % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
         |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'

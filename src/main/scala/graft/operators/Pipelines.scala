@@ -109,6 +109,29 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the LAST step of pretraining data prep: documents
+    * are concatenated in a deterministic order (doc_id) and cut into
+    * fixed-budget training sequences; each doc is assigned the sequence
+    * where it STARTS plus its token offset inside it. One distributed
+    * running sum ([[Ranked.runningSum]]: range-partitioned sort + a
+    * per-partition-totals pass — never a single-partition global window)
+    * and a row-local bin computation, so packing a 100 TB corpus is one
+    * sort-shaped shuffle.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048L
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextOps.tokens).cast("long").as("n_tokens"))
+    Ranked.runningSum(d, Seq(col("doc_id")), col("n_tokens"), "cum")
+      .withColumn("before", col("cum") - col("n_tokens"))
+      // integer DIV, not `/` (double division — the exactness trap)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"before DIV $seqLen").as("seq_id"),
+        (col("before") % seqLen).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified (balancing) sample: every source stratum is
     * hash-downsampled toward HALF the smallest stratum's size — the
     * mixture rebalancing step of a pretraining data recipe (half, so the

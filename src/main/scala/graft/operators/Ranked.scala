@@ -30,4 +30,33 @@ object Ranked {
     }
     spark.createDataFrame(withIdx, schema)
   }
+
+  /** Append the INCLUSIVE running sum of `value` over the `order` total
+    * order as column `sumCol` — the scale-safe replacement for
+    * `sum(v).over(Window.orderBy(...))` (same single-partition wall as
+    * global rank). Two passes over one range-partitioned sort: a
+    * lightweight per-partition totals job (numShufflePartitions longs to
+    * the driver), then per-partition prefix sums shifted by the
+    * partition offsets.
+    */
+  def runningSum(df: DataFrame, order: Seq[Column], value: Column,
+                 sumCol: String = "cum"): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // checkpoint: both passes must see one materialization of the sort
+    val sorted = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _.getAs[Long]("__v")); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(sumCol, LongType, nullable = false)
+    val withSum = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = offsets(i)
+      it.map { r => s += r.getAs[Long]("__v"); Row.fromSeq(r.toSeq :+ s) }
+    }
+    spark.createDataFrame(withSum, schema).drop("__v")
+  }
 }

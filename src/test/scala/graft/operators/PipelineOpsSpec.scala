@@ -192,6 +192,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("pack: distributed running sum equals sequential concatenate-and-cut") {
+    val rows = Pipelines.packSequences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // sequential replay: docs concatenated in doc_id order, cut every 2048
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (id, n, seqId, off) =>
+      assert(seqId == cum / 2048 && off == cum % 2048, s"doc $id misplaced")
+      cum += n
+    }
+    // multiple sequences actually produced, and offsets stay in budget
+    assert(rows.map(_._3).distinct.length > 1)
+    assert(rows.forall(r => r._4 >= 0 && r._4 < 2048))
+  }
+
   test("text stats: ratios in [0,1], fingerprints are hex md5") {
     val rows = graft.functions.TextOps.textStats(spark, sfDir).collect()
     rows.foreach { r =>
