@@ -37,6 +37,7 @@ object SparkEntry {
     "join_anti" -> (Relational.joinAnti _),
     "join_outer" -> (Relational.joinOuter _),
     "join_skew_salted" -> (Relational.joinSkewSalted _),
+    "join_bucketed" -> (Relational.joinBucketed _),
     // --- §2.5 aggregations ---
     "agg_group_sum" -> (Relational.aggGroupSum _),
     "agg_stats" -> (Relational.aggStats _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
     // --- embedding hygiene ---
     "embed_norms" -> (operators.Similarity.embedNorms _),
+    "embed_quantize" -> (operators.Similarity.embedQuantize _),
   )
 
   /** Exact cosine top-K — shared by ann_brute_force and (because their
@@ -193,6 +195,14 @@ object SparkEntry {
         |JOIN (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id) u
         |  ON e.user_id = u.user_id
         |GROUP BY e.event_type""".stripMargin,
+    // the bucketed tables are a physical-layout detail; logically it is
+    // the plain orders⋈lineitem join
+    "join_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -708,6 +718,22 @@ object SparkEntry {
         |       min(nrm) AS min_norm,
         |       max(nrm) AS max_norm
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    // floor(x/scale + 0.5), not round(): banker's-vs-half-up rounding of
+    // negative halves differs between engines, floor on doubles does not.
+    // max is order-insensitive so the per-vector folds agree exactly.
+    "embed_quantize" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT label, e,
+        |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM v),
+        |r AS (SELECT label,
+        |    round(list_max(list_transform(e,
+        |      x -> abs(x - floor(x / scale + 0.5) * scale))), 9) AS err
+        |  FROM s)
+        |SELECT label, count(*) AS n,
+        |       CAST(SUM(CAST(err AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_max_err,
+        |       max(err) AS worst_err
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
   )
 
   /** Shared oracle for the near-dup paths (exact inverted-index at 0.8,

@@ -367,6 +367,42 @@ object Relational {
         max(col("user_events")).as("max_user_events"))
   }
 
+  /** The orders⋈lineitem join over BUCKETED tables — the co-located-join
+    * strategy the brief's 100 TB story names: both sides are written
+    * `bucketBy(8, key).sortBy(key)`, so the sort-merge join reads
+    * bucket-aligned files and plans ZERO Exchange below the join. The
+    * shuffle happened once, at write time; every subsequent join on that
+    * key is shuffle-free (RelationalSpec asserts the no-Exchange
+    * property on this frame's physical plan).
+    */
+  private[operators] def bucketedJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Integer.toHexString(dir.hashCode)
+    val (ot, lt) = (s"orders_bkt_$tok", s"lineitem_bkt_$tok")
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_bkt_${spark.sparkContext.applicationId}"
+    def stage(name: String, df: DataFrame, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite").option("path", s"$base/$name")
+        .bucketBy(8, key).sortBy(key).saveAsTable(name)
+    }
+    stage(ot, t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    stage(lt, t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
+    spark.table(ot).hint("merge")
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+  }
+
+  /** Driver query over [[bucketedJoinFrame]]: per-priority lineitem count
+    * and revenue. The aggregation's partial/final exchange is the ONLY
+    * shuffle in the whole plan.
+    */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame =
+    bucketedJoinFrame(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
   /** Exact percentiles (linear interpolation) of event values per type —
     * the distribution profiling every data-quality pass needs. Spark
     * `percentile` and DuckDB `quantile_cont` share the interpolation rule.

@@ -217,6 +217,38 @@ object Similarity {
       (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
   }
 
+  /** Symmetric int8 quantization profile — the storage decision for an
+    * embedding corpus at 100 TB (float32 → int8 is the 4× shrink every
+    * large vector store takes; the question is the reconstruction error).
+    * Per vector: scale = max|x|/127, q_i = floor(x_i/scale + 0.5)
+    * (explicit floor(+0.5), NOT round(): both engines define floor on
+    * doubles identically, while banker's-vs-half-up rounding of negative
+    * halves differs); error = max_i |x_i − q_i·scale|. Rolled up per
+    * label with the same rounded-before-aggregation discipline as
+    * [[embedNorms]]. Everything is codegen'd higher-order expressions on
+    * one scan — quantization is embarrassingly row-local, which is the
+    * scale story.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("e")
+    val scale =
+      greatest(expr("aggregate(e, 0.0d, (a, x) -> greatest(a, abs(x)))"),
+        lit(1e-30)) / 127.0
+    Tables.table(spark, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", scale)
+      .withColumn("err",
+        expr("aggregate(zip_with(e, transform(e, x -> floor(x / scale + 0.5d)), " +
+          "(x, q) -> abs(x - q * scale)), 0.0d, (a, d) -> greatest(a, d))"))
+      .select(col("label"), round(col("err"), 9).as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("err").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+          .as("avg_max_err"),
+        max(col("err")).as("worst_err"))
+      .orderBy("label")
+  }
+
   /** Per-label embedding norm profile — the sanity screen that runs before
     * any similarity work (zero, denormal, or wrong-dimension vectors poison
     * cosine pipelines silently). One scan, codegen'd [[graft.functions

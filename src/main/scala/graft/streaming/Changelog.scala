@@ -205,13 +205,24 @@ object Changelog {
     * z-set: `(relation, __w, fields…)` with `__w = +1` for Insert, `−1` for
     * Delete — the signed-weight encoding that replaces the reference's
     * `StreamEvent.action` string (no_websocket.java:60–86).
+    *
+    * Malformed lines (wrong sign or unknown relation tag) are DROPPED,
+    * matching the reference's parse-error tolerance (its sources skip
+    * unparseable rows, no_websocket.java:281–320) — without the guard a
+    * garbage line would silently become a spurious DELETE and poison the
+    * retraction algebra. Two codegen'd predicates on the 3-char header;
+    * no measurable cost next to the field split.
     */
   def parse(lines: DataFrame): DataFrame = {
     val c = if (lines.columns.contains("line")) col("line") else col("value")
-    lines.select(
-      when(substring(c, 1, 1) === "+", 1L).otherwise(-1L).as(ZSet.W),
-      substring(c, 2, 2).as("tag"),
-      split(substring(c, 5, Int.MaxValue), "\\|").as("fs"))
+    lines
+      .filter(substring(c, 1, 1).isin("+", "-") &&
+        substring(c, 2, 2).isin("CU", "OR", "LI") &&
+        substring(c, 4, 1) === "|")
+      .select(
+        when(substring(c, 1, 1) === "+", 1L).otherwise(-1L).as(ZSet.W),
+        substring(c, 2, 2).as("tag"),
+        split(substring(c, 5, Int.MaxValue), "\\|").as("fs"))
   }
 
   private def typed(parsed: DataFrame, tag: String, cols: Seq[(String, String)]): DataFrame =

@@ -207,6 +207,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => r._4 >= 0 && r._4 < 2048))
   }
 
+  test("quantize: int8 reconstruction error bounded by scale/2") {
+    import graft.sources.Tables
+    val rows = Similarity.embedQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // global bound: err <= scale/2 = max|x|/254 per vector; check against
+    // the corpus-wide max component (a loose but engine-independent bound)
+    val maxAbs = Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("array_max(transform(cast(embedding as array<double>), x -> abs(x))) as m")
+      .agg(max("m")).head.getDouble(0)
+    rows.foreach { r =>
+      val (avg, worst) = (r.getAs[Double]("avg_max_err"), r.getAs[Double]("worst_err"))
+      assert(avg >= 0 && avg <= worst)
+      assert(worst <= maxAbs / 254.0 + 1e-9, s"worst=$worst exceeds scale/2 bound")
+    }
+  }
+
   test("text stats: ratios in [0,1], fingerprints are hex md5") {
     val rows = graft.functions.TextOps.textStats(spark, sfDir).collect()
     rows.foreach { r =>

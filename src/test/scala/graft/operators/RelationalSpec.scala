@@ -92,6 +92,22 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("bucketed join plans zero Exchange below the join") {
+    val j = Relational.bucketedJoinFrame(spark, sfDir)
+    assert(j.count() > 0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must be shuffle-free:\n$plan")
+    // and the answer is the plain join's answer
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val expected = Tables.table(spark, sfDir, "orders")
+      .join(Tables.table(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(j.count() == expected)
+  }
+
   test("csv source drops malformed rows (the reference's bad-row skipping)") {
     import graft.sources.{Csv, Tables}
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString

@@ -41,6 +41,15 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("parser drops malformed lines instead of minting spurious deletes") {
+    import spark.implicits._
+    val good = Seq("+CU|1|Name|7|100.00|BUILDING", "-LI|1|2|3|4|1.00|2.00|0.10|0.05|N|O|1995-01-01")
+    val bad = Seq("", "garbage", "xCU|1|oops", "+XX|1|unknown tag", "+CU_missing pipe")
+    val parsed = Changelog.parse((good ++ bad).toDF("line")).collect()
+    assert(parsed.length == good.length, "only well-formed lines survive")
+    assert(parsed.map(_.getAs[Long](ZSet.W)).sorted.toSeq == Seq(-1L, 1L))
+  }
+
   test("converged insert-only stream == batch Q3 (exact)") {
     val got = StreamQueries.q3Converged(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(got == batchQ3AsStrings)
