@@ -42,6 +42,18 @@ final class JsonPushSink(port: Int = 0, wsPort: Int = 0) {
 
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // minimal built-in live view (the reference ships a 1,249-line
+    // Chart.js/D3 dashboard, simple_index.html — presentation-layer; this
+    // hand-written page renders the same two message types as a plain
+    // table + thread grid over the same WebSocket, falling back to SSE)
+    s.createContext("/", (ex: HttpExchange) => {
+      val body = JsonPushSink.dashboardHtml(boundWsPort)
+        .getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
     s.createContext("/top", (ex: HttpExchange) => {
       val body = latest.get().getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -230,6 +242,43 @@ object JsonPushSink {
     * micro-batch machinery (on a real cluster this panel would read
     * `SparkStatusTracker` instead — executors are processes, not threads).
     */
+  /** Built-in live view: top-20 table + engine-thread grid, consuming the
+    * exact message contract (`{timestamp,data:[…]}` and
+    * `{type:"threads",…}`). WebSocket first, SSE `/watch` fallback.
+    */
+  def dashboardHtml(wsPort: Int): String =
+    s"""<!doctype html><html><head><meta charset="utf-8"><title>graft live top-20</title>
+      |<style>
+      | body{font-family:monospace;margin:2em;background:#111;color:#ddd}
+      | table{border-collapse:collapse;margin-top:1em}
+      | td,th{border:1px solid #444;padding:2px 10px;text-align:right}
+      | th{background:#222} td:first-child,th:first-child{text-align:center}
+      | #threads span{display:inline-block;margin:2px;padding:2px 6px;border:1px solid #333}
+      | .important{color:#7c7} .state{color:#888}
+      |</style></head><body>
+      |<h3>graft - live TPC-H Q3 top-20 <small id="ts"></small></h3>
+      |<table id="top"><thead><tr><th>rank</th><th>orderkey</th><th>revenue</th>
+      |<th>orderdate</th><th>shippriority</th></tr></thead><tbody></tbody></table>
+      |<h4>engine threads</h4><div id="threads"></div>
+      |<script>
+      |function render(m){
+      | if(m.type==='threads'){
+      |  document.getElementById('threads').innerHTML=m.data.map(function(t){
+      |   return '<span class="'+t.type+'">'+t.name+' <span class="state">'+t.state+
+      |          ' cpu '+t.cpuTime+'ms</span></span>';}).join('');
+      |  return;}
+      | document.getElementById('ts').textContent=new Date(m.timestamp).toISOString();
+      | document.querySelector('#top tbody').innerHTML=m.data.map(function(r){
+      |  return '<tr><td>'+r.rank+'</td><td>'+r.orderkey+'</td><td>'+r.revenue.toFixed(2)+
+      |         '</td><td>'+r.orderdate+'</td><td>'+r.shippriority+'</td></tr>';}).join('');
+      |}
+      |function sse(){var es=new EventSource('/watch');
+      | es.onmessage=function(e){render(JSON.parse(e.data));};}
+      |try{var ws=new WebSocket('ws://'+location.hostname+':$wsPort');
+      | ws.onmessage=function(e){render(JSON.parse(e.data));};
+      | ws.onerror=sse;}catch(e){sse();}
+      |</script></body></html>""".stripMargin
+
   def threadsMessage(now: java.util.Date = new java.util.Date()): String = {
     val bean = java.lang.management.ManagementFactory.getThreadMXBean
     var g = Thread.currentThread().getThreadGroup

@@ -31,6 +31,11 @@ class JsonPushSinkSpec extends SparkSpec {
       assert(body.contains(""""orderkey":""") && body.contains(""""shippriority":"""))
       // well-formed JSON with exactly the emitted number of entries
       assert(body.split("\\{\"rank\":").length - 1 == rows.length)
+      // built-in dashboard: served at /, wired to THIS sink's WS port,
+      // and rendering both message types of the contract
+      val html = get(s"http://127.0.0.1:${sink.boundPort}/")
+      assert(html.contains(s":${sink.boundWsPort}'") && html.contains("/watch"))
+      assert(html.contains("threads") && html.contains("rank"))
     } finally sink.stop()
   }
 
