@@ -44,6 +44,8 @@ sys.props.toSeq.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" } 
 // (e.g. a malformed changelog leaving revenue residue in a zero-count
 // group) fail loudly instead of being silently compacted away.
 Test / javaOptions += "-Dgraft.strict=true"
+// If the forked test JVM ever crashes natively, keep the evidence
+Test / javaOptions += "-XX:ErrorFile=/tmp/hs_err_graft_%p.log"
 // Suites share one SparkSession (and temp views via registerAll) — run
 // them sequentially to avoid catalog races.
 Test / parallelExecution := false

@@ -38,6 +38,7 @@ object SparkEntry {
     "join_outer" -> (Relational.joinOuter _),
     "join_skew_salted" -> (Relational.joinSkewSalted _),
     "join_bucketed" -> (Relational.joinBucketed _),
+    "join_bloom_pruned" -> (Relational.joinBloomPruned _),
     // --- §2.5 aggregations ---
     "agg_group_sum" -> (Relational.aggGroupSum _),
     "agg_stats" -> (Relational.aggStats _),
@@ -195,6 +196,15 @@ object SparkEntry {
         |JOIN (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id) u
         |  ON e.user_id = u.user_id
         |GROUP BY e.event_type""".stripMargin,
+    // the Bloom prefilter only drops rows the join would drop anyway;
+    // logically it is the plain filtered join
+    "join_bloom_pruned" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate < '1996-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the bucketed tables are a physical-layout detail; logically it is
     // the plain orders⋈lineitem join
     "join_bucketed" ->

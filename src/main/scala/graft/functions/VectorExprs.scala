@@ -98,5 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv_sketch"),
       (exprs: Seq[Expression]) => KmvSketch(exprs.head, KmvSketch.DefaultK)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => BloomBuildAgg(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
   }
 }

@@ -367,6 +367,33 @@ object Relational {
         max(col("user_events")).as("max_user_events"))
   }
 
+  /** Semi-join reduction via a Bloom filter ([[graft.functions.BloomFilter]]):
+    * the selective side (pre-1996 orders, ~15% of the table) is summarized
+    * into a 128 KiB bitset in ONE distributed aggregate (merge = bitwise
+    * OR, map-side combined), and the big probe side is filtered with a
+    * codegen'd `might_contain` BEFORE its shuffle — at 100 TB the probe
+    * exchange, not the join, is the bill, and this drops ~85% of it for
+    * the cost of broadcasting 128 KiB. False positives pass the filter
+    * but not the exact join that follows, so the result is bit-exact
+    * (oracle: the plain join).
+    */
+  def joinBloomPruned(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFilter.register(spark)
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1996-01-01"))
+    // one row, 8 + numBits/8 bytes — the bounded summary a cluster would
+    // broadcast (Spark's InSubqueryExec runtime filter makes this same
+    // collect-then-reship motion for its semi-join reduction)
+    val filter = o.agg(graft.functions.BloomFilter.bloomAgg(col("o_orderkey")))
+      .head().getAs[Array[Byte]](0)
+    val li = t(spark, dir, "lineitem")
+      .filter(graft.functions.BloomFilter.mightContain(lit(filter), col("l_orderkey")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** The orders⋈lineitem join over BUCKETED tables — the co-located-join
     * strategy the brief's 100 TB story names: both sides are written
     * `bucketBy(8, key).sortBy(key)`, so the sort-merge join reads
