@@ -72,6 +72,9 @@ object SparkEntry {
     "text_frequent_tokens" -> ((s: SparkSession, d: String) =>
       graft.functions.TextOps.frequentTokens(s, d)),
     "doc_fingerprint" -> (graft.functions.TextOps.docFingerprint _),
+    "text_repetition" -> (graft.functions.TextOps.textRepetition _),
+    "text_redact_pii" -> (graft.functions.TextOps.redactPii _),
+    "text_normalize" -> (graft.functions.NfcNormalize.textNormalize _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
@@ -430,6 +433,52 @@ object SparkEntry {
         |        list_transform(range(1, greatest(length(text) - 7, 1) + 1),
         |                       i -> md5(substr(text, i::INT, 8))) AS g
         |      FROM documents) t""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS tok FROM d),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 2
+        |          THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |          ELSE [] END AS bg
+        |      FROM d)
+        |SELECT a.doc_id, a.n_tokens,
+        |       round(top_c / n_tokens, 6) AS top_token_frac,
+        |       CASE WHEN len(bg) > 0
+        |         THEN round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+        |         ELSE 0.0 END AS dup_bigram_frac
+        |FROM a JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+    // the seeding suffix must stay byte-identical to TextOps.redactPii
+    "text_redact_pii" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |         || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        |         || ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b555-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM s""".stripMargin,
+    // chr(769)/chr(771) = the combining acute/tilde the Spark side seeds
+    "text_normalize" ->
+      """WITH s AS (SELECT text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o' AS raw
+        |           FROM documents),
+        |n AS (SELECT raw, nfc_normalize(raw) AS norm FROM s)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(length(raw)) AS BIGINT) AS raw_cp,
+        |       CAST(sum(length(norm)) AS BIGINT) AS norm_cp,
+        |       CAST(sum(CASE WHEN norm != raw THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(sum(CAST(concat('0x', substr(md5(norm), 1, 15)) AS BIGINT) % 1000000000)
+        |            AS BIGINT) AS content_sum
+        |FROM n""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_unique,

@@ -168,4 +168,65 @@ object TextOps {
       array_min(grams).as("fp"),
       size(array_distinct(grams)).cast("long").as("n_grams"))
   }
+
+  /** Repetition quality signals (the Gopher/MassiveText repetition rules):
+    * most-frequent-token fraction and duplicate-bigram fraction per doc —
+    * the filters that catch boilerplate and degenerate generations.
+    *
+    * Scale shape: the token mode is explode → two-level groupBy — one row
+    * per DISTINCT (doc, token), map-side combined, never a per-row O(n²)
+    * mode scan; the bigram ratio never leaves the row (size/array_distinct
+    * on the in-row array). The explode child is the bare `split` — cheap
+    * to re-evaluate per output row, so no checkpoint is needed (unlike the
+    * expensive-chain explodes in Dedup, which pin first).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), tokens.as("w"))
+    val top = d.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).cast("long").as("n_tokens"))
+    // guard: Spark's sequence(1, n) DESCENDS for n<1 instead of emitting
+    // empty, so the 1-token doc needs the explicit branch
+    val bg = d.select(col("doc_id"),
+      when(size(col("w")) >= 2,
+        expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+        .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("doc_id"), size(col("bg")).cast("long").as("n_bg"),
+        size(array_distinct(col("bg"))).cast("long").as("n_bg_distinct"))
+    top.join(bg, "doc_id").select(
+      col("doc_id"), col("n_tokens"),
+      round(col("top_c") / col("n_tokens"), 6).as("top_token_frac"),
+      when(col("n_bg") > 0,
+        round(lit(1.0) - col("n_bg_distinct") / col("n_bg"), 6))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** PII scrubbing: count and redact emails / IPv4s / phone-shaped tokens.
+    * The fixtures deliberately carry no PII, so the query SEEDS
+    * deterministic synthetic PII from `doc_id` (the oracle seeds
+    * identically) — what is verified is the scrubber, bit-exact down to
+    * the md5 of the redacted text. Regexes stay in the Java∩RE2 dialect
+    * so Spark and DuckDB compile them identically. Pure codegen'd
+    * expressions; at scale this is a map-only pass, no shuffle.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b555-\\d{4}\\b"
+    val seeded = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"),
+      lit(" or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(seeded, email, "<EMAIL>"), ip, "<IP>"),
+      phone, "<PHONE>")
+    docs(spark, dir).select(col("doc_id"), seeded.as("t"), redacted.as("r"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(ip)).cast("long").as("n_ips"),
+        regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+        md5(col("r")).as("redacted_md5"))
+  }
 }
