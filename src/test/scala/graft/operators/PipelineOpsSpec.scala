@@ -43,8 +43,15 @@ class PipelineOpsSpec extends SparkSpec {
   test("dedup: bucketed embedding-cosine equals the all-pairs exact answer") {
     val exact = Dedup.dedupEmbeddingCosineExact(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(exact.nonEmpty, "fixtures should contain cosine near-dups")
-    val bucketed = Dedup.dedupEmbeddingCosine(spark, sfDir).collect().map(_.toSeq).toSeq
-    assert(bucketed == exact, "hyperplane-LSH candidates must have full recall on fixtures")
+    // pin BOTH strategies of the adaptive path: the LSH bucket join must
+    // have full recall, and the direct-triangle branch must agree too
+    for (path <- Seq("lsh", "exact")) {
+      System.setProperty("graft.dedup.embedding.path", path)
+      try {
+        val got = Dedup.dedupEmbeddingCosine(spark, sfDir).collect().map(_.toSeq).toSeq
+        assert(got == exact, s"$path candidates must reproduce the exact answer")
+      } finally System.clearProperty("graft.dedup.embedding.path")
+    }
   }
 
   test("dedup_exact counts are consistent") {
