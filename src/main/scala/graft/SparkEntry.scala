@@ -25,6 +25,8 @@ object SparkEntry {
     // --- §2.1 sources ---
     "source_csv_roundtrip" -> (Relational.sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (Relational.sourceJsonRoundtrip _),
+    "source_orc_roundtrip" -> (Relational.sourceOrcRoundtrip _),
+    "source_partitioned_pruning" -> (Relational.sourcePartitionedPruning _),
     // --- §2.3 projections / filters ---
     "filter_customer_segment" -> (Relational.filterCustomerSegment _),
     "filter_orders_date" -> (Relational.filterOrdersDate _),
@@ -155,6 +157,16 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT md5(text)) AS n_distinct_texts
         |FROM documents GROUP BY source, lang""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // logically a filtered aggregate; the hive-partitioned layout + prune
+    // is a physical detail (plan-asserted in RelationalSpec)
+    "source_partitioned_pruning" ->
+      """SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
     "filter_customer_segment" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,

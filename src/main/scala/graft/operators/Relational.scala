@@ -135,6 +135,46 @@ object Relational {
         countDistinct(md5(col("text"))).as("n_distinct_texts"))
   }
 
+  /** §2.1 ORC source roundtrip: stage orders as ORC and aggregate from the
+    * ORC scan (stripe-statistics pushdown works like parquet row groups);
+    * the oracle aggregates the same table from parquet, so equality proves
+    * the format path end to end including the timestamp column.
+    */
+  def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir") +
+      s"/graft_orc_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/orders"
+    graft.sources.Orc.stage(spark, dir, "orders", tmp)
+    graft.sources.Orc.read(spark, tmp, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("sum_price"),
+        max(to_date(col("o_orderdate")).cast("string")).as("max_date"))
+  }
+
+  /** §2.1 partitioned layout + partition pruning — THE 100 TB scan lever:
+    * the table is written `partitionBy(lang)` (hive-style directories), so
+    * a `lang = 'en'` predicate prunes to one directory at PLANNING time —
+    * the other partitions are never listed, opened, or read. The pruning
+    * is asserted on the physical plan in RelationalSpec (the scan's
+    * partition filters must carry the predicate); the oracle computes the
+    * same aggregate with a WHERE over the unpartitioned table.
+    */
+  def sourcePartitionedPruning(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir") +
+      s"/graft_part_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/documents"
+    t(spark, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    partitionPrunedFrame(spark, tmp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** The pruned scan itself, exposed for the plan assertion in
+    * RelationalSpec.
+    */
+  private[operators] def partitionPrunedFrame(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).filter(col("lang") === "en")
+
   /** PIVOT (beyond-parity): per-source document counts spread across an
     * EXPLICIT language column list. The explicit values list matters at
     * scale: `pivot(col)` without values runs an extra distinct-collect

@@ -100,10 +100,19 @@ object Changelog {
     // the checkpoint: an insert and its delete differ only in the sign
     // prefix, so the 11–16-column formatting work runs ONCE per row and
     // the checkpoint holds just (idx, body) instead of the raw table.
+    // Serialize the body BEFORE ranking, and rank only (orderKeys, body):
+    // globalRank's zipWithIndex leaves codegen and boxes every column per
+    // row on the way to RDD land and back — over the raw table that is 16
+    // boxed fields per lineitem; over the narrow projection it is 2–3.
+    // (Tie order among equal order-keys was scan-order before and after —
+    // nothing downstream depends on it; converged results are
+    // order-invariant.)
     def ranked(df: DataFrame, order: Seq[Column], tag: String,
                cols: Seq[(String, String)]): DataFrame =
-      graft.operators.Ranked.globalRank(df, order)
-        .select(col("idx"), concat(lit(tag), lit("|"), payload(cols)).as("body"))
+      graft.operators.Ranked.globalRank(
+          df.select(order :+ concat(lit(tag), lit("|"), payload(cols)).as("body"): _*),
+          order)
+        .select(col("idx"), col("body"))
         .localCheckpoint()
 
     def events(df: DataFrame, t: Column, subIns: Int): DataFrame = {

@@ -108,6 +108,23 @@ class RelationalSpec extends SparkSpec {
     assert(j.count() == expected)
   }
 
+  test("partitioned layout prunes non-matching partitions at planning time") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.table(spark, sfDir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val pruned = Relational.partitionPrunedFrame(spark, tmp)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    // the predicate must land in PartitionFilters (planning-time prune),
+    // NOT as a data filter evaluated over every partition's rows
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected lang in PartitionFilters:\n$scan")
+    val expected = Tables.table(spark, sfDir, "documents")
+      .filter(col("lang") === "en").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
   test("csv source drops malformed rows (the reference's bad-row skipping)") {
     import graft.sources.{Csv, Tables}
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
