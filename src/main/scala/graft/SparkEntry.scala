@@ -109,6 +109,7 @@ object SparkEntry {
     "stream_windows_session" -> (streaming.StreamingWindows.streamSession _),
     "stream_windows_sliding" -> (streaming.StreamingWindows.streamSliding _),
     "stream_dedup" -> (streaming.StreamingWindows.streamDedup _),
+    "stream_enrich_static" -> (streaming.StreamingWindows.streamEnrichStatic _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -692,6 +693,12 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // the streaming run is a stateless enrich; converged ≡ batch join
+    "stream_enrich_static" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type""".stripMargin,
     // The as-of oracle is DuckDB's NATIVE ASOF JOIN — a genuinely
     // independent realization of the semantics (greatest v.us <= p.us per
     // purchase), not a re-transcription of our running-max plan.

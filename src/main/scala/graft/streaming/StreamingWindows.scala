@@ -177,6 +177,38 @@ object StreamingWindows {
     spark.table(sink).orderBy("user_id", "event_type")
   }
 
+  /** Stream–static enrichment: the streamed events join a STATIC
+    * broadcast dimension (customer segment, keyed by the event's
+    * user_id) inside the streaming query — the canonical "enrich a
+    * stream against reference data" pattern. The join is stateless, so
+    * it needs no watermark and append mode emits each enriched event
+    * exactly once; at 100 TB/day the dimension broadcasts once per
+    * micro-batch and the stream side never shuffles. Determinism is
+    * trivial (no windowing), so the converged sink aggregates to
+    * exactly the batch join's answer (the DuckDB oracle).
+    */
+  def streamEnrichStatic(spark: SparkSession, dir: String): DataFrame = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      s"/graft_stream_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/events"
+    stage(spark, dir, staged)
+    val dim = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val sink = s"graft_stream_enrich_${sinkCounter.incrementAndGet()}"
+    val q = spark.readStream
+      .schema("ts timestamp, user_id bigint, event_type string, value double")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select("c_mktsegment", "event_type", "value")
+      .writeStream.queryName(sink).format("memory")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+  }
+
   /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
     * append mode into an in-memory table named `sinkName`.
     */

@@ -60,4 +60,20 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(got.length < graft.sources.Tables.table(spark, sfDir, "events").count(),
       "fixture events must contain duplicates for the test to mean anything")
   }
+
+  test("stream-static enrichment equals the batch join, covering every event") {
+    import org.apache.spark.sql.functions._
+    val agg = StreamingWindows.streamEnrichStatic(spark, sfDir)
+    val enriched = agg.agg(sum(col("n"))).head().getLong(0)
+    val events = graft.sources.Tables.table(spark, sfDir, "events").count()
+    // every fixture user_id has a customer row, so the inner join is total
+    assert(enriched == events, s"enriched $enriched of $events events")
+    val batch = graft.sources.Tables.table(spark, sfDir, "events")
+      .join(graft.sources.Tables.table(spark, sfDir, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+    assert(agg.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
+  }
 }
