@@ -209,11 +209,11 @@ object StreamingWindows {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
   }
 
-  /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
-    * append mode into an in-memory table named `sinkName`.
+  /** The tumbling aggregation as an unbound streaming frame — shared by
+    * the memory-sink driver query and the checkpointed file-sink recovery
+    * path (StreamingWindowsSpec), so both run the identical plan.
     */
-  def startTumbling(spark: SparkSession, stagedDir: String,
-                    sinkName: String): StreamingQuery = {
+  def tumblingFrame(spark: SparkSession, stagedDir: String): DataFrame = {
     val schema = "ts timestamp, user_id bigint, event_type string, value double"
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -224,11 +224,35 @@ object StreamingWindows {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
       .select(col("window.start").cast("string").as("window_start"),
         col("event_type"), col("n"), col("value_sum"))
+  }
+
+  /** 1-hour tumbling count/sum per event_type with a 1-hour watermark,
+    * append mode into an in-memory table named `sinkName`.
+    */
+  def startTumbling(spark: SparkSession, stagedDir: String,
+                    sinkName: String): StreamingQuery =
+    tumblingFrame(spark, stagedDir)
       .writeStream
       .queryName(sinkName)
       .format("memory")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-  }
+
+  /** Checkpointed file-sink variant: offsets + window state + the file
+    * sink's commit log all live under `ckpt`, so a stopped query RESUMES
+    * — already-committed batches are not re-emitted (exactly-once at the
+    * sink) and the watermark/state pick up where they left off. This is
+    * the operability path a long-running deployment uses.
+    */
+  def startTumblingCheckpointed(spark: SparkSession, stagedDir: String,
+                                ckpt: String, outDir: String): StreamingQuery =
+    tumblingFrame(spark, stagedDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet")
+      .option("path", outDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

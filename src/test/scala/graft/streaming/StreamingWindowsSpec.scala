@@ -61,6 +61,54 @@ class StreamingWindowsSpec extends SparkSpec {
       "fixture events must contain duplicates for the test to mean anything")
   }
 
+  test("checkpointed tumbling query resumes after a stop: kill-and-resume ≡ uninterrupted") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft-recover").toString
+    val staged = s"$base/events"
+    StreamingWindows.stage(spark, sfDir, staged)
+    // uninterrupted twin: all files, one run, its own checkpoint
+    val q0 = StreamingWindows.startTumblingCheckpointed(
+      spark, staged, s"$base/ckpt_full", s"$base/out_full")
+    q0.awaitTermination()
+    val full = spark.read.parquet(s"$base/out_full").collect().map(_.toSeq).toSet
+    assert(full.nonEmpty)
+
+    // interrupted run: only chunk1 visible, query drains it and STOPS
+    // (AvailableNow terminates at end-of-available = the crash stand-in)
+    val hidden = Files.createDirectory(Paths.get(s"$base/hidden"))
+    val later = Files.list(Paths.get(staged)).iterator().asScala.toSeq
+      .filter(p => !p.getFileName.toString.startsWith("chunk1-"))
+    later.foreach { p =>
+      val dest = hidden.resolve(p.getFileName)
+      val t = Files.getLastModifiedTime(p)
+      Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, t) // mtimes encode event order
+    }
+    val q1 = StreamingWindows.startTumblingCheckpointed(
+      spark, staged, s"$base/ckpt", s"$base/out")
+    q1.awaitTermination()
+    val partial = spark.read.parquet(s"$base/out").collect().map(_.toSeq).toSet
+    assert(partial.nonEmpty && partial != full,
+      "the interrupted run must have committed a strict subset")
+
+    // "restart": the rest of the stream arrives, a NEW query resumes from
+    // the same checkpoint — offsets skip chunk1, state + watermark resume
+    later.foreach { p =>
+      val src = hidden.resolve(p.getFileName)
+      val t = Files.getLastModifiedTime(src)
+      Files.move(src, p, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(p, t)
+    }
+    val q2 = StreamingWindows.startTumblingCheckpointed(
+      spark, staged, s"$base/ckpt", s"$base/out")
+    q2.awaitTermination()
+    val resumed = spark.read.parquet(s"$base/out").collect().map(_.toSeq).toSet
+    assert(resumed == full,
+      s"kill-and-resume must equal the uninterrupted run " +
+        s"(resumed ${resumed.size} vs full ${full.size} rows)")
+  }
+
   test("stream-static enrichment equals the batch join, covering every event") {
     import org.apache.spark.sql.functions._
     val agg = StreamingWindows.streamEnrichStatic(spark, sfDir)
