@@ -107,13 +107,20 @@ object Changelog {
     // (Tie order among equal order-keys was scan-order before and after —
     // nothing downstream depends on it; converged results are
     // order-invariant.)
+    // The pin exists for the two-phase stream: insert AND delete branches
+    // both read the ranked frame, and an unpinned zipWithIndex could
+    // assign different ranks per scan. Insert-only generation consumes
+    // each ranked frame exactly once, so the pin is pure materialization
+    // cost there — skipped (callers that re-scan the insert-only result
+    // checkpoint it themselves, e.g. generateCached).
     def ranked(df: DataFrame, order: Seq[Column], tag: String,
-               cols: Seq[(String, String)]): DataFrame =
-      graft.operators.Ranked.globalRank(
+               cols: Seq[(String, String)]): DataFrame = {
+      val r = graft.operators.Ranked.globalRank(
           df.select(order :+ concat(lit(tag), lit("|"), payload(cols)).as("body"): _*),
           order)
         .select(col("idx"), col("body"))
-        .localCheckpoint()
+      if (insertOnly) r else r.localCheckpoint()
+    }
 
     def events(df: DataFrame, t: Column, subIns: Int): DataFrame = {
       val ins = df.select(t.as("t"), lit(subIns).as("sub"), col("idx"),

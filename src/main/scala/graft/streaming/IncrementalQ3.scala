@@ -238,16 +238,18 @@ object IncrementalQ3 {
   def runBatches(spark: SparkSession, events: DataFrame, k: Int,
                  aggKeys: Seq[String] = DefaultAggKeys): State = {
     val tMax = events.agg(max(col("t"))).head().getLong(0)
+    // NO re-checkpoint here: both call sites (generateCached, StreamBench)
+    // hand over an already-pinned frame, and the batch column is a trivial
+    // projection per cached scan — re-materializing millions of lines just
+    // to attach it cost more than every per-batch filter combined.
     val batched = events.withColumn("batch",
       least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
-      .localCheckpoint()
     val fin = (0 until k).foldLeft(init(spark, aggKeys)) { (st, b) =>
       val t0 = System.nanoTime()
       val r = step(st, batched.filter(col("batch") === b).select("line"), aggKeys)
       System.err.println(f"[ivm] batch $b: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
-    batched.unpersist(blocking = false)
     fin
   }
 }
