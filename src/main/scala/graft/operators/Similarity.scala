@@ -208,20 +208,27 @@ object Similarity {
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.dot
-    val v = vectors(spark, dir)
-      .select(col("vec_id") +: col("e") +: col("nrm") +: bucketCols: _*)
-    val flat = v.select(col("vec_id"), col("e"), col("nrm"),
-      posexplode(array((0 until NumTables).map(t => col(s"bucket$t")): _*)))
-      .toDF("vec_id", "e", "nrm", "table", "bucket")
-    val q = flat.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+    // candidates-then-verify over IDS ONLY (the same discipline as the
+    // dedup family): the bucket join and its dedup shuffle (query_id,
+    // vec_id) pairs of longs — never the 64-dim payloads, which re-join
+    // by id once, after candidate generation. The earlier form exploded
+    // payload-carrying rows 28× and ran distinct() over array columns.
+    val v = vectors(spark, dir).localCheckpoint()
+    val ids = bucketedIds(v)
+    val qids = ids.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
         col("table").as("qt"), col("bucket").as("qb"))
-    val cand = flat.join(q,
+    val candIds = ids.join(qids,
         col("table") === col("qt") && col("bucket") === col("qb") &&
           col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("qe"), col("e"), col("qn"), col("nrm"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val cand = candIds
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          col("e").as("qe"), col("nrm").as("qn"))), "query_id")
     topK(cand.select(col("query_id"), col("neighbor_id"),
       (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
   }
