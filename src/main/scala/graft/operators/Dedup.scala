@@ -250,17 +250,23 @@ object Dedup {
     // triangle directly is strictly cheaper — same exact verify either
     // way, so the answer is identical; only the plan changes. (Forced via
     // graft.dedup.embedding.path=lsh|exact for tests.)
-    val hist = ids.groupBy(col("table"), col("bucket")).count()
-    val candEst = hist.agg(sum(col("count") * (col("count") - 1) / 2))
-      .head().getDouble(0)
-    val n = v.count()
-    val triangle = n.toDouble * (n - 1) / 2
-    val path = sys.props.getOrElse("graft.dedup.embedding.path",
-      if (candEst >= triangle / 2) "exact" else "lsh")
+    // forced path (tests) skips the measurement jobs entirely
+    val path = sys.props.getOrElse("graft.dedup.embedding.path", {
+      val hist = ids.groupBy(col("table"), col("bucket")).count()
+      // counts cast to double BEFORE multiplying: c·(c−1) on longs wraps
+      // silently past c ≈ 3·10⁹ — exactly the degenerate-bucket scale
+      // this estimate exists to catch. coalesce covers the empty corpus
+      // (sum over zero rows is NULL).
+      val candEst = hist
+        .agg(coalesce(sum(col("count").cast("double") * (col("count") - 1) / 2),
+          lit(0.0)))
+        .head().getDouble(0)
+      val n = v.count()
+      val triangle = n.toDouble * (n - 1) / 2
+      if (triangle == 0 || candEst >= triangle / 2) "exact" else "lsh"
+    })
     val cand =
-      if (path == "exact")
-        v.select(col("vec_id").as("doc_a"))
-          .join(v.select(col("vec_id").as("doc_b")), col("doc_a") < col("doc_b"))
+      if (path == "exact") trianglePairs(v)
       else
         ids.as("x").join(ids.as("y"),
             col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
@@ -270,14 +276,19 @@ object Dedup {
     verifyCosine(cand, v)
   }
 
+  /** The all-pairs upper triangle over `v` — shared by the adaptive
+    * direct branch and the exact oracle twin, so they cannot diverge.
+    */
+  private def trianglePairs(v: DataFrame): DataFrame =
+    v.select(col("vec_id").as("doc_a"))
+      .join(v.select(col("vec_id").as("doc_b")), col("doc_a") < col("doc_b"))
+
   /** All-pairs upper-triangle form — the exact oracle twin of
     * [[dedupEmbeddingCosine]] (recall-independent; O(n²), test scale only).
     */
   def dedupEmbeddingCosineExact(spark: SparkSession, dir: String): DataFrame = {
     val v = Similarity.vectors(spark, dir)
-    val cand = v.select(col("vec_id").as("doc_a"))
-      .join(v.select(col("vec_id").as("doc_b")), col("doc_a") < col("doc_b"))
-    verifyCosine(cand, v)
+    verifyCosine(trianglePairs(v), v)
   }
 
   /** Near-dup clustering: connected components over the verified

@@ -47,12 +47,20 @@ final class JsonPushSink(port: Int = 0, wsPort: Int = 0) {
     // hand-written page renders the same two message types as a plain
     // table + thread grid over the same WebSocket, falling back to SSE)
     s.createContext("/", (ex: HttpExchange) => {
-      val body = JsonPushSink.dashboardHtml(boundWsPort)
-        .getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
-      ex.sendResponseHeaders(200, body.length)
-      ex.getResponseBody.write(body)
-      ex.close()
+      // "/" is the JDK server's catch-all context: answer only the root
+      // path itself and 404 the rest, or every typo'd endpoint would get
+      // a 200 with an HTML body
+      if (ex.getRequestURI.getPath != "/") {
+        ex.sendResponseHeaders(404, -1)
+        ex.close()
+      } else {
+        val body = JsonPushSink.dashboardHtml(boundWsPort)
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
     })
     s.createContext("/top", (ex: HttpExchange) => {
       val body = latest.get().getBytes(StandardCharsets.UTF_8)

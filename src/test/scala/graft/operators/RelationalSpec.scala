@@ -116,10 +116,11 @@ class RelationalSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("lang").parquet(tmp)
     val pruned = Relational.partitionPrunedFrame(spark, tmp)
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
-    // the predicate must land in PartitionFilters (planning-time prune),
-    // NOT as a data filter evaluated over every partition's rows
-    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
-      s"expected lang in PartitionFilters:\n$scan")
+    // the predicate must land INSIDE the PartitionFilters list (planning-
+    // time prune), NOT as a data filter over every partition's rows — an
+    // empty "PartitionFilters: []" with lang only in Output must fail
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan).isDefined,
+      s"expected lang inside PartitionFilters:\n$scan")
     val expected = Tables.table(spark, sfDir, "documents")
       .filter(col("lang") === "en").count()
     assert(pruned.count() == expected && expected > 0)

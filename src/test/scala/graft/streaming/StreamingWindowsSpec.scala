@@ -77,8 +77,10 @@ class StreamingWindowsSpec extends SparkSpec {
     // interrupted run: only chunk1 visible, query drains it and STOPS
     // (AvailableNow terminates at end-of-available = the crash stand-in)
     val hidden = Files.createDirectory(Paths.get(s"$base/hidden"))
-    val later = Files.list(Paths.get(staged)).iterator().asScala.toSeq
-      .filter(p => !p.getFileName.toString.startsWith("chunk1-"))
+    val later = scala.util.Using.resource(Files.list(Paths.get(staged))) {
+      _.iterator().asScala.toSeq
+        .filter(p => !p.getFileName.toString.startsWith("chunk1-"))
+    }
     later.foreach { p =>
       val dest = hidden.resolve(p.getFileName)
       val t = Files.getLastModifiedTime(p)
