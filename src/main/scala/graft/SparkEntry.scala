@@ -101,6 +101,7 @@ object SparkEntry {
     "pipeline_sample" -> (operators.Pipelines.stratifiedSample _),
     "pipeline_decontaminate" -> (operators.Pipelines.decontaminate _),
     "pipeline_pack" -> (operators.Pipelines.packSequences _),
+    "pipeline_cdc_upsert" -> (operators.Pipelines.cdcUpsert _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -608,6 +609,17 @@ object SparkEntry {
         |       before // 2048 AS seq_id,
         |       before % 2048 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // same deterministic change derivation; upsert ≡ changes ∪ untouched base
+    "pipeline_cdc_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+        |         CAST(1 AS BIGINT) AS version
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT * FROM changes
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, CAST(0 AS BIGINT) AS version
+        |FROM orders b
+        |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
         |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'

@@ -156,4 +156,25 @@ object Pipelines {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
+
+  /** CDC upsert compaction — latest-version-per-key, the operation every
+    * dataset-versioning/lakehouse flow runs (MERGE's read side). The
+    * change set is derived deterministically from the base table (every
+    * 10th order re-priced), and compaction is expressed as
+    * `changes ∪ (base ⟕anti changes)` — the scale-right MERGE shape: one
+    * hash (anti-)join on the key, no wide aggregation of full rows, no
+    * window sort. With a broadcast-size change set (the common case:
+    * deltas ≪ base) the base side never shuffles at all.
+    */
+  def cdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), lit(0L).as("version"))
+    val changes = Tables.table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"), lit(1L).as("version"))
+    val kept = base.join(broadcast(changes.select(col("o_orderkey").as("ck"))),
+      col("o_orderkey") === col("ck"), "left_anti")
+    changes.unionByName(kept)
+  }
 }
