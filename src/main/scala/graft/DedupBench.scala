@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** MinHash+LSH dedup throughput at a scaled corpus — the dedup-family
+  * counterpart of [[StreamBench]]: key-shift `scale` copies of the sf0.1
+  * documents into a larger corpus and run the full shingle → signature →
+  * band join → exact-verify pipeline.
+  *
+  * Each copy rewrites every token bijectively (`t → t + "x<i>"`), which
+  * preserves every within-copy Jaccard EXACTLY (so each copy reproduces
+  * the base corpus's pair set verbatim — the honest linear scale-up: 10×
+  * docs, 10× dup pairs) while making cross-copy shingle overlap zero.
+  * The run self-checks both: no emitted pair crosses copies, and every
+  * copy yields the identical pair count.
+  *
+  * NOT copy-shared salt tokens: 35 appended tokens shared by a whole
+  * copy put the shared shingles into ~25 % of each doc's MinHash slots,
+  * so ~6 % of a copy's docs get a fully salt-determined band value and
+  * collapse into one giant bucket — measured 80 docs/s (627 s at 10×)
+  * from the O(bucket²) candidate blowup, vs 5,000+ docs/s with the
+  * bijective rewrite. The exact verify made the degenerate run CORRECT
+  * (same pair set) — only the candidate stage degraded, which is the
+  * whole reason the engine separates recall from verification.
+  *
+  * {{{ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.DedupBench 10" }}}
+  */
+object DedupBench {
+
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val off = 1000000000L
+    val base = Tables.table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val scaled = (0 until scale).map { i =>
+      base.select((col("doc_id") + lit(i * off)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"))
+    }.reduce(_ unionByName _)
+
+    val t0 = System.nanoTime()
+    val sh = Dedup.shingledDocs(scaled).localCheckpoint()
+    val nDocs = sh.count()
+    val pairs = Dedup.minhashLshPairs(sh).localCheckpoint()
+    val nPairs = pairs.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val cross = pairs
+      .filter(expr(s"doc_a DIV $off") =!= expr(s"doc_b DIV $off")).count()
+    require(cross == 0, s"$cross cross-copy pairs leaked past the salt")
+    val perCopy = pairs.groupBy(expr(s"doc_a DIV $off").as("copy"))
+      .count().select(countDistinct(col("count"))).head().getLong(0)
+    require(scale == 1 || perCopy == 1,
+      "every rewritten copy must yield the identical pair count")
+    // the token rewrite is a bijection on shingles, so jaccard — and the
+    // emitted pair set — is preserved per copy exactly
+    val basePairs = Dedup.minhashLshPairs(
+      Dedup.shingledDocs(base).localCheckpoint()).count()
+    require(nPairs == scale * basePairs,
+      s"expected ${scale}×$basePairs pairs, got $nPairs")
+
+    println(f"""{"metric":"dedup_docs_per_sec","value":${nDocs / sec}%.0f,"unit":"docs/sec","docs":$nDocs,"pairs":$nPairs,"seconds":$sec%.1f,"scale":$scale}""")
+    spark.stop()
+  }
+}

@@ -32,7 +32,14 @@ object Dedup {
 
   /** Distinct word 3-gram shingles per doc: `(doc_id, shingles)`. */
   def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "documents")
+    shingledDocs(Tables.table(spark, dir, "documents"))
+
+  /** [[shingled]] over an explicit `(doc_id, text)` frame (scale-up
+    * harnesses build synthetic larger corpora and dedup them through the
+    * same operators — see `graft.DedupBench`).
+    */
+  def shingledDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), when(size(col("w")) >= 3,
           array_distinct(expr(
@@ -112,9 +119,19 @@ object Dedup {
     * The 100 TB path: signatures are 32 longs per doc; the shuffle is on
     * (band, bandHash) — near-dup buckets only.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).localCheckpoint()
-    val sig = minhashSignatures(sh)
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(shingled(spark, dir).localCheckpoint())
+      .orderBy("doc_a", "doc_b")
+
+  /** The MinHash+LSH pair pipeline over a PINNED shingle frame — shared
+    * by the driver query and the scale harness (`graft.DedupBench`).
+    */
+  def minhashLshPairs(sh: DataFrame): DataFrame = {
+    // pin the signatures BEFORE banding: posexplode over the computed
+    // band array re-evaluates its element expressions per OUTPUT row,
+    // i.e. 16 bands × the full 32-hash aggregate fold (same trap as
+    // Similarity.bucketedIds); pinned, the explode reads 32 plain longs
+    val sig = minhashSignatures(sh).localCheckpoint()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         hash(col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))): _*)))
@@ -124,7 +141,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyCandidates(cand, sh, JaccardThreshold).orderBy("doc_a", "doc_b")
+    verifyCandidates(cand, sh, JaccardThreshold)
   }
 
   private val SimBits = 64

@@ -54,6 +54,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bijective token rewrite keeps minhash dedup pairs within-copy (DedupBench invariant)") {
+    import org.apache.spark.sql.functions._
+    val off = 1000000000L
+    val base = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val scaled = (0 until 2).map { i =>
+      base.select((col("doc_id") + lit(i * off)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"))
+    }.reduce(_ unionByName _)
+    val pairs = Dedup.minhashLshPairs(Dedup.shingledDocs(scaled).localCheckpoint())
+      .localCheckpoint()
+    assert(pairs.filter(
+      expr(s"doc_a DIV $off") =!= expr(s"doc_b DIV $off")).count() == 0,
+      "the per-copy token rewrite must zero cross-copy shingle overlap")
+    // the rewrite is a bijection on shingles: each copy must reproduce the
+    // base corpus's pair count exactly
+    val basePairs = Dedup.minhashLshPairs(
+      Dedup.shingledDocs(base).localCheckpoint()).count()
+    assert(basePairs > 0, "fixtures must contain near-dups")
+    val perCopy = pairs.groupBy(expr(s"doc_a DIV $off")).count()
+      .select(col("count")).collect().map(_.getLong(0))
+    assert(perCopy.length == 2 && perCopy.forall(_ == basePairs),
+      s"each copy must reproduce the base $basePairs pairs, got ${perCopy.mkString(",")}")
+  }
+
   test("dedup_exact counts are consistent") {
     val r = Dedup.dedupExact(spark, sfDir).head()
     assert(r.getAs[Long]("n_docs") ==
