@@ -94,40 +94,46 @@ object Changelog {
     // Insertion rank per table, fully distributed ([[graft.operators.
     // Ranked.globalRank]] — no single-partition sort, no join-back). Ties
     // on the ordering keys (the fixture lineitem key is not unique) take
-    // scan order; the localCheckpoint pins the assignment so the two
-    // downstream uses (insert + delete event branches) see identical ranks.
-    // The line BODY (`TAG|field|field|…`) is serialized here too, before
-    // the checkpoint: an insert and its delete differ only in the sign
-    // prefix, so the 11–16-column formatting work runs ONCE per row and
-    // the checkpoint holds just (idx, body) instead of the raw table.
-    // Serialize the body BEFORE ranking, and rank only (orderKeys, body):
-    // globalRank's zipWithIndex leaves codegen and boxes every column per
-    // row on the way to RDD land and back — over the raw table that is 16
-    // boxed fields per lineitem; over the narrow projection it is 2–3.
-    // (Tie order among equal order-keys was scan-order before and after —
-    // nothing downstream depends on it; converged results are
-    // order-invariant.)
-    // The pin exists for the two-phase stream: insert AND delete branches
-    // both read the ranked frame, and an unpinned zipWithIndex could
-    // assign different ranks per scan. Insert-only generation consumes
-    // each ranked frame exactly once, so the pin is pure materialization
-    // cost there — skipped (callers that re-scan the insert-only result
-    // checkpoint it themselves, e.g. generateCached).
+    // scan order.
+    // Rank the RAW narrow columns and serialize the line BODY
+    // (`TAG|field|field|…`) AFTER the rank: everything upstream of the
+    // range exchange (the partitioner's sampling pass + the shuffle map
+    // side) runs at the SOURCE's parallelism — a single-row-group parquet
+    // file is one task — so putting the 11–16-column date/decimal
+    // formatting there serializes it twice per run (measured 3.3 s of the
+    // 5.8 s changelog_counts at sf0.1). Post-rank it runs once, across
+    // all shuffle partitions. An insert and its delete differ only in the
+    // sign prefix, so the formatting still runs ONCE per row (the
+    // post-rank Project aliases `body`, referenced twice downstream —
+    // CollapseProject keeps multiply-referenced non-trivial aliases
+    // materialized rather than inlining them into the explode).
     def ranked(df: DataFrame, order: Seq[Column], tag: String,
-               cols: Seq[(String, String)]): DataFrame = {
-      val r = graft.operators.Ranked.globalRank(
-          df.select(order :+ concat(lit(tag), lit("|"), payload(cols)).as("body"): _*),
-          order)
-        .select(col("idx"), col("body"))
-      if (insertOnly) r else r.localCheckpoint()
-    }
+               cols: Seq[(String, String)]): DataFrame =
+      graft.operators.Ranked.globalRank(
+          df.select(cols.map { case (n, _) => col(n) }: _*), order)
+        .select(col("idx"), concat(lit(tag), lit("|"), payload(cols)).as("body"))
 
+    // A row's insert AND its delete are emitted from the SAME scan of the
+    // SAME row (a 2-element inline explode), so insert/delete rank
+    // consistency is structural — no checkpoint pin of the ranked frame is
+    // needed (round 3 double-scanned it via union, forcing an eager
+    // materialization of every ranked table; measured 5.8 s → 4.2 s for
+    // changelog_counts at sf0.1 dropping it). The exploded array is built
+    // from plain already-computed columns (globalRank's RDD hop has forced
+    // `body` to a concrete string), so the explode-re-evaluation trap
+    // (expensive expression under explode) does not apply.
     def events(df: DataFrame, t: Column, subIns: Int): DataFrame = {
       val ins = df.select(t.as("t"), lit(subIns).as("sub"), col("idx"),
         concat(lit("+"), col("body")).as("line"))
       if (insertOnly) ins
-      else ins.unionByName(df.select((t + cap).as("t"), lit(subIns + 3).as("sub"),
-        col("idx"), concat(lit("-"), col("body")).as("line")))
+      else df.select(t.as("t"), col("idx"), col("body"))
+        .select(col("idx"), explode(array(
+          struct(col("t"), lit(subIns).cast("int").as("sub"),
+            concat(lit("+"), col("body")).as("line")),
+          struct((col("t") + cap).as("t"), lit(subIns + 3).cast("int").as("sub"),
+            concat(lit("-"), col("body")).as("line")))).as("e"))
+        .select(col("e.t").as("t"), col("e.sub").as("sub"), col("idx"),
+          col("e.line").as("line"))
     }
 
     val liR = ranked(li, Seq(col("l_orderkey"), col("l_linenumber")), "LI", lineitemCols)
