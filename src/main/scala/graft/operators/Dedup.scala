@@ -255,9 +255,33 @@ object Dedup {
     * bucket) triples — ids meet per bucket, never corpus², and embedding
     * payloads move once, by id, in the verify joins.
     */
+  /** Candidate-strategy decision rule, factored pure so the spec can pin
+    * it: below `smallN` the all-pairs triangle is trivially cheap and the
+    * measurement jobs themselves dominate, so short-circuit to exact
+    * without ever computing the bucket histogram (`candEst` is by-name —
+    * the estimate's Spark jobs run only when the rule needs them).
+    */
+  private[operators] def embeddingCandidatePath(n: Long, smallN: Long,
+                                                candEst: => Double): String = {
+    val triangle = n.toDouble * (n - 1) / 2
+    if (triangle == 0 || n <= smallN) "exact"
+    else if (candEst >= triangle / 2) "exact"
+    else "lsh"
+  }
+
+  /** Corpus size under which the exact triangle is generated without
+    * measurement: n²/2 pairs through the count-only verify join is well
+    * under a second at 4096 (8.4M pairs), cheaper than the histogram
+    * aggregate + counts the adaptive estimate costs.
+    */
+  private[operators] lazy val EmbeddingSmallN: Long =
+    sys.props.get("graft.dedup.embedding.smallN").map(_.toLong).getOrElse(4096L)
+
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     val v = Similarity.vectors(spark, dir).localCheckpoint()
-    val ids = Similarity.bucketedIds(v)
+    // lazy: the small-n short circuit and the forced-exact test path never
+    // build (or eagerly checkpoint) the 28-table bucket projection
+    lazy val ids = Similarity.bucketedIds(v)
     // ADAPTIVE candidate strategy, decided from the MEASURED bucket
     // histogram (Σ c_b² over (table,bucket) counts ≈ candidate pairs the
     // bucket join would emit, pre-distinct — the classic self-join
@@ -273,20 +297,18 @@ object Dedup {
     // way, so the answer is identical; only the plan changes. (Forced via
     // graft.dedup.embedding.path=lsh|exact for tests.)
     // forced path (tests) skips the measurement jobs entirely
-    val path = sys.props.getOrElse("graft.dedup.embedding.path", {
-      val hist = ids.groupBy(col("table"), col("bucket")).count()
-      // counts cast to double BEFORE multiplying: c·(c−1) on longs wraps
-      // silently past c ≈ 3·10⁹ — exactly the degenerate-bucket scale
-      // this estimate exists to catch. coalesce covers the empty corpus
-      // (sum over zero rows is NULL).
-      val candEst = hist
-        .agg(coalesce(sum(col("count").cast("double") * (col("count") - 1) / 2),
-          lit(0.0)))
-        .head().getDouble(0)
-      val n = v.count()
-      val triangle = n.toDouble * (n - 1) / 2
-      if (triangle == 0 || candEst >= triangle / 2) "exact" else "lsh"
-    })
+    val path = sys.props.getOrElse("graft.dedup.embedding.path",
+      embeddingCandidatePath(v.count(), EmbeddingSmallN, {
+        val hist = ids.groupBy(col("table"), col("bucket")).count()
+        // counts cast to double BEFORE multiplying: c·(c−1) on longs wraps
+        // silently past c ≈ 3·10⁹ — exactly the degenerate-bucket scale
+        // this estimate exists to catch. coalesce covers the empty corpus
+        // (sum over zero rows is NULL).
+        hist
+          .agg(coalesce(sum(col("count").cast("double") * (col("count") - 1) / 2),
+            lit(0.0)))
+          .head().getDouble(0)
+      }))
     val cand =
       if (path == "exact") trianglePairs(v)
       else

@@ -146,10 +146,16 @@ object Similarity {
     val vn = v.withColumn("u", transform(col("e"), x => x / col("nrm")))
     val withVec = vn.withColumn("fv",
       org.apache.spark.ml.functions.array_to_vector(col("u")))
+    // Centroid training is BOUNDED: exactness never depends on centroid
+    // quality (the triangle-inequality bound below guarantees the answer;
+    // centroids only change how much gets pruned), so fit over a
+    // corpus-size-independent prefix — the engine's one ML fit must not
+    // scan 100 TB. The full corpus is only ever ASSIGNED (one transform).
+    val trainN = math.max(512 * IvfCells, 8192)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(IvfCells).setSeed(42).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(withVec)
+      .fit(withVec.limit(trainN))
     val assigned = model.transform(withVec)
       .select("vec_id", "e", "nrm", "u", "cell").localCheckpoint()
     val centers = model.clusterCenters.map(_.toArray)

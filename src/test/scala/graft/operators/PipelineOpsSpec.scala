@@ -54,6 +54,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding candidate-path rule: small-n short-circuits, LSH engages above it") {
+    // below smallN: exact, WITHOUT evaluating the estimate (by-name arg)
+    assert(Dedup.embeddingCandidatePath(100, 4096,
+      fail("estimate must not run below smallN")) == "exact")
+    assert(Dedup.embeddingCandidatePath(0, 4096, 0.0) == "exact")
+    // above smallN the measured estimate decides: prunable histogram → lsh
+    val n = 10000L
+    val triangle = n.toDouble * (n - 1) / 2
+    assert(Dedup.embeddingCandidatePath(n, 4096, triangle / 10) == "lsh")
+    // degenerate buckets (estimate ≥ half the triangle) → direct exact
+    assert(Dedup.embeddingCandidatePath(n, 4096, triangle) == "exact")
+  }
+
   test("bijective token rewrite keeps minhash dedup pairs within-copy (DedupBench invariant)") {
     import org.apache.spark.sql.functions._
     val off = 1000000000L
