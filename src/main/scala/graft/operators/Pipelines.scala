@@ -145,9 +145,13 @@ object Pipelines {
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
-    val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      .withColumn("n_min",
-        min(col("n_s")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    // n_min as a scalar agg cross-joined back (1 row, broadcast) — not an
+    // empty-frame window, which plans as a single-partition WindowExec;
+    // the two references to `counts` share one physical aggregation via
+    // exchange reuse, so documents is still scanned once.
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
       // integer DIV: Column `/` is double division (exactness trap)
       .withColumn("thr", expr("(500 * n_min) DIV n_s"))
       .select(col("source"), col("thr"))
@@ -163,8 +167,11 @@ object Pipelines {
     * 10th order re-priced), and compaction is expressed as
     * `changes ∪ (base ⟕anti changes)` — the scale-right MERGE shape: one
     * hash (anti-)join on the key, no wide aggregation of full rows, no
-    * window sort. With a broadcast-size change set (the common case:
-    * deltas ≪ base) the base side never shuffles at all.
+    * window sort. No broadcast hint on the change set: when deltas are
+    * broadcast-size (the common case) AQE picks the broadcast anti-join
+    * and the base side never shuffles; when a backfill-scale delta
+    * arrives, the planner falls back to a shuffled join instead of
+    * OOMing on a forced broadcast.
     */
   def cdcUpsert(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.table(spark, dir, "orders")
@@ -173,7 +180,7 @@ object Pipelines {
       .filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"), lit(1L).as("version"))
-    val kept = base.join(broadcast(changes.select(col("o_orderkey").as("ck"))),
+    val kept = base.join(changes.select(col("o_orderkey").as("ck")),
       col("o_orderkey") === col("ck"), "left_anti")
     changes.unionByName(kept)
   }

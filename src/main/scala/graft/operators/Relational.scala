@@ -626,9 +626,13 @@ object Relational {
     * Spark and the oracle agree byte-for-byte.
     */
   def sinkJsonContract(spark: SparkSession, dir: String): DataFrame = {
-    val top = q3Batch(spark, dir)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)))
+    // rank via the distributed total-order rank, not an empty-frame window
+    // (bounded to the top-N today, but the engine rule is: never plan a
+    // single-partition WindowExec); cast to int = row_number's type
+    val top = graft.operators.Ranked.globalRank(q3Batch(spark, dir),
+        Seq(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc),
+        "__rank")
+      .withColumn("rank", col("__rank").cast("int")).drop("__rank")
     top.select(
       col("rank"),
       concat(

@@ -29,31 +29,32 @@ object StreamingWindows {
     */
   def stage(spark: SparkSession, dir: String, outDir: String, nFiles: Int = 3): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val ev = Tables.table(spark, dir, "events")
-      .select("ts", "user_id", "event_type", "value")
-      .withColumn("chunk", ntile(nFiles).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
-      .localCheckpoint()
+    import scala.jdk.CollectionConverters._
+    // One range-partitioned write job: nFiles part files in strict ts-range
+    // order (no global-window ntile — that plan is a single-partition sort
+    // of the whole table; range chunks are ~even by sampling and, unlike
+    // ntile, need no rank pass at all).
     val tmp = outDir + ".staging"
-    (1 to nFiles).foreach { i =>
-      ev.filter(col("chunk") === i).drop("chunk").coalesce(1)
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite").parquet(s"$tmp/$i")
-    }
+    Tables.table(spark, dir, "events")
+      .select("ts", "user_id", "event_type", "value")
+      .repartitionByRange(nFiles, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(tmp)
     val out = Paths.get(outDir)
     org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
     Files.createDirectories(out)
     val now = System.currentTimeMillis()
-    (1 to nFiles).foreach { i =>
-      // Files.list holds an open directory handle until closed
-      scala.util.Using.resource(Files.list(Paths.get(s"$tmp/$i"))) { files =>
-        files.filter(_.toString.endsWith(".parquet")).forEach { p =>
-          val dest = out.resolve(s"chunk$i-${p.getFileName}")
+    // part-file name order = range order; back-date mtimes in that order
+    scala.util.Using.resource(Files.list(Paths.get(tmp))) { files =>
+      files.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString)
+        .zipWithIndex.foreach { case (p, i) =>
+          val dest = out.resolve(s"chunk${i + 1}-${p.getFileName}")
           Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
           Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(now - (nFiles - i) * 60000L))
+            java.nio.file.attribute.FileTime.fromMillis(now - (nFiles - 1 - i) * 60000L))
         }
-      }
     }
     org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(tmp).toFile)
   }
