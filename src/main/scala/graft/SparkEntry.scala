@@ -66,6 +66,7 @@ object SparkEntry {
     "changelog_counts" -> (streaming.StreamQueries.changelogCounts _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
+    "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
     // --- text analysis (training-data pipeline) ---
     "text_stats" -> (graft.functions.TextOps.textStats _),
@@ -370,6 +371,45 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    // The mid-stream state, reconstructed in SQL from the generator's
+    // closed-form trigger arithmetic: at prefix boundary T = ceil(4·nL/3)
+    // (end of batch 2 of 3, capacity = nL) every insert has fired and the
+    // deletes of rows with insertion trigger ≤ T − nL = cut have fired, so
+    // a row is LIVE iff its trigger > cut. lineitem's trigger is its rank
+    // over ALL streamed columns (key-complete = deterministic); orders'/
+    // customer's is ceil(rank·nL/nTable) over their unique keys.
+    "stream_q3_prefix_snapshot" ->
+      """WITH
+        |  nn AS (SELECT (SELECT count(*) FROM lineitem) AS nl,
+        |                (SELECT count(*) FROM orders)   AS nor,
+        |                (SELECT count(*) FROM customer) AS nc),
+        |  d AS (SELECT (4*nl + 2) // 3 - nl AS cut, nl, nor, nc FROM nn),
+        |  li AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_partkey,
+        |             l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax, l_returnflag, l_linestatus,
+        |             l_shipdate) AS rk
+        |         FROM lineitem),
+        |  liv AS (SELECT li.* FROM li, d WHERE rk > cut),
+        |  ork AS (SELECT *, row_number() OVER (ORDER BY o_orderkey) AS rk
+        |          FROM orders),
+        |  ov AS (SELECT ork.* FROM ork, d WHERE (rk*nl + nor - 1) // nor > cut),
+        |  crk AS (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rk
+        |          FROM customer),
+        |  cv AS (SELECT crk.* FROM crk, d WHERE (rk*nl + nc - 1) // nc > cut)
+        |SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM cv, ov, liv
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey

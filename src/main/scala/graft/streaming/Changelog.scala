@@ -92,9 +92,13 @@ object Changelog {
     val cap = capacity.getOrElse(nL)
 
     // Insertion rank per table, fully distributed ([[graft.operators.
-    // Ranked.globalRank]] — no single-partition sort, no join-back). Ties
-    // on the ordering keys (the fixture lineitem key is not unique) take
-    // scan order.
+    // Ranked.globalRank]] — no single-partition sort, no join-back). The
+    // lineitem ordering is KEY-COMPLETE (all streamed columns — the
+    // fixture (l_orderkey, l_linenumber) alone is not unique), so every
+    // row's insertion rank is deterministic and an external oracle can
+    // reproduce the exact net table state at any stream prefix
+    // (stream_q3_prefix_snapshot hash-matches a mid-stream top-20 against
+    // DuckDB on the same rank arithmetic).
     // Rank the RAW narrow columns and serialize the line BODY
     // (`TAG|field|field|…`) AFTER the rank: everything upstream of the
     // range exchange (the partitioner's sampling pass + the shuffle map
@@ -136,7 +140,7 @@ object Changelog {
           col("e.line").as("line"))
     }
 
-    val liR = ranked(li, Seq(col("l_orderkey"), col("l_linenumber")), "LI", lineitemCols)
+    val liR = ranked(li, lineitemCols.map { case (n, _) => col(n) }, "LI", lineitemCols)
     val orR = ranked(or, Seq(col("o_orderkey")), "OR", ordersCols)
     val cuR = ranked(cu, Seq(col("c_custkey")), "CU", customerCols)
 

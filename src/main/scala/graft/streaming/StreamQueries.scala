@@ -55,6 +55,25 @@ object StreamQueries {
     topAsStrings(IncrementalQ3.runBatches(spark,
       Changelog.generateCached(spark, dir), K))
 
+  /** MID-STREAM snapshot: fold the two-phase changelog only up to the end
+    * of batch 2-of-3 — mid-teardown, with ~nL/3 of the deletes applied —
+    * and emit that intermediate top-20. This is the reference's defining
+    * behavior (continuous emission while ingesting, no_websocket.java:
+    * 554–582) made oracle-checkable: the prefix boundary T = ceil(4·nL/3)
+    * sits in phase 2, where a row is live iff its insertion trigger
+    * exceeds T − nL, so DuckDB can reconstruct the exact net table state
+    * from the same closed-form trigger arithmetic the generator uses
+    * (possible because the generator's per-table ordering is
+    * key-complete, hence every rank is deterministic).
+    */
+  def q3PrefixSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Changelog.generateCached(spark, dir)
+    val tMax = ev.agg(max(col("t"))).head().getLong(0)
+    val boundary = (2L * tMax + 2L) / 3L // largest t in batch ≤ 1 of 3
+    topAsStrings(IncrementalQ3.runBatches(spark,
+      ev.filter(col("t") <= boundary), k = 2))
+  }
+
   /** A SECOND incremental query over the same changelog — revenue per
     * order priority — on the SAME z-set machinery: the aggregation grain
     * is a parameter ([[IncrementalQ3.DefaultAggKeys]]), so nothing but the
