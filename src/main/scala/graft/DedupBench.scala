@@ -59,16 +59,22 @@ object DedupBench {
     val cross = pairs
       .filter(expr(s"doc_a DIV $off") =!= expr(s"doc_b DIV $off")).count()
     require(cross == 0, s"$cross cross-copy pairs leaked past the salt")
-    val perCopy = pairs.groupBy(expr(s"doc_a DIV $off").as("copy"))
-      .count().select(countDistinct(col("count"))).head().getLong(0)
-    require(scale == 1 || perCopy == 1,
-      "every rewritten copy must yield the identical pair count")
-    // the token rewrite is a bijection on shingles, so jaccard — and the
-    // emitted pair set — is preserved per copy exactly
-    val basePairs = Dedup.minhashLshPairs(
-      Dedup.shingledDocs(base).localCheckpoint()).count()
-    require(nPairs == scale * basePairs,
-      s"expected ${scale}×$basePairs pairs, got $nPairs")
+    // Self-check against the EXACT Jaccard pair count, which the bijective
+    // token rewrite provably preserves per copy (shingle sets map 1:1, so
+    // every pairwise Jaccard is unchanged). MinHash recall is NOT
+    // rewrite-invariant — signatures depend on shingle hash values, so a
+    // copy can legitimately miss a different (tiny) subset of true pairs;
+    // verified output is a subset of truth with per-pair miss probability
+    // (1−J²)¹⁶ ≤ 4·10⁻⁴, hence the ≤-bound is strict and the recall floor
+    // is far below any plausible healthy value.
+    val exactBase = Dedup.exactJaccardPairs(
+      Dedup.shingledDocs(base).localCheckpoint(), Dedup.JaccardThreshold).count()
+    val expected = scale.toLong * exactBase
+    require(nPairs <= expected,
+      s"verified pairs $nPairs exceed exact ground truth $expected")
+    require(exactBase == 0 || nPairs.toDouble / expected >= 0.99,
+      f"LSH recall ${nPairs.toDouble / expected}%.4f below 0.99 " +
+        s"($nPairs of $expected exact pairs)")
 
     println(f"""{"metric":"dedup_docs_per_sec","value":${nDocs / sec}%.0f,"unit":"docs/sec","docs":$nDocs,"pairs":$nPairs,"seconds":$sec%.1f,"scale":$scale}""")
     spark.stop()

@@ -92,19 +92,29 @@ object Dedup {
     * verify. Equivalent to the O(n²) oracle but only materializes pairs
     * with ≥1 common shingle.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     // The pin stays ON the shingle arrays: exploding the raw inline
     // shingle expression instead (pin the exploded index, derive sizes
     // from it) re-evaluates the transform/array_distinct chain per output
     // row — measured 16–20 s vs 2.4–2.7 s at sf0.1 (PLANS.md).
-    val sh = shingled(spark, dir).localCheckpoint()
+    exactJaccardPairs(shingled(spark, dir).localCheckpoint(), JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact Jaccard pairs ≥ `threshold` over a PINNED shingle frame — the
+    * recall-independent ground truth the approximate families are judged
+    * against (DedupSpec; DedupBench's scaled self-check). `sh` must be
+    * checkpointed by the caller: it is consumed by an explode and a sizes
+    * projection, and an unpinned inline shingle expression under the
+    * explode re-evaluates per output row.
+    */
+  def exactJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
     val inter = inv.as("x").join(inv.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = sh.select(col("doc_id"), size(col("s")).as("sz"))
-    jaccardFromCounts(inter, sizes, JaccardThreshold).orderBy("doc_a", "doc_b")
+    jaccardFromCounts(inter, sizes, threshold)
   }
 
   private val NumHashes = 32
@@ -351,29 +361,57 @@ object Dedup {
     * so the plan doesn't grow with rounds.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    // Track the block-storage ids each eager localCheckpoint pins so a
+    // superseded round can be dropped as soon as the next one is
+    // materialized — otherwise executor storage grows linearly with round
+    // count (and across repeated calls in a long session). The diff is
+    // safe here: nothing else checkpoints concurrently inside this call.
+    def pinnedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = pinnedIds
+      val out = df.localCheckpoint()
+      (out, pinnedIds -- before)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    val preexisting = pinnedIds
     val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    val (edges, edgeIds) = tracked(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+    var (labels, labelIds) = tracked(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    val maxRounds = Integer.getInteger("graft.cluster.maxRounds", 64).intValue()
+    while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("next"))
-      val merged = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("next"), col("label"))).as("label"),
-          (col("next") < col("label")).as("moved"))
-        .localCheckpoint()
+      val (merged, mergedIds) = tracked(
+        labels.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("next"), col("label"))).as("label"),
+            (col("next") < col("label")).as("moved")))
       changed = merged.filter(col("moved")).count()
+      drop(labelIds) // superseded round — its blocks are dead now
       labels = merged.drop("moved")
+      labelIds = mergedIds
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    require(changed == 0,
+      s"label propagation did not converge in $rounds rounds " +
+        s"(component diameter > $maxRounds; raise -Dgraft.cluster.maxRounds)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("csize"))
-      .orderBy("doc_id")
+    // pin the (small) result, then release EVERYTHING this call pinned —
+    // the loop states, the edges, and the shingle/signature pins inside
+    // dedupMinhashLsh — except the result's own blocks (the returned
+    // frame must not read from storage this method just freed)
+    val (result, resultIds) = tracked(
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("csize"))
+        .orderBy("doc_id"))
+    drop(pinnedIds -- preexisting -- resultIds)
+    result
   }
 }

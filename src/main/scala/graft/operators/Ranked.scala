@@ -41,22 +41,35 @@ object Ranked {
     */
   def runningSum(df: DataFrame, order: Seq[Column], value: Column,
                  sumCol: String = "cum"): DataFrame = {
+    require(!df.columns.contains(sumCol),
+      s"runningSum: output column '$sumCol' already exists in the input")
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
+    // collision-free temp name: a caller's own '__v' must not be clobbered
+    val v = Iterator.from(0).map(i => s"__graft_rs$i")
+      .find(c => !df.columns.contains(c)).get
     // checkpoint: both passes must see one materialization of the sort
-    val sorted = df.withColumn("__v", value.cast("long"))
+    val sorted = df.withColumn(v, value.cast("long"))
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .localCheckpoint()
+    val vIdx = sorted.schema.fieldIndex(v)
+    // a null value would silently unbox to 0 — reject it loudly instead
+    // (checked in the totals pass, which touches every row anyway)
     val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(s += _.getAs[Long]("__v")); Iterator((i, s))
+      var s = 0L
+      it.foreach { r =>
+        require(!r.isNullAt(vIdx), "runningSum: null value column")
+        s += r.getLong(vIdx)
+      }
+      Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partials.scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(sumCol, LongType, nullable = false)
     val withSum = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       var s = offsets(i)
-      it.map { r => s += r.getAs[Long]("__v"); Row.fromSeq(r.toSeq :+ s) }
+      it.map { r => s += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ s) }
     }
-    spark.createDataFrame(withSum, schema).drop("__v")
+    spark.createDataFrame(withSum, schema).drop(v)
   }
 }
