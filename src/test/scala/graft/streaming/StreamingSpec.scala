@@ -138,6 +138,64 @@ class StreamingSpec extends SparkSpec {
     assert(last.isEmpty, "full cycle must converge to an empty top-N")
   }
 
+  test("live cadence: ProcessingTime trigger emits periodically, pushed JSON timestamps monotone") {
+    // The reference emits continuously on processing-time timers while
+    // ingesting (agg 2 s, no_websocket.java:526; top-N 1 s,
+    // StreamProcessor.java:988). Same contract here with the interval as
+    // a parameter: throttled file replay (1 file per trigger) under
+    // Trigger.ProcessingTime must produce one emission per micro-batch,
+    // paced by the trigger clock, with strictly increasing timestamps in
+    // the JSON pushed through the real sink.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cadence").toString
+    val nFiles = 5
+    Changelog.write(Changelog.generate(spark, sfDir, insertOnly = true), dir, nFiles = nFiles)
+    val sink = new JsonPushSink()
+    val emitTimes = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val intervalMs = 1000L
+    val q = StreamingQ3.start(spark, dir,
+      trigger = Trigger.ProcessingTime(s"$intervalMs milliseconds"),
+      maxFilesPerTrigger = 1,
+      onEmit = (rows, _) => {
+        val now = System.currentTimeMillis()
+        emitTimes.add(now)
+        last = rows
+        sink.push(rows, now)
+      })
+    try {
+      val deadline = System.currentTimeMillis() + 300000
+      while (emitTimes.size < nFiles && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(emitTimes.size >= nFiles,
+        s"expected $nFiles paced emissions, got ${emitTimes.size}")
+      // pushed JSON carries the latest timestamp (transport really ran)
+      val in = new java.net.URL(s"http://127.0.0.1:${sink.boundPort}/top")
+        .openConnection().getInputStream
+      val top = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val pushedTs = """"timestamp":(\d+)""".r.findFirstMatchIn(top).get.group(1).toLong
+      assert(pushedTs == emitTimes.asScala.last,
+        s"/top timestamp $pushedTs != last emission ${emitTimes.asScala.last}")
+    } finally { q.stop(); sink.stop() }
+    val times = emitTimes.asScala.toSeq
+    // strictly monotone emission timestamps (what the JSON messages carry)
+    assert(times == times.sorted && times.distinct.size == times.size,
+      s"emission timestamps not strictly increasing: $times")
+    // paced, not burst-drained: the trigger clock aligns batch starts to
+    // the interval, so inter-emission gaps sit near the interval when the
+    // fold is fast and at the fold duration when it overruns; a backlog
+    // catch-up batch can land early, so require the MAJORITY of gaps at
+    // ≥ interval/2 rather than all
+    val gaps = times.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gaps.count(_ >= intervalMs / 2) * 2 >= gaps.size,
+      s"emissions burst-drained rather than paced: gaps $gaps")
+    // and the paced run still converges to the batch answer
+    val got = last.map(r => Seq(r.getLong(0), r.getDate(1).toString,
+      r.getString(2), r.getDouble(3))).toSeq
+    assert(got == batchQ3AsStrings)
+  }
+
   test("structured streaming wiring (readStream → foreachBatch) converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
     Changelog.write(Changelog.generate(spark, sfDir, insertOnly = true), dir, nFiles = 3)
