@@ -103,6 +103,8 @@ object SparkEntry {
     "pipeline_decontaminate" -> (operators.Pipelines.decontaminate _),
     "pipeline_pack" -> (operators.Pipelines.packSequences _),
     "pipeline_cdc_upsert" -> (operators.Pipelines.cdcUpsert _),
+    "pipeline_chunk" -> (operators.Pipelines.chunkDocuments _),
+    "pipeline_interleave" -> (operators.Pipelines.interleaveSources _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -660,6 +662,28 @@ object SparkEntry {
         |SELECT o_orderkey, o_totalprice, CAST(0 AS BIGINT) AS version
         |FROM orders b
         |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin,
+    // 32-token windows, stride 24; token = single-space split (the chunk
+    // contract is positional, so the splitter must preserve positions —
+    // no trim/collapse)
+    "pipeline_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |       CAST(s.start // 24 AS BIGINT) AS chunk_idx,
+        |       array_to_string(tk[s.start+1 : s.start+32], ' ') AS chunk_text,
+        |       CAST(least(32, len(tk) - s.start) AS BIGINT) AS n_tokens
+        |FROM toks, LATERAL (SELECT unnest(generate_series(0, len(tk)-1, 24)) AS start) s""".stripMargin,
+    // stride-scheduled weighted merge of hash-shuffled strata; weights
+    // {1,2,3} from the source number, emission key (rnk-1)*(6/w)
+    "pipeline_interleave" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || source), doc_id) AS rnk,
+        |         1 + (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3) AS w
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY (rnk-1) * (6 // w), source, rnk) AS BIGINT) AS pos,
+        |       source, doc_id
+        |FROM ranked""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
         |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'

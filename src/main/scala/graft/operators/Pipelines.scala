@@ -161,6 +161,64 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Document chunking — fixed token-window chunks with overlap (window 32,
+    * stride 24), the context-window prep step of every RAG / pretraining
+    * ingestion flow. Entirely row-local: tokenize once per doc, posexplode
+    * the (cheap, int-only) chunk-start sequence, then slice the retained
+    * token array per chunk — no shuffle anywhere, so chunking a 100 TB
+    * corpus is a pure map over the scan. (The exploded expression is the
+    * integer start sequence, NOT the token array or chunk text — the
+    * expensive per-chunk work happens once per OUTPUT row by necessity,
+    * and the tokenization once per INPUT row; the explode-re-evaluation
+    * trap only bites when the expensive expression is under the explode.)
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val window = 32
+    val stride = 24
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size(col("tk")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        array_join(slice(col("tk"), col("col") + 1, lit(window)), " ").as("chunk_text"),
+        least(lit(window), size(col("tk")) - col("col")).cast("long").as("n_tokens"))
+  }
+
+  /** Deterministic weighted corpus interleave — the training-mixture
+    * SCHEDULE: each source stratum is shuffled by a content hash (not an
+    * RNG — same reproducibility argument as [[hashBucket]]) and the strata
+    * are merged stride-scheduling style, so a weight-3 source appears 3×
+    * as often as a weight-1 source at every prefix of the schedule, not
+    * just in aggregate. Integer arithmetic end to end (emission key =
+    * (rank−1)·(LCM/weight)), so the order is engine-reproducible.
+    *
+    * Scale shape: the schedule is computed over (source, doc_id) ONLY —
+    * document payloads never shuffle; training readers join them back by
+    * id. The final global position comes from [[Ranked.globalRank]], never
+    * a single-partition window; the per-source rank is a partitioned
+    * window, acceptable while every stratum fits a partition's sort (at
+    * one-source-dominates scale, rank each stratum with Ranked instead).
+    */
+  def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"))
+    // weights {1,2,3} derived from the source name: a stand-in for the
+    // mixture recipe's per-source sampling weights
+    val w = lit(1L) + (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 3L)
+    val ranked = docs
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      // LCM(1,2,3)=6: weight w emits every 6/w positions — exact longs
+      .withColumn("ikey", (col("rnk") - 1L) *
+        when(w === 1L, 6L).when(w === 2L, 3L).otherwise(lit(2L)))
+      .select(col("ikey"), col("source"), col("rnk"), col("doc_id"))
+    Ranked.globalRank(ranked, Seq(col("ikey"), col("source"), col("rnk")), "pos")
+      .select(col("pos"), col("source"), col("doc_id"))
+  }
+
   /** CDC upsert compaction — latest-version-per-key, the operation every
     * dataset-versioning/lakehouse flow runs (MERGE's read side). The
     * change set is derived deterministically from the base table (every

@@ -252,6 +252,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => r._4 >= 0 && r._4 < 2048))
   }
 
+  test("chunk: every token covered, overlap = window - stride, text reconstructs") {
+    import graft.sources.Tables
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Pipelines.chunkDocuments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      // chunk_idx is dense from 0; every chunk starts at idx*stride and
+      // carries exactly the tokens of its window slice
+      sorted.zipWithIndex.foreach { case ((_, idx, text, n), i) =>
+        assert(idx == i.toLong)
+        val start = i * 24
+        val want = toks.slice(start, start + 32)
+        assert(n == want.length.toLong, s"doc $id chunk $i token count")
+        assert(text == want.mkString(" "), s"doc $id chunk $i text")
+      }
+      // coverage: the last chunk reaches the last token
+      val (_, lastIdx, _, lastN) = sorted.last
+      assert(lastIdx * 24 + lastN == toks.length.toLong, s"doc $id tail uncovered")
+    }
+  }
+
+  test("interleave: deterministic, weight-proportional at every prefix") {
+    val s1 = Pipelines.interleaveSources(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val s2 = Pipelines.interleaveSources(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq, "schedule must be rerun-stable")
+    val sched = s1.sortBy(_._1)
+    // positions are a dense 1..n permutation of the whole corpus
+    assert(sched.map(_._1).toSeq == (1L to sched.length).toSeq)
+    assert(sched.map(_._3).distinct.length == sched.length)
+    def weight(src: String): Long = 1 + src.filter(_.isDigit).toLong % 3
+    // stride scheduling: at any prefix, a source's emitted count can't
+    // trail its weight share by more than one full round of the schedule
+    val bySrc = sched.map { case (_, src, _) => src }
+    val srcs = bySrc.distinct
+    val wsum = srcs.map(weight).sum.toDouble
+    for (prefix <- Seq(sched.length / 4, sched.length / 2)) {
+      val counts = bySrc.take(prefix).groupBy(identity).view.mapValues(_.length).toMap
+      srcs.foreach { s =>
+        val share = prefix * weight(s) / wsum
+        assert(math.abs(counts.getOrElse(s, 0) - share) <= wsum,
+          s"source $s at prefix $prefix: ${counts.getOrElse(s, 0)} vs share $share")
+      }
+    }
+  }
+
   test("quantize: int8 reconstruction error bounded by scale/2") {
     import graft.sources.Tables
     val rows = Similarity.embedQuantize(spark, sfDir).collect()
