@@ -114,6 +114,7 @@ object SparkEntry {
     "stream_windows_sliding" -> (streaming.StreamingWindows.streamSliding _),
     "stream_dedup" -> (streaming.StreamingWindows.streamDedup _),
     "stream_enrich_static" -> (streaming.StreamingWindows.streamEnrichStatic _),
+    "stream_join_interval" -> (streaming.StreamingWindows.streamJoinInterval _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -775,6 +776,17 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type""".stripMargin,
+    // inner stream-stream matches all emit by convergence ⇒ ≡ batch
+    // interval join (the watermark only bounds state, never the output)
+    "stream_join_interval" ->
+      """SELECT v.user_id,
+        |       strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |       strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+        |ORDER BY 1, 2, 3""".stripMargin,
     // The as-of oracle is DuckDB's NATIVE ASOF JOIN — a genuinely
     // independent realization of the semantics (greatest v.us <= p.us per
     // purchase), not a re-transcription of our running-max plan.

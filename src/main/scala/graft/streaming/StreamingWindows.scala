@@ -210,6 +210,57 @@ object StreamingWindows {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
   }
 
+  /** Stream–stream event-time interval join: clicks attributed to the
+    * view they followed within one hour, per user — the attribution
+    * join every product-analytics pipeline runs, and the one streaming
+    * join shape the reference cannot express at all (its joins are
+    * equi-inner over the full history; SURVEY §2.4).
+    *
+    * Both sides are watermarked and the join carries an event-time RANGE
+    * bound, which is exactly what lets Structured Streaming evict state:
+    * a buffered view older than `watermark − 1 h` can never match a
+    * future click, so per-key state is bounded by the interval × arrival
+    * rate, not the stream length — the property that makes this run at
+    * 100 TB/day. Inner-join matches emit as soon as both sides arrive,
+    * so the converged append-mode output is the batch interval join
+    * exactly (the DuckDB oracle).
+    */
+  def streamJoinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      s"/graft_stream_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/events"
+    stage(spark, dir, staged)
+    val sink = s"graft_stream_joinint_${sinkCounter.incrementAndGet()}"
+    val q = startJoinInterval(spark, staged, sink)
+    q.awaitTermination()
+    spark.table(sink).orderBy("user_id", "view_ts", "click_ts")
+  }
+
+  /** The interval join as a started query (spec entry: the state-eviction
+    * assertion needs the query handle's progress metrics).
+    */
+  def startJoinInterval(spark: SparkSession, staged: String,
+                        sinkName: String): StreamingQuery = {
+    val schema = "ts timestamp, user_id bigint, event_type string, value double"
+    // one column namespace per side: stream-stream self-joins must not
+    // share attribute ids, and the watermark column is per-side
+    def side(tag: String, et: String): DataFrame =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .filter(col("event_type") === et)
+        .select(col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", "1 hour")
+    side("v", "view").join(side("c", "click"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .writeStream.queryName(sinkName).format("memory")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+  }
+
   /** The tumbling aggregation as an unbound streaming frame — shared by
     * the memory-sink driver query and the checkpointed file-sink recovery
     * path (StreamingWindowsSpec), so both run the identical plan.

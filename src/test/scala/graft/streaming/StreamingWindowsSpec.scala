@@ -126,4 +126,40 @@ class StreamingWindowsSpec extends SparkSpec {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
     assert(agg.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
   }
+
+  test("stream-stream interval join matches batch and EVICTS watermark-expired state") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft-events-j").toString
+    StreamingWindows.stage(spark, sfDir, staged, nFiles = 3)
+    val q = StreamingWindows.startJoinInterval(spark, staged, "joinint_sink")
+    assert(q.awaitTermination(300000), "streaming query did not finish in time")
+    val got = spark.table("joinint_sink").collect().map(_.toSeq)
+    assert(got.nonEmpty && got.length == got.distinct.length,
+      "append mode must emit each match exactly once")
+    // converged output ≡ the batch interval join
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = v.join(c, col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v_user"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .collect().map(_.toSeq)
+    assert(got.toSet == batch.toSet,
+      s"stream join ${got.length} rows vs batch ${batch.length}")
+    // THE scale property: buffered join state is bounded by the event-time
+    // interval, not the stream length. With the fixture spanning days and
+    // a 1 h watermark + 1 h join bound, the terminal state must hold far
+    // fewer rows than the full view+click history — if eviction broke,
+    // state would equal the whole filtered stream.
+    val streamed = v.count() + c.count()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows > 0, "join state metrics missing")
+    assert(stateRows < streamed / 2,
+      s"state not evicted: $stateRows rows buffered of $streamed streamed")
+  }
 }
