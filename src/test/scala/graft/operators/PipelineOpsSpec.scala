@@ -206,6 +206,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(clusters.values.map(_._2).max >= 2)
   }
 
+  test("clusterize: a 500-deep chain converges in log rounds (pointer jumping)") {
+    import spark.implicits._
+    // path graph 0-1-2-…-500: diameter 500. Plain neighbor-min label
+    // propagation needs 500 rounds (> the 64-round cap); pointer jumping
+    // must close it in ~log2(500) ≈ 9 — if the jump regressed, the cap
+    // aborts this test loudly.
+    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterize(spark, chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 501)
+    assert(got.forall { case (_, label, sz) => label == 0L && sz == 501L },
+      "every chain vertex must collapse to the component min")
+    // two disjoint components stay disjoint
+    val two = (0L until 3L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .union(Seq((100L, 101L), (101L, 102L)).toDF("doc_a", "doc_b"))
+    val labels = Dedup.clusterize(spark, two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.filter(_._1 < 100).values.toSet == Set(0L))
+    assert(labels.filter(_._1 >= 100).values.toSet == Set(100L))
+  }
+
   test("decontaminate: flags exactly the corpus docs sharing a benchmark gram") {
     import graft.sources.Tables
     val got = Pipelines.decontaminate(spark, sfDir).collect()
