@@ -204,16 +204,22 @@ object IncrementalQ3 {
       co = upkeep(st.co, dCO),
       agg = newAgg.localCheckpoint(eager = false),
       dirty = if (compact) 0 else if (hasDeletes) st.dirty + 1 else st.dirty)
-    // materialize whatever needs it CONCURRENTLY (independent Spark jobs)
-    // — wall time per batch is the slowest state, not the sum of five.
+    // Materialize ONLY the frames this step newly checkpointed,
+    // CONCURRENTLY (independent Spark jobs — wall time is the slowest,
+    // not the sum). On a non-compacting batch c/o/l/co are plain unions
+    // over already-pinned delta blocks: counting them each batch re-scans
+    // the whole accumulated state for nothing (O(k²) cached-block scans
+    // over a k-batch fold); only the new agg checkpoint needs a job.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    val wantSizes = java.lang.Boolean.getBoolean("graft.ivm.sizes")
+    val toPin = if (compact || wantSizes) next.all else Seq(next.agg)
     val sizes = Await.result(
-      Future.sequence(next.all.map(df => Future { df.count() })), Duration.Inf)
-    // the materialization already counted every state — surface the sizes
-    // (z-set rows incl. not-yet-compacted ± pairs) for capacity planning
-    if (java.lang.Boolean.getBoolean("graft.ivm.sizes"))
+      Future.sequence(toPin.map(df => Future { df.count() })), Duration.Inf)
+    // the sizes diagnostic (z-set rows incl. not-yet-compacted ± pairs,
+    // for capacity planning) counts all five regardless
+    if (wantSizes)
       System.err.println("[ivm] state rows " +
         Seq("c", "o", "l", "co", "agg").zip(sizes)
           .map { case (n, s) => s"$n=$s" }.mkString(" "))
@@ -236,8 +242,9 @@ object IncrementalQ3 {
     * trigger-ordered micro-batches and fold [[step]] over them.
     */
   def runBatches(spark: SparkSession, events: DataFrame, k: Int,
-                 aggKeys: Seq[String] = DefaultAggKeys): State = {
-    val tMax = events.agg(max(col("t"))).head().getLong(0)
+                 aggKeys: Seq[String] = DefaultAggKeys,
+                 tMaxKnown: Option[Long] = None): State = {
+    val tMax = tMaxKnown.getOrElse(events.agg(max(col("t"))).head().getLong(0))
     // NO re-checkpoint here: both call sites (generateCached, StreamBench)
     // hand over an already-pinned frame, and the batch column is a trivial
     // projection per cached scan — re-materializing millions of lines just

@@ -71,7 +71,7 @@ object StreamQueries {
     val tMax = ev.agg(max(col("t"))).head().getLong(0)
     val boundary = (2L * tMax + 2L) / 3L // largest t in batch ≤ 1 of 3
     topAsStrings(IncrementalQ3.runBatches(spark,
-      ev.filter(col("t") <= boundary), k = 2))
+      ev.filter(col("t") <= boundary), k = 2, tMaxKnown = Some(boundary)))
   }
 
   /** A SECOND incremental query over the same changelog — revenue per
