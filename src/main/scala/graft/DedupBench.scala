@@ -12,11 +12,13 @@ import graft.sources.Tables
   * band join → exact-verify pipeline.
   *
   * Each copy rewrites every token bijectively (`t → t + "x<i>"`), which
-  * preserves every within-copy Jaccard EXACTLY (so each copy reproduces
-  * the base corpus's pair set verbatim — the honest linear scale-up: 10×
-  * docs, 10× dup pairs) while making cross-copy shingle overlap zero.
-  * The run self-checks both: no emitted pair crosses copies, and every
-  * copy yields the identical pair count.
+  * preserves every within-copy JACCARD exactly (the honest linear
+  * scale-up: 10× docs, ~10× dup pairs) while making cross-copy shingle
+  * overlap zero. MinHash RECALL is hash-value-dependent, so per-copy
+  * pair counts may legitimately differ from the base corpus's; the run
+  * self-checks against the exact-Jaccard truth instead: no emitted pair
+  * crosses copies, verified pairs never exceed `scale ×` the exact
+  * count, and recall stays ≥ 0.99 of it.
   *
   * NOT copy-shared salt tokens: 35 appended tokens shared by a whole
   * copy put the shared shingles into ~25 % of each doc's MinHash slots,

@@ -680,7 +680,7 @@ object SparkEntry {
         |  SELECT source, doc_id,
         |         row_number() OVER (PARTITION BY source
         |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || source), doc_id) AS rnk,
-        |         1 + (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3) AS w
+        |         1 + (COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT), 0) % 3) AS w
         |  FROM documents)
         |SELECT CAST(row_number() OVER (ORDER BY (rnk-1) * (6 // w), source, rnk) AS BIGINT) AS pos,
         |       source, doc_id

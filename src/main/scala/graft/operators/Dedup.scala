@@ -363,22 +363,24 @@ object Dedup {
     * so the plan doesn't grow with rounds.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // capture BEFORE the pair derivation: the shingle/signature blocks
-    // dedupMinhashLsh pins are released with the loop state on exit
-    val preexisting = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    clusterize(spark, dedupMinhashLsh(spark, dir).select("doc_a", "doc_b"),
-      preexisting)
+    // diff around the pair derivation: the shingle/signature blocks
+    // dedupMinhashLsh pins are released with the loop state on exit.
+    // (A concurrent thread checkpointing in this window would land in the
+    // diff too — same single-driver assumption as the loop's tracking.)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val pairPins = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    clusterize(spark, pairs, pairPins)
   }
 
   /** Connected components over an explicit undirected pair set (spec
     * entry; [[dedupClusters]] is this over the verified LSH pairs).
     */
   def clusterize(spark: SparkSession, pairs: DataFrame): DataFrame =
-    clusterize(spark, pairs,
-      spark.sparkContext.getPersistentRDDs.keySet.toSet)
+    clusterize(spark, pairs, Set.empty)
 
   private def clusterize(spark: SparkSession, pairs: DataFrame,
-                         preexisting: Set[Int]): DataFrame = {
+                         extraPins: Set[Int]): DataFrame = {
     val sc = spark.sparkContext
     // Track the block-storage ids each eager localCheckpoint pins so a
     // superseded round can be dropped as soon as the next one is
@@ -386,10 +388,16 @@ object Dedup {
     // count (and across repeated calls in a long session). The diff is
     // safe here: nothing else checkpoints concurrently inside this call.
     def pinnedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // every id THIS call pinned (plus the caller's pair-derivation pins):
+    // the exit sweep drops only these, never a block some other thread of
+    // the session checkpointed while the loop ran
+    var mine = extraPins
     def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = pinnedIds
       val out = df.localCheckpoint()
-      (out, pinnedIds -- before)
+      val ids = pinnedIds -- before
+      mine ++= ids
+      (out, ids)
     }
     def drop(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
@@ -429,15 +437,15 @@ object Dedup {
       s"label propagation did not converge in $rounds rounds " +
         s"(component diameter > $maxRounds; raise -Dgraft.cluster.maxRounds)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
-    // pin the (small) result, then release EVERYTHING this call pinned —
-    // the loop states, the edges, and the shingle/signature pins inside
-    // dedupMinhashLsh — except the result's own blocks (the returned
-    // frame must not read from storage this method just freed)
+    // pin the (small) result, then release everything THIS call pinned —
+    // the loop states, the edges, and the caller's pair-derivation pins —
+    // except the result's own blocks (the returned frame must not read
+    // from storage this method just freed)
     val (result, resultIds) = tracked(
       labels.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("csize"))
         .orderBy("doc_id"))
-    drop(pinnedIds -- preexisting -- resultIds)
+    drop(mine -- resultIds)
     result
   }
 }

@@ -204,8 +204,11 @@ object Pipelines {
     val docs = Tables.table(spark, dir, "documents")
       .select(col("source"), col("doc_id"))
     // weights {1,2,3} derived from the source name: a stand-in for the
-    // mixture recipe's per-source sampling weights
-    val w = lit(1L) + (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 3L)
+    // mixture recipe's per-source sampling weights. Digitless names fall
+    // back to weight 1 (coalesce) — matching the oracle's TRY_CAST — so
+    // engine and oracle can't diverge on an unanticipated source name.
+    val w = lit(1L) +
+      (coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L)) % 3L)
     val ranked = docs
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))))
       .withColumn("rnk", row_number().over(

@@ -309,7 +309,9 @@ class PipelineOpsSpec extends SparkSpec {
     // positions are a dense 1..n permutation of the whole corpus
     assert(sched.map(_._1).toSeq == (1L to sched.length).toSeq)
     assert(sched.map(_._3).distinct.length == sched.length)
-    def weight(src: String): Long = 1 + src.filter(_.isDigit).toLong % 3
+    // SAME rule as the implementation: FIRST digit run, 0 when digitless
+    def weight(src: String): Long =
+      1 + "\\d+".r.findFirstIn(src).map(_.toLong).getOrElse(0L) % 3
     // stride scheduling: at any prefix, a source's emitted count can't
     // trail its weight share by more than one full round of the schedule
     val bySrc = sched.map { case (_, src, _) => src }

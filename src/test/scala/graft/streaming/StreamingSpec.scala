@@ -159,10 +159,10 @@ class StreamingSpec extends SparkSpec {
       maxFilesPerTrigger = 1,
       onEmit = (rows, _) => {
         val now = System.currentTimeMillis()
-        emitTimes.add(now)
         last = rows
-        sink.push(rows, now)
-      })
+        sink.push(rows, now) // push BEFORE recording: the poll below keys
+        emitTimes.add(now)   // off emitTimes, so every recorded emission
+      })                     // is already visible at the sink
     try {
       val deadline = System.currentTimeMillis() + 300000
       while (emitTimes.size < nFiles && System.currentTimeMillis() < deadline)
@@ -175,8 +175,16 @@ class StreamingSpec extends SparkSpec {
       val top = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       val pushedTs = """"timestamp":(\d+)""".r.findFirstMatchIn(top).get.group(1).toLong
-      assert(pushedTs == emitTimes.asScala.last,
-        s"/top timestamp $pushedTs != last emission ${emitTimes.asScala.last}")
+      // the sink's latest must be a RECORDED emission at least as new as
+      // the one that satisfied the poll — not equality with .last, which
+      // races against emissions landing after the poll exits (and the
+      // push→record window needs a beat to close)
+      val recorded = (1 to 50).exists { _ =>
+        emitTimes.asScala.contains(pushedTs) || { Thread.sleep(20); false }
+      }
+      assert(recorded, s"/top timestamp $pushedTs is not a recorded emission")
+      assert(pushedTs >= emitTimes.asScala.toSeq(nFiles - 1),
+        s"/top timestamp $pushedTs older than the ${nFiles}th emission")
     } finally { q.stop(); sink.stop() }
     val times = emitTimes.asScala.toSeq
     // strictly monotone emission timestamps (what the JSON messages carry)
