@@ -119,6 +119,7 @@ object SparkEntry {
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
     "temporal_range_join" -> (operators.Temporal.rangeJoin _),
+    "temporal_range_join_rule" -> (operators.Temporal.rangeJoinViaRule _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
     "window_lag_lead" -> (operators.Temporal.windowLagLead _),
     "window_ntile" -> (Relational.windowNtile _),
@@ -806,6 +807,15 @@ object SparkEntry {
         |  ON err.user_id = c.user_id
         | AND c_us >= e_us - 300000000 AND c_us <= e_us
         |GROUP BY err.user_id, e_us""".stripMargin,
+    // pure interval join (no user key): inner ⇒ only errors with ≥1 click
+    "temporal_range_join_rule" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |err AS (SELECT DISTINCT us AS error_us FROM e WHERE event_type = 'error'),
+        |c AS (SELECT us AS c_us FROM e WHERE event_type = 'click')
+        |SELECT error_us, count(c_us) AS n_clicks_5m
+        |FROM err JOIN c
+        |  ON c_us >= error_us - 300000000 AND c_us <= error_us
+        |GROUP BY error_us""".stripMargin,
     "temporal_window_frames" ->
       """SELECT user_id, us,
         |       count(*) OVER w1h AS n_1h,

@@ -110,5 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    // pure range joins → bucketed equi-joins (opt-in via the width conf)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketRule)
   }
 }

@@ -75,6 +75,37 @@ object Temporal {
       .agg(count(col("c_us")).as("n_clicks_5m"))
   }
 
+  /** The PURE (no user key) range join — "clicks anywhere in the 5 minutes
+    * before each error" — written as the naive theta join and left to
+    * [[graft.plans.RangeJoinBucketRule]]: without the rule Spark's only
+    * plan is a BroadcastNestedLoopJoin over every (error, click) pair;
+    * with the width conf set the optimizer rewrites it into the bucketed
+    * equi-join [[rangeJoin]] builds by hand (TemporalRuleSpec pins both
+    * the plan transformation and result equality against the BNLJ run).
+    * This is the declarative contract at 100 TB: the user writes the
+    * BETWEEN join; the engine owns the scale path.
+    *
+    * The width conf stays set on the session (plans read conf at
+    * OPTIMIZATION time, after this function returns its lazy frame) —
+    * safe: the rule is semantics-preserving and shape-narrow (pure
+    * two-sided long range joins with no cross-side equality).
+    */
+  def rangeJoinViaRule(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketRule
+    spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf, RangeWindowUs.toString)
+    val ev = events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(us.as("error_us")).distinct()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(us.as("c_us"))
+    errors.join(clicks,
+        col("c_us") >= col("error_us") - RangeWindowUs && col("c_us") <= col("error_us"))
+      .groupBy(col("error_us"))
+      .agg(count(col("c_us")).as("n_clicks_5m"))
+  }
+
   /** Analytic navigation functions (lag / lead / first_value) per user in
     * time order. The ORDER BY tuple (us, event_type, value) is a TOTAL
     * order up to fully-identical rows, which are interchangeable — so the

@@ -48,6 +48,38 @@ class TemporalSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("range-join rule: BNLJ becomes a bucketed equi-join, same answer") {
+    import graft.plans.RangeJoinBucketRule
+    val ev = Tables.table(spark, sfDir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("error_us")).distinct()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"))
+    def theta = errors.join(clicks,
+      col("c_us") >= col("error_us") - 300000000L && col("c_us") <= col("error_us"))
+
+    // rule disabled: the only plan Spark has is a nested-loop product
+    spark.conf.unset(RangeJoinBucketRule.WidthConf)
+    val naive = theta
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "pure range join should baseline as BNLJ")
+    val want = naive.groupBy(col("error_us"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val out = Temporal.rangeJoinViaRule(spark, sfDir)
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule must eliminate the nested-loop join:\n$plan")
+      assert(plan.contains("__graft_bucket"), "bucketed rewrite not applied")
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "rewritten join must reproduce the theta join exactly")
+    } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
+  }
+
   test("window frames: trailing never exceeds cumulative; counts positive") {
     val out = Temporal.windowFrames(spark, sfDir)
     assert(out.filter(col("n_1h") < 1).isEmpty)
