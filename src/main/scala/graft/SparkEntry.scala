@@ -77,6 +77,7 @@ object SparkEntry {
     "doc_fingerprint" -> (graft.functions.TextOps.docFingerprint _),
     "text_repetition" -> (graft.functions.TextOps.textRepetition _),
     "text_redact_pii" -> (graft.functions.TextOps.redactPii _),
+    "text_bm25" -> (graft.functions.TextOps.bm25 _),
     "text_normalize" -> (graft.functions.NfcNormalize.textNormalize _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -85,6 +86,8 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding_cosine" -> (Dedup.dedupEmbeddingCosine _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_substring" -> (Dedup.repeatedPassages _),
+    "dedup_canonical" -> (Dedup.dedupCanonical _),
     // --- similarity search ---
     "ann_brute_force" -> (Similarity.annBruteForce _),
     // LSH/IVF are recall stages + exact rerank; at the fixture scale their
@@ -525,6 +528,33 @@ object SparkEntry {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |      '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
         |FROM s""".stripMargin,
+    // BM25 (k1=1.2, b=0.75, Lucene idf) for the fixed 4-term query; the
+    // arithmetic mirrors TextOps.bm25 operation-for-operation (doubles
+    // are only oracle-stable when both engines run the same op order)
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS dl,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'hash'))::DOUBLE AS tf_hash,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'join'))::DOUBLE AS tf_join,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'stream'))::DOUBLE AS tf_stream,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'vector'))::DOUBLE AS tf_vector
+        |  FROM documents),
+        |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_hash,
+        |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_join,
+        |    sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_stream,
+        |    sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_vector
+        |  FROM d)
+        |SELECT doc_id, round(
+        |    (CASE WHEN tf_hash > 0 THEN ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+        |       * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END
+        |   + CASE WHEN tf_join > 0 THEN ln((n - df_join + 0.5) / (df_join + 0.5) + 1.0)
+        |       * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+        |   + CASE WHEN tf_stream > 0 THEN ln((n - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
+        |       * (tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END
+        |   + CASE WHEN tf_vector > 0 THEN ln((n - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+        |       * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END, 4) AS bm25
+        |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
     // chr(769)/chr(771) = the combining acute/tilde the Spark side seeds
     "text_normalize" ->
       """WITH s AS (SELECT text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o' AS raw
@@ -558,6 +588,40 @@ object SparkEntry {
     // connected components over the near-dup pairs via recursive
     // reachability (fixture-scale); the Spark side is min-label propagation
     // — both assign min reachable doc_id per component
+    // 8-token windows, ≥2 distinct docs; same tokenizer as the shingles
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |          FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[s.i : s.i+7], ' ') AS passage
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) s)
+        |SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY passage""".stripMargin,
+    // clusters (recursive reachability, as dedup_clusters) → keeper =
+    // argmax(rounded quality, ties to smallest doc_id); singletons self-map
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE pairs AS (${dedupJaccardOracle(0.8)}),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |  round(0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
+        |      + 0.3 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+        |      + 0.4 * (len(list_distinct(string_split_regex(trim(text), '\\s+')))::DOUBLE
+        |               / len(string_split_regex(trim(text), '\\s+'))), 6) AS q
+        |  FROM documents),
+        |l AS (SELECT q.doc_id, q.q, COALESCE(lab.cluster_id, q.doc_id) AS cid
+        |      FROM q LEFT JOIN lab ON lab.id = q.doc_id)
+        |SELECT doc_id, canonical_id, doc_id = canonical_id AS kept FROM (
+        |  SELECT doc_id, CAST(first_value(doc_id) OVER (
+        |      PARTITION BY cid ORDER BY q DESC, doc_id) AS BIGINT) AS canonical_id
+        |  FROM l) c
+        |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (${dedupJaccardOracle(0.8)}),
         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs

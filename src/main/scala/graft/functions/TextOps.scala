@@ -229,4 +229,51 @@ object TextOps {
         regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
         md5(col("r")).as("redacted_md5"))
   }
+
+  /** The fixed retrieval query [[bm25]] scores — a small term set, as real
+    * retrieval queries are.
+    */
+  val Bm25Terms: Seq[String] = Seq("hash", "join", "stream", "vector")
+
+  /** BM25 document ranking (k1 = 1.2, b = 0.75, Lucene-smoothed idf) for
+    * the fixed query [[Bm25Terms]] — the classic sparse-retrieval scorer a
+    * training-data pipeline runs for quality-by-retrievability scoring and
+    * RAG indexing. Top 50 docs by rounded score (ties broken by doc_id, so
+    * the cutoff is engine-deterministic).
+    *
+    * Scale design: for a SMALL query, no inverted index is needed — per-doc
+    * term frequencies are row-local array scans (one column per term,
+    * subexpression-eliminated tokenization), corpus stats (N, avgdl, per-
+    * term df) are ONE scalar aggregate broadcast back, and the top-k is a
+    * TakeOrdered. The whole plan shuffles one stats row plus the top-k —
+    * the corpus text never shuffles. (For query BATCHES the shape flips to
+    * the exploded inverted index joined to a broadcast term table — the
+    * same index decontaminate builds.)
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir).select(
+      col("doc_id") +: size(tokens).cast("double").as("dl") +:
+        Bm25Terms.map(t =>
+          size(filter(tokens, x => x === t)).cast("double").as(s"tf_$t")): _*)
+    val statCols = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      Bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    // identical operation order to the oracle SQL: idf * (tf*2.2) / (tf +
+    // 1.2 * (0.25 + 0.75 * dl/avgdl)), summed left-to-right over terms —
+    // doubles are only oracle-stable when both engines run the same ops
+    val score = Bm25Terms.map { t =>
+      val tf = col(s"tf_$t")
+      val df = col(s"df_$t")
+      when(tf > 0,
+        log((col("n") - df + 0.5) / (df + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
 }

@@ -448,4 +448,82 @@ object Dedup {
     drop(mine -- resultIds)
     result
   }
+
+  /** Exact repeated-passage window: W consecutive whitespace tokens. 8 at
+    * fixture scale (docs are 10–100 tokens); the published substring-dedup
+    * regime uses ~50-token windows over full-length documents.
+    */
+  val PassageWindow = 8
+
+  /** Cross-document repeated passages — EXACT substring-level dedup (the
+    * "same 50-token span appears in many documents" pathology of web
+    * corpora, distinct from document-level Jaccard similarity: two docs
+    * sharing one boilerplate paragraph are passage-dups but nowhere near
+    * Jaccard-0.8 document dups). Emits every [[PassageWindow]]-token
+    * window that occurs in ≥ 2 distinct documents, with its document and
+    * occurrence counts — the removal list a substring-dedup pass cuts
+    * against.
+    *
+    * Scale design: the distributed-friendly n-gram-window formulation of
+    * suffix-array substring dedup — one explode into an inverted window
+    * index, one hash aggregation (map-side partial combine collapses the
+    * within-partition repeats first), no pairwise work anywhere. The
+    * shuffled key is the W-token window text itself, which is what makes
+    * the aggregation exact; at 100 TB the volume knob is shuffling
+    * `xxhash64(window)` instead and re-joining one representative string
+    * per surviving hash (collision-checked), which this operator keeps as
+    * a flag-day option rather than a default because the exact form is
+    * already one shuffle of ~W× the corpus tokens.
+    */
+  def repeatedPassages(spark: SparkSession, dir: String): DataFrame = {
+    val W = PassageWindow
+    // window arrays pinned BEFORE the explode: exploding the raw
+    // transform(...) expression re-evaluates the whole window-building
+    // chain per OUTPUT row (the measured trap — see decontaminate)
+    val windows = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, size(w) - ${W - 1}),
+           |  i -> array_join(slice(w, i, $W), ' '))""".stripMargin).as("g"))
+      .localCheckpoint()
+    windows.select(col("doc_id"), explode(col("g")).as("passage"))
+      .groupBy("passage")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("passage")
+  }
+
+  /** Cluster canonicalization — the decision step that turns near-dup
+    * CLUSTERS into a deduplicated corpus: every document maps to its
+    * cluster's keeper (highest [[graft.functions.TextOps.quality]], ties
+    * to the smallest doc_id — "keep the best copy", not "keep the first
+    * seen"), unclustered documents keep themselves. `kept` marks the
+    * surviving corpus; `canonical_id` is the redirect every downstream
+    * reference (dup of X → X) follows.
+    *
+    * Scale design: quality is computed at the scan (row-local, text never
+    * shuffles); the argmax and redirect join move only
+    * `(cluster, quality, id)` triples. The cluster frame covers just the
+    * docs in some near-dup pair — tiny relative to the corpus — so the
+    * left join back is broadcast-shaped at real scale.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), round(graft.functions.TextOps.quality, 6).as("q"))
+    val labeled = q
+      .join(dedupClusters(spark, dir).select("doc_id", "cluster_id"),
+        Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+    // argmax(quality, then min id) per cluster via ordered-struct max:
+    // max((q, -id)) picks the largest quality, then the smallest doc_id
+    val canon = labeled.groupBy(col("cid"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("neg"))).as("best"))
+      .select(col("cid"), (-col("best.neg")).cast("long").as("canonical_id"))
+    labeled.join(canon, Seq("cid"))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("kept"))
+      .orderBy("doc_id")
+  }
 }

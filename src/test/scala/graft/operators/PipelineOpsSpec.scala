@@ -352,4 +352,80 @@ class PipelineOpsSpec extends SparkSpec {
     val fp = graft.functions.TextOps.docFingerprint(spark, sfDir).collect()
     fp.foreach(r => assert(r.getAs[String]("fp").matches("[0-9a-f]{32}")))
   }
+
+  test("repeated passages equal a sequential window-count recomputation") {
+    val got = Dedup.repeatedPassages(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "fixtures should contain planted repeated passages")
+    // independent in-JVM oracle: tokenize every doc sequentially, slide
+    // the same W-token window, count docs/occurrences per passage
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val W = Dedup.PassageWindow
+    val occ = scala.collection.mutable.Map.empty[String, List[Long]]
+    for ((id, w) <- docs; i <- 0 to w.size - W if w.size >= W)
+      occ.updateWith(w.slice(i, i + W).mkString(" "))(o => Some(id :: o.getOrElse(Nil)))
+    val want = occ.iterator
+      .map { case (p, ids) => (p, ids.distinct.size.toLong, ids.size.toLong) }
+      .filter(_._2 >= 2).toSeq.sortBy(_._1)
+    assert(got == want)
+    // every emitted passage is exactly W tokens
+    got.foreach { case (p, _, _) => assert(p.split(" ").length == W) }
+  }
+
+  test("canonicalization keeps the best-quality doc per cluster, singletons self-map") {
+    val rows = Dedup.dedupCanonical(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, canon, kept) => assert(kept == (id == canon)) }
+    val canonOf = rows.map(r => r._1 -> r._2).toMap
+    val quality = graft.functions.TextOps.textStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val clusters = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    // within every cluster: one shared keeper, and it is the
+    // (max quality, min doc_id) argmax of the members
+    clusters.groupBy(_._2).values.foreach { members =>
+      val ids = members.map(_._1).toSeq
+      val keepers = ids.map(canonOf).distinct
+      assert(keepers.size == 1, s"cluster must share one keeper, got $keepers")
+      val best = ids.maxBy(id => (quality(id), -id))
+      assert(keepers.head == best)
+    }
+    // docs in no cluster keep themselves
+    val clustered = clusters.map(_._1).toSet
+    rows.filter(r => !clustered(r._1)).foreach { case (id, canon, kept) =>
+      assert(canon == id && kept)
+    }
+  }
+
+  test("bm25 equals a sequential scorer and ranks term-dense docs first") {
+    import graft.functions.TextOps
+    val got = TextOps.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == 50)
+    // independent sequential BM25 over the collected corpus
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val dfs = TextOps.Bm25Terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(w: Seq[String]): Double = TextOps.Bm25Terms.map { t =>
+      val tf = w.count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+    }.sum
+    val want = docs
+      .map { case (id, w) =>
+        (id, BigDecimal(score(w)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(50).toSeq
+    assert(got == want)
+    // descending scores, deterministic tie-break already proven by equality
+    assert(got.map(_._2) == got.map(_._2).sorted(Ordering[Double].reverse))
+  }
 }
