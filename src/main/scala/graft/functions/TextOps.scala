@@ -251,10 +251,15 @@ object TextOps {
     * same index decontaminate builds.)
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
+    // pin the per-doc numeric frame (6 numbers/doc): both consumers (the
+    // stats aggregate and the score projection) read it, so the pin makes
+    // the text scan+tokenize run ONCE instead of once per consumer — at
+    // corpus scale the tokenizing scan IS the job, the pin is ~48 B/doc
     val perDoc = docs(spark, dir).select(
       col("doc_id") +: size(tokens).cast("double").as("dl") +:
         Bm25Terms.map(t =>
           size(filter(tokens, x => x === t)).cast("double").as(s"tf_$t")): _*)
+      .localCheckpoint()
     val statCols = count(lit(1)).cast("double").as("n") +:
       avg(col("dl")).as("avgdl") +:
       Bm25Terms.map(t =>
