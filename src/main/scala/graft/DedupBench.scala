@@ -79,6 +79,20 @@ object DedupBench {
         s"($nPairs of $expected exact pairs)")
 
     println(f"""{"metric":"dedup_docs_per_sec","value":${nDocs / sec}%.0f,"unit":"docs/sec","docs":$nDocs,"pairs":$nPairs,"seconds":$sec%.1f,"scale":$scale}""")
+
+    // Substring-level dedup at the same scale. Unlike MinHash, passage
+    // counting is hash-free, so the bijective rewrite invariant is EXACT:
+    // windows map 1:1 within a copy and cross-copy windows share no
+    // tokens, hence repeated-passage rows must equal scale × base rows —
+    // equality, not a recall bound.
+    val t1 = System.nanoTime()
+    val nPassages = Dedup.repeatedPassagesDocs(scaled).count()
+    val subSec = (System.nanoTime() - t1) / 1e9
+    val basePassages = Dedup.repeatedPassagesDocs(base).count()
+    require(nPassages == scale.toLong * basePassages,
+      s"repeated passages $nPassages != $scale × base $basePassages " +
+        "(the bijective rewrite preserves passage counts exactly)")
+    println(f"""{"metric":"substring_docs_per_sec","value":${nDocs / subSec}%.0f,"unit":"docs/sec","docs":$nDocs,"passages":$nPassages,"seconds":$subSec%.1f,"scale":$scale}""")
     spark.stop()
   }
 }

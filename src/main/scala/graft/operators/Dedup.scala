@@ -475,12 +475,19 @@ object Dedup {
     * a flag-day option rather than a default because the exact form is
     * already one shuffle of ~W× the corpus tokens.
     */
-  def repeatedPassages(spark: SparkSession, dir: String): DataFrame = {
+  def repeatedPassages(spark: SparkSession, dir: String): DataFrame =
+    repeatedPassagesDocs(Tables.table(spark, dir, "documents"))
+
+  /** [[repeatedPassages]] over an explicit `(doc_id, text)` frame (the
+    * scale-up harness pushes synthetic larger corpora through the same
+    * operator — see `graft.DedupBench`).
+    */
+  def repeatedPassagesDocs(docs: DataFrame): DataFrame = {
     val W = PassageWindow
     // window arrays pinned BEFORE the explode: exploding the raw
     // transform(...) expression re-evaluates the whole window-building
     // chain per OUTPUT row (the measured trap — see decontaminate)
-    val windows = Tables.table(spark, dir, "documents")
+    val windows = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= W)
       .select(col("doc_id"), expr(
