@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Randomized properties of the hash-free dedup primitives
+  * ([[Dedup.repeatedPassagesDocs]], [[Dedup.clusterize]]) over
+  * adversarial random inputs: tiny vocabularies force dense passage
+  * repetition (including passages repeated many times WITHIN one doc),
+  * random edge sets force multi-component, chain, and singleton cluster
+  * shapes. Each distributed answer must equal a sequential
+  * recomputation. Fixed seeds (offline, no scalatest-scalacheck bridge)
+  * so failures replay deterministically.
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  // vocab of 4 tokens ⇒ only 4^8 distinct 8-token windows; docs of up to
+  // 60 tokens collide constantly, within and across documents
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(0, 40)
+    lens <- Gen.listOfN(n, Gen.choose(0, 60))
+    texts <- Gen.sequence[List[List[String]], List[String]](
+      lens.map(l => Gen.listOfN(l, Gen.oneOf("a", "b", "c", "d"))))
+  } yield texts.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+
+  private def sampleDocs(i: Long): List[(Long, String)] =
+    docsGen(Gen.Parameters.default, Seed(i)).get
+
+  test("repeated passages == sequential window counts on random tiny-vocab corpora") {
+    import spark.implicits._
+    val W = Dedup.PassageWindow
+    for (seed <- 1L to 8L) {
+      val data = sampleDocs(seed)
+      val got = Dedup.repeatedPassagesDocs(
+          data.toDF("doc_id", "text").repartition(5))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val occ = scala.collection.mutable.Map.empty[String, List[Long]]
+      for {
+        (id, text) <- data
+        w = text.trim.split("\\s+").toSeq if w.size >= W && text.trim.nonEmpty
+        i <- 0 to w.size - W
+      } occ.updateWith(w.slice(i, i + W).mkString(" "))(o => Some(id :: o.getOrElse(Nil)))
+      val want = occ.iterator
+        .map { case (p, ids) => (p, ids.distinct.size.toLong, ids.size.toLong) }
+        .filter(_._2 >= 2).toSeq.sortBy(_._1)
+      assert(got == want, s"seed $seed: passage counts diverged")
+    }
+  }
+
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 60)
+    as <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    bs <- Gen.listOfN(n, Gen.choose(0L, 30L))
+  } yield as.zip(bs).filter { case (a, b) => a != b }
+
+  test("clusterize == sequential union-find on random edge sets") {
+    import spark.implicits._
+    for (seed <- 21L to 26L) {
+      val edges = edgesGen(Gen.Parameters.default, Seed(seed)).get
+      if (edges.nonEmpty) {
+        val got = Dedup.clusterize(spark, edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+        // sequential union-find with min-label normalization
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val members = parent.keys.toSeq.groupBy(find)
+        val want = members.toSeq.flatMap { case (_, ms) =>
+          val label = ms.min
+          ms.map(m => (m, label, ms.size.toLong))
+        }.sorted
+        assert(got == want, s"seed $seed: clustering diverged")
+      }
+    }
+  }
+}
