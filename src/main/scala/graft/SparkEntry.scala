@@ -445,19 +445,23 @@ object SparkEntry {
         |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // rounded rationals use the bit-deterministic floor form and ALL-DOUBLE
+    // leaves (DuckDB's bare numeric literals are DECIMALs — `0.3*(12/100.0)`
+    // is exact decimal 0.036 while Spark computes doubles; at a decimal
+    // midpoint like 0.5844375 the two round apart — see TextOps.round6)
     "text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
-        |  round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
-        |  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  floor((length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text)) * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+        |  floor((len(list_filter(string_split_regex(trim(text), '\s+'),
         |        x -> list_contains(['the','a','row','fast','of','and'], x)))::DOUBLE
-        |        / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
-        |  round(0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
-        |      + 0.3 * least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+        |        / len(string_split_regex(trim(text), '\s+'))) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+        |  floor((0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
+        |      + 0.3 * least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100.0, 1.0)
         |      + 0.4 * (len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
-        |               / len(string_split_regex(trim(text), '\s+'))), 6) AS quality
+        |               / len(string_split_regex(trim(text), '\s+')))) * 1000000 + 0.5) / 1000000 AS quality
         |FROM documents""".stripMargin,
     "lang_id" ->
       """SELECT lang, predicted, count(*) AS n FROM (
@@ -505,9 +509,9 @@ object SparkEntry {
         |          ELSE [] END AS bg
         |      FROM d)
         |SELECT a.doc_id, a.n_tokens,
-        |       round(top_c / n_tokens, 6) AS top_token_frac,
+        |       floor((top_c / n_tokens) * 1000000 + 0.5) / 1000000 AS top_token_frac,
         |       CASE WHEN len(bg) > 0
-        |         THEN round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+        |         THEN floor((1.0::DOUBLE - len(list_distinct(bg))::DOUBLE / len(bg)) * 1000000 + 0.5) / 1000000
         |         ELSE 0.0 END AS dup_bigram_frac
         |FROM a JOIN b ON a.doc_id = b.doc_id""".stripMargin,
     // the seeding suffix must stay byte-identical to TextOps.redactPii
@@ -610,10 +614,10 @@ object SparkEntry {
         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
         |q AS (SELECT doc_id,
-        |  round(0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
-        |      + 0.3 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+        |  floor((0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
+        |      + 0.3 * least(len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100.0, 1.0)
         |      + 0.4 * (len(list_distinct(string_split_regex(trim(text), '\\s+')))::DOUBLE
-        |               / len(string_split_regex(trim(text), '\\s+'))), 6) AS q
+        |               / len(string_split_regex(trim(text), '\\s+')))) * 1000000 + 0.5) / 1000000 AS q
         |  FROM documents),
         |l AS (SELECT q.doc_id, q.q, COALESCE(lab.cluster_id, q.doc_id) AS cid
         |      FROM q LEFT JOIN lab ON lab.id = q.doc_id)
@@ -664,7 +668,7 @@ object SparkEntry {
       |toks AS (SELECT *, string_split_regex(trim(text), '\\s+') AS w FROM documents),
       |q AS (SELECT * FROM toks WHERE
       |    0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
-      |  + 0.3 * least(len(w) / 100.0, 1.0)
+      |  + 0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
       |  + 0.4 * (len(list_distinct(w))::DOUBLE / len(w)) >= 0.5),
       |ke AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM q) t
       |       WHERE doc_id = keep),
@@ -987,8 +991,8 @@ object SparkEntry {
       |         for i in range(1, len(w) - 1)]) AS s
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents) t)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       round(len(list_intersect(a.s, b.s))::DOUBLE
-      |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      |       floor((len(list_intersect(a.s, b.s))::DOUBLE
+      |             / len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
       |  AND len(list_intersect(a.s, b.s))::DOUBLE

@@ -28,6 +28,23 @@ object TextOps {
   private def alphaRatio: Column =
     length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text"))
 
+  /** Bit-deterministic round-half-up to 6 decimals: `floor(x·10⁶+0.5)/10⁶`.
+    *
+    * `round(x, 6)` is an oracle-parity trap for RATIONAL doubles: a ratio
+    * like 0.5844375 (seen at sf0.1, doc 4056) is an exact decimal
+    * MIDPOINT, and the two engines legitimately land an ulp apart —
+    * DuckDB's bare numeric literals are DECIMALs (`0.3 * (12/100.0)` is
+    * exact decimal 0.036) while Spark's are doubles — then round to
+    * different sides. Worse, even on identical bits the engines' midpoint
+    * handling differs (Spark goes through `BigDecimal.valueOf`'s
+    * shortest-string repr). floor of `x·10⁶+0.5` is an exact function of
+    * the input BITS, so once the oracle SQL computes the same double
+    * (all-double leaf casts, same op order), the rounded values cannot
+    * diverge. Every rounded rational ratio in the engine uses this; the
+    * oracle twins use the literal `floor((x) * 1000000 + 0.5) / 1000000`.
+    */
+  def round6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
   /** [0,1] composite quality heuristic over `text` (alpha ratio / length /
     * lexical diversity — the usual pretraining-filter features). Shared by
     * [[textStats]] and the curation pipeline so the formula can't diverge.
@@ -51,9 +68,9 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars"),
       nTok.as("n_tokens"),
       nDis.as("n_distinct"),
-      round(alpha, 6).as("alpha_ratio"),
-      round(stop, 6).as("stopword_ratio"),
-      round(quality, 6).as("quality"))
+      round6(alpha).as("alpha_ratio"),
+      round6(stop).as("stopword_ratio"),
+      round6(quality).as("quality"))
   }
 
   /** N-gram/stopword-profile language ID (deterministic scoring + fixed
@@ -196,9 +213,9 @@ object TextOps {
         size(array_distinct(col("bg"))).cast("long").as("n_bg_distinct"))
     top.join(bg, "doc_id").select(
       col("doc_id"), col("n_tokens"),
-      round(col("top_c") / col("n_tokens"), 6).as("top_token_frac"),
+      round6(col("top_c") / col("n_tokens")).as("top_token_frac"),
       when(col("n_bg") > 0,
-        round(lit(1.0) - col("n_bg_distinct") / col("n_bg"), 6))
+        round6(lit(1.0) - col("n_bg_distinct") / col("n_bg")))
         .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 

@@ -70,7 +70,8 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextOps.round6(col("jaccard")).as("jaccard"))
   }
 
   /** Exact-verify candidate pairs: count common shingles via the inverted
@@ -518,7 +519,8 @@ object Dedup {
     */
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), round(graft.functions.TextOps.quality, 6).as("q"))
+      .select(col("doc_id"),
+        graft.functions.TextOps.round6(graft.functions.TextOps.quality).as("q"))
     val labeled = q
       .join(dedupClusters(spark, dir).select("doc_id", "cluster_id"),
         Seq("doc_id"), "left")
