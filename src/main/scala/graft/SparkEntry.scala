@@ -78,6 +78,7 @@ object SparkEntry {
     "text_repetition" -> (graft.functions.TextOps.textRepetition _),
     "text_redact_pii" -> (graft.functions.TextOps.redactPii _),
     "text_bm25" -> (graft.functions.TextOps.bm25 _),
+    "text_inverted_index" -> (graft.functions.TextOps.invertedIndex _),
     "text_normalize" -> (graft.functions.NfcNormalize.textNormalize _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -101,6 +102,7 @@ object SparkEntry {
     // --- composite pipelines ---
     "pipeline_curation" -> (operators.Pipelines.corpusCuration _),
     "pipeline_funnel" -> (operators.Pipelines.funnel _),
+    "pipeline_retention" -> (operators.Pipelines.retention _),
     "pipeline_split" -> (operators.Pipelines.trainValTestSplit _),
     "pipeline_sample" -> (operators.Pipelines.stratifiedSample _),
     "pipeline_decontaminate" -> (operators.Pipelines.decontaminate _),
@@ -559,6 +561,14 @@ object SparkEntry {
         |   + CASE WHEN tf_vector > 0 THEN ln((n - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
         |       * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END, 4) AS bm25
         |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+    "text_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin,
     // chr(769)/chr(771) = the combining acute/tilde the Spark side seeds
     "text_normalize" ->
       """WITH s AS (SELECT text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o' AS raw
@@ -766,6 +776,16 @@ object SparkEntry {
         |          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
         |        FROM events GROUP BY user_id) t) u
         |GROUP BY stage""".stripMargin,
+    "pipeline_retention" ->
+      """WITH pu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |            FROM events GROUP BY user_id),
+        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |act AS (SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS day_offset,
+        |               count(*) AS n_active
+        |        FROM ud JOIN pu USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.day_offset, a.n_active, s.n_active AS cohort_size
+        |FROM act a JOIN act s ON s.cohort_day = a.cohort_day AND s.day_offset = 0
+        |ORDER BY a.cohort_day, a.day_offset""".stripMargin,
     "window_tumbling" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
         |       event_type, count(*) AS n,

@@ -298,4 +298,45 @@ object TextOps {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(50)
   }
+
+  /** Terms rarer than this document frequency are elided from the emitted
+    * index — the long tail (typos, ids, hapaxes) that every production
+    * index prunes or tiers into a separate exact-match structure.
+    */
+  val IndexMinDf = 5
+
+  /** Inverted-index construction (term → posting list) — the index-build
+    * job a retrieval/RAG stack runs over the corpus, and the other half of
+    * [[bm25]] (which scores a small query WITHOUT an index; query BATCHES
+    * join against this). Per term: document frequency, total term
+    * frequency, and the postings serialized canonically as
+    * `"doc:tf,doc:tf,…"` in doc_id order (engine-comparable, and the
+    * delta-encodable layout a real index compresses).
+    *
+    * Scale design: the classic two-level agg — explode is the map phase,
+    * `(term, doc)` tf counts partial-aggregate map-side (combiner), then
+    * one shuffle keyed by term assembles postings. Text itself never
+    * shuffles — only `(term, doc_id, tf)` triples. The one unbounded state
+    * is the per-term posting list (a stopword's list is corpus-sized): at
+    * 100 TB the index is DOCUMENT-PARTITIONED — add a `shard = doc_id
+    * bucket` column to the final groupBy and each shard's lists are
+    * bounded by its doc range (queries fan out to shards and merge, the
+    * standard web-scale layout); the plan shape is unchanged.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            p => concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))),
+          ",").as("postings"))
+      .filter(col("df") >= IndexMinDf)
+      .orderBy(col("term"))
+  }
 }

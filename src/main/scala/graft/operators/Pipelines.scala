@@ -56,6 +56,37 @@ object Pipelines {
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort retention over the events table: users bucketed by first-active
+    * day, then distinct active users per (cohort, day-offset) with the
+    * cohort's size alongside — the classic retention triangle.
+    *
+    * Scale design: ONE shuffle keyed by user produces both the cohort day
+    * and the user's distinct active-day set from the same hash aggregate
+    * (`collect_set` state is calendar-bounded — ≤ days-in-range entries —
+    * unlike a general collect), so the events scan runs once and no
+    * user-keyed join is needed. Exploding that set and re-aggregating by
+    * (cohort, offset) shuffles only (date, date) pairs. Cohort sizes are
+    * definitionally the offset-0 diagonal, read back off the tiny
+    * aggregated frame (pinned — one computation) via a broadcast self-join
+    * rather than a third scan of events.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"), collect_set(col("d")).as("days"))
+      .select(col("cohort_day"), explode(col("days")).as("d"))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .localCheckpoint()
+    val sizes = act.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_size"))
+    act.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_size"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Content-hash bucket in [0, 1000): the basis for deterministic
     * sampling/splitting. A pure function of the KEY (not of partitioning,
     * row order, or cluster size), so membership is stable across reruns,

@@ -428,4 +428,49 @@ class PipelineOpsSpec extends SparkSpec {
     // descending scores, deterministic tie-break already proven by equality
     assert(got.map(_._2) == got.map(_._2).sorted(Ordering[Double].reverse))
   }
+
+  test("inverted index equals a sequential build and prunes the df tail") {
+    import graft.functions.TextOps
+    val got = TextOps.invertedIndex(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val postings = docs
+      .flatMap { case (id, ws) => ws.groupBy(identity).map { case (t, o) => (t, id, o.size.toLong) } }
+      .groupBy(_._1)
+    val want = postings.toSeq
+      .map { case (t, ps) =>
+        val sorted = ps.sortBy(_._2)
+        (t, sorted.size.toLong, sorted.map(_._3).sum,
+          sorted.map(p => s"${p._2}:${p._3}").mkString(","))
+      }
+      .filter(_._2 >= TextOps.IndexMinDf)
+      .sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // pruning accounting: emitted terms + pruned tail = full vocabulary
+    // (sf0.001's vocab has no df<5 tail; the sf0.01 driver oracle has one)
+    val tail = postings.count(_._2.size < TextOps.IndexMinDf)
+    assert(got.size == postings.size - tail)
+  }
+
+  test("retention triangle equals a sequential cohort fold") {
+    import java.time.temporal.ChronoUnit
+    val got = Pipelines.retention(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val cohort = events.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val want = events.map { case (u, d) => (u, cohort(u), d) }.distinct
+      .groupBy { case (_, c, d) => (c, ChronoUnit.DAYS.between(c, d)) }
+      .map { case ((c, off), us) => (c, off, us.size.toLong) }.toSeq
+    val sizes = want.collect { case (c, 0L, n) => c -> n }.toMap
+    val wantRows = want.map { case (c, off, n) => (c.toString, off, n, sizes(c)) }
+      .sortBy { case (c, off, _, _) => (c, off) }
+    assert(got == wantRows && got.nonEmpty)
+    // every user appears at offset 0, so n_active ≤ cohort_size row-wise
+    got.foreach { case (_, _, n, size) => assert(n <= size) }
+    assert(got.exists(_._2 > 0), "fixtures should span multiple active days")
+  }
 }
