@@ -52,12 +52,24 @@ object Bench {
       }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The record must survive the driver's bounded tail capture (r3/r4 both
+    // truncated to "parsed": null): keep every line short. 3-decimal times
+    // halve the line length; sorted per-query chunks are printed FIRST, each
+    // an independently parseable JSON line, so whichever suffix of stdout
+    // the driver keeps contains whole records; the compact summary line
+    // stays last per the contract.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val sorted = results.toSeq.sortBy(_._1)
+    val entries = sorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val chunks = entries.grouped(12).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
+    val qs = entries.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }
 }

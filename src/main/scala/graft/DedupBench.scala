@@ -84,15 +84,37 @@ object DedupBench {
     // counting is hash-free, so the bijective rewrite invariant is EXACT:
     // windows map 1:1 within a copy and cross-copy windows share no
     // tokens, hence repeated-passage rows must equal scale × base rows —
-    // equality, not a recall bound.
-    val t1 = System.nanoTime()
-    val nPassages = Dedup.repeatedPassagesDocs(scaled).count()
-    val subSec = (System.nanoTime() - t1) / 1e9
+    // equality, not a recall bound. Both forms run instrumented so the
+    // record carries the hash-keyed variant's shuffle-volume delta
+    // (VERDICT r4 item 4).
+    def measured(body: => Long): (Long, Double, Long) = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t) / 1e9
+      Thread.sleep(1000) // listener bus is async: let the final stage land
+      spark.sparkContext.removeSparkListener(l)
+      (n, sec, acc.get())
+    }
+    val (nPassages, subSec, exactBytes) =
+      measured(Dedup.repeatedPassagesDocs(scaled).count())
     val basePassages = Dedup.repeatedPassagesDocs(base).count()
     require(nPassages == scale.toLong * basePassages,
       s"repeated passages $nPassages != $scale × base $basePassages " +
         "(the bijective rewrite preserves passage counts exactly)")
-    println(f"""{"metric":"substring_docs_per_sec","value":${nDocs / subSec}%.0f,"unit":"docs/sec","docs":$nDocs,"passages":$nPassages,"seconds":$subSec%.1f,"scale":$scale}""")
+    println(f"""{"metric":"substring_docs_per_sec","value":${nDocs / subSec}%.0f,"unit":"docs/sec","docs":$nDocs,"passages":$nPassages,"seconds":$subSec%.1f,"shuffle_bytes":$exactBytes,"scale":$scale}""")
+
+    val (nHashed, hashSec, hashedBytes) =
+      measured(Dedup.repeatedPassagesHashedDocs(scaled).count())
+    require(nHashed == nPassages,
+      s"hash-keyed substring dedup rows $nHashed != exact form $nPassages")
+    println(f"""{"metric":"substring_hashed_docs_per_sec","value":${nDocs / hashSec}%.0f,"unit":"docs/sec","docs":$nDocs,"passages":$nHashed,"seconds":$hashSec%.1f,"shuffle_bytes":$hashedBytes,"shuffle_ratio_vs_exact":${if (hashedBytes > 0) f"${exactBytes.toDouble / hashedBytes}%.2f" else "null"},"scale":$scale}""")
     spark.stop()
   }
 }

@@ -78,7 +78,8 @@ object SparkEntry {
     "text_repetition" -> (graft.functions.TextOps.textRepetition _),
     "text_redact_pii" -> (graft.functions.TextOps.redactPii _),
     "text_bm25" -> (graft.functions.TextOps.bm25 _),
-    "text_inverted_index" -> (graft.functions.TextOps.invertedIndex _),
+    "text_inverted_index" -> ((s: SparkSession, d: String) =>
+      graft.functions.TextOps.invertedIndex(s, d)),
     "text_normalize" -> (graft.functions.NfcNormalize.textNormalize _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -88,6 +89,10 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (Dedup.dedupEmbeddingCosine _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_substring" -> (Dedup.repeatedPassages _),
+    // the hash-keyed shuffle-volume variant — same answer, same oracle
+    "dedup_substring_hashed" -> ((s: SparkSession, d: String) =>
+      Dedup.repeatedPassagesHashedDocs(
+        graft.sources.Tables.table(s, d, "documents"))),
     "dedup_canonical" -> (Dedup.dedupCanonical _),
     // --- similarity search ---
     "ann_brute_force" -> (Similarity.annBruteForce _),
@@ -565,10 +570,13 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents),
-        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
-        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-        |       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
-        |FROM tf GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin,
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |        FROM tf GROUP BY term HAVING count(*) >= 5)
+        |SELECT tf.term, tf.doc_id % 8 AS shard, tot.df, tot.total_tf,
+        |       string_agg(tf.doc_id || ':' || tf.tf, ',' ORDER BY tf.doc_id) AS postings
+        |FROM tf JOIN tot USING (term)
+        |GROUP BY 1, 2, 3, 4 ORDER BY term, shard""".stripMargin,
     // chr(769)/chr(771) = the combining acute/tilde the Spark side seeds
     "text_normalize" ->
       """WITH s AS (SELECT text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o' AS raw
@@ -603,15 +611,11 @@ object SparkEntry {
     // reachability (fixture-scale); the Spark side is min-label propagation
     // — both assign min reachable doc_id per component
     // 8-token windows, ≥2 distinct docs; same tokenizer as the shingles
-    "dedup_substring" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |          FROM documents),
-        |g AS (SELECT doc_id, array_to_string(w[s.i : s.i+7], ' ') AS passage
-        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) s)
-        |SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |       CAST(count(*) AS BIGINT) AS n_occurrences
-        |FROM g GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY passage""".stripMargin,
+    "dedup_substring" -> dedupSubstringOracle,
+    // the hashed recall stage only FILTERS (conflation can't lose a true
+    // repeat) and the verify stage recounts exactly — so the variant is
+    // checked against the very same oracle as the exact form
+    "dedup_substring_hashed" -> dedupSubstringOracle,
     // clusters (recursive reachability, as dedup_clusters) → keeper =
     // argmax(rounded quality, ties to smallest doc_id); singletons self-map
     "dedup_canonical" ->
@@ -1005,6 +1009,20 @@ object SparkEntry {
     * equal the exhaustive O(n²) pairwise 3-gram-shingle Jaccard at its
     * threshold.
     */
+  /** Shared oracle for both substring-dedup forms (exact text-key and
+    * hash-keyed): 8-token windows, ≥2 distinct docs, same tokenizer as the
+    * shingles.
+    */
+  private val dedupSubstringOracle: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |          FROM documents),
+      |g AS (SELECT doc_id, array_to_string(w[s.i : s.i+7], ' ') AS passage
+      |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) s)
+      |SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM g GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY passage""".stripMargin
+
   private def dedupJaccardOracle(threshold: Double): String =
     s"""WITH sh AS (
       |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

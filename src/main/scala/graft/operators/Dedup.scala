@@ -470,11 +470,11 @@ object Dedup {
     * index, one hash aggregation (map-side partial combine collapses the
     * within-partition repeats first), no pairwise work anywhere. The
     * shuffled key is the W-token window text itself, which is what makes
-    * the aggregation exact; at 100 TB the volume knob is shuffling
-    * `xxhash64(window)` instead and re-joining one representative string
-    * per surviving hash (collision-checked), which this operator keeps as
-    * a flag-day option rather than a default because the exact form is
-    * already one shuffle of ~W× the corpus tokens.
+    * the aggregation exact in one pass. The volume knob for 100 TB is
+    * [[repeatedPassagesHashedDocs]] — shuffle `xxhash64(window)` instead
+    * (~20× less shuffle bytes) and re-derive the text only for surviving
+    * hashes — selectable via `spark.graft.substring.hashed=true`; the
+    * exact text-key form stays the default.
     */
   def repeatedPassages(spark: SparkSession, dir: String): DataFrame =
     repeatedPassagesDocs(Tables.table(spark, dir, "documents"))
@@ -483,24 +483,76 @@ object Dedup {
     * scale-up harness pushes synthetic larger corpora through the same
     * operator — see `graft.DedupBench`).
     */
-  def repeatedPassagesDocs(docs: DataFrame): DataFrame = {
+  def repeatedPassagesDocs(docs: DataFrame): DataFrame =
+    if (docs.sparkSession.conf.get("spark.graft.substring.hashed", "false").toBoolean)
+      repeatedPassagesHashedDocs(docs)
+    else {
+      val windows = passageWindows(docs)
+      windows.select(col("doc_id"), explode(col("g")).as("passage"))
+        .groupBy("passage")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("passage")
+    }
+
+  /** Hash-keyed [[repeatedPassagesDocs]] (VERDICT r4 item 4): identical
+    * output, ~20× less shuffle volume — the knob the exact form documents.
+    * Candidates-then-verify, the dedup family's shape applied to the
+    * window index:
+    *
+    *  1. RECALL: aggregate `(xxhash64(window), doc_id)` pairs — 16 bytes
+    *     per window instead of the W-token text (~300 B at the published
+    *     W≈50 regime) — keeping every hash seen in ≥ 2 distinct docs. A
+    *     true repeat always survives (hashing only CONFLATES windows, so a
+    *     hash group's distinct-doc count dominates each member's).
+    *  2. VERIFY: re-derive `(passage, doc_id)` for surviving hashes only —
+    *     the repeated fraction of the corpus — and run the exact text-key
+    *     aggregation on that subset. Collisions are handled by
+    *     construction, not checked-and-prayed: a colliding window that
+    *     piggy-backed into the candidate set gets its OWN exact counts
+    *     here and the `n_docs >= 2` filter re-applies, so the output is
+    *     bit-identical to the exact form (the shared oracle and the
+    *     equality property test pin this).
+    */
+  def repeatedPassagesHashedDocs(docs: DataFrame): DataFrame = {
+    val windows = passageWindows(docs)
+    val exploded = windows.select(col("doc_id"), explode(col("g")).as("passage"))
+      .select(col("doc_id"), col("passage"), xxhash64(col("passage")).as("h"))
+    val survivors = exploded
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    // second pass over the pinned window arrays (the explode re-reads
+    // checkpointed blocks); only surviving windows' text enters the final
+    // shuffle. No forced broadcast on survivors: repeated-window hashes are
+    // normally a small fraction of the corpus and AQE converts this to a
+    // broadcast join at runtime (keeping the text map-side); a pathological
+    // everything-repeats corpus falls back to a shuffled join — correct,
+    // just no cheaper than the exact form (cdcUpsert's no-hint reasoning).
+    exploded.join(survivors, "h")
+      .groupBy("passage")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("passage")
+  }
+
+  /** Shared first stage of both substring-dedup forms: the W-token window
+    * arrays, pinned BEFORE the explode (exploding the raw transform(...)
+    * expression re-evaluates the whole window-building chain per OUTPUT
+    * row — the measured trap, see decontaminate).
+    */
+  private def passageWindows(docs: DataFrame): DataFrame = {
     val W = PassageWindow
-    // window arrays pinned BEFORE the explode: exploding the raw
-    // transform(...) expression re-evaluates the whole window-building
-    // chain per OUTPUT row (the measured trap — see decontaminate)
-    val windows = docs
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= W)
       .select(col("doc_id"), expr(
         s"""transform(sequence(1, size(w) - ${W - 1}),
            |  i -> array_join(slice(w, i, $W), ' '))""".stripMargin).as("g"))
       .localCheckpoint()
-    windows.select(col("doc_id"), explode(col("g")).as("passage"))
-      .groupBy("passage")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
-      .filter(col("n_docs") >= 2)
-      .orderBy("passage")
   }
 
   /** Cluster canonicalization — the decision step that turns near-dup

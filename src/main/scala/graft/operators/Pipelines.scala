@@ -226,10 +226,11 @@ object Pipelines {
     *
     * Scale shape: the schedule is computed over (source, doc_id) ONLY —
     * document payloads never shuffle; training readers join them back by
-    * id. The final global position comes from [[Ranked.globalRank]], never
-    * a single-partition window; the per-source rank is a partitioned
-    * window, acceptable while every stratum fits a partition's sort (at
-    * one-source-dominates scale, rank each stratum with Ranked instead).
+    * id. NO per-stratum window anywhere: the per-source rank comes from
+    * [[Ranked.stratifiedRank]] (range-partitioned sort + per-stratum
+    * partition offsets), so a one-source-dominates mixture spans many
+    * partitions instead of serializing into a single partition's sort;
+    * the final global position comes from [[Ranked.globalRank]].
     */
   def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
@@ -240,11 +241,10 @@ object Pipelines {
     // engine and oracle can't diverge on an unanticipated source name.
     val w = lit(1L) +
       (coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L)) % 3L)
-    val ranked = docs
+    val hashed = docs
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("long"))
+    val ranked = Ranked.stratifiedRank(hashed,
+        Seq(col("source")), Seq(col("h"), col("doc_id")), "rnk")
       // LCM(1,2,3)=6: weight w emits every 6/w positions — exact longs
       .withColumn("ikey", (col("rnk") - 1L) *
         when(w === 1L, 6L).when(w === 2L, 3L).otherwise(lit(2L)))

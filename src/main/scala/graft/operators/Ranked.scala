@@ -31,6 +31,66 @@ object Ranked {
     spark.createDataFrame(withIdx, schema)
   }
 
+  /** Append a 1-based PER-STRATUM rank (`row_number() OVER (PARTITION BY
+    * strata ORDER BY order)`) as column `idxCol` — the scale-safe
+    * replacement for a stratum-partitioned window when one stratum
+    * dominates: `Window.partitionBy(source)` sorts each stratum inside ONE
+    * task, so a 90%-of-corpus source serializes into a single partition's
+    * sort. Here the input is range-partitioned on `strata ++ order` — a
+    * dominant stratum simply spans several contiguous partitions — and the
+    * global per-stratum rank is recovered by shifting each partition's
+    * local counts by the preceding partitions' per-stratum totals (one
+    * lightweight counts job, exactly [[runningSum]]'s two-pass shape).
+    *
+    * Driver/task state is O(#strata × #partitions) — sized for mixture-
+    * recipe strata (tens of sources), not high-cardinality keys (those
+    * don't skew, use the window). Ties on `order` take scan order; callers
+    * that need determinism must order by a key-complete column set.
+    */
+  def stratifiedRank(df: DataFrame, strata: Seq[Column], order: Seq[Column],
+                     idxCol: String = "idx"): DataFrame = {
+    require(!df.columns.contains(idxCol),
+      s"stratifiedRank: output column '$idxCol' already exists in the input")
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // the stratum key as one struct column, so both RDD passes read it
+    // positionally (collision-free temp name)
+    val s = Iterator.from(0).map(i => s"__graft_sr$i")
+      .find(c => !df.columns.contains(c)).get
+    val keys = strata ++ order
+    // checkpoint: both passes must see one materialization of the sort
+    val sorted = df.withColumn(s, org.apache.spark.sql.functions.struct(strata: _*))
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .localCheckpoint()
+    val sIdx = sorted.schema.fieldIndex(s)
+    val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.HashMap.empty[Row, Long]
+      it.foreach { r =>
+        val k = r.getStruct(sIdx)
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+      }
+      Iterator((i, m.toMap))
+    }.collect().sortBy(_._1).map(_._2)
+    // offsets(i)(stratum) = rows of that stratum in partitions < i
+    val offsets: Array[Map[Row, Long]] =
+      partials.scanLeft(Map.empty[Row, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a.getOrElse(k, 0L) + v) }
+      }.dropRight(1)
+    val schema = sorted.schema.add(idxCol, LongType, nullable = false)
+    val withIdx = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val ctr = scala.collection.mutable.HashMap.empty[Row, Long]
+      offsets(i).foreach { case (k, v) => ctr.update(k, v) }
+      it.map { r =>
+        val k = r.getStruct(sIdx)
+        val rk = ctr.getOrElse(k, 0L) + 1L
+        ctr.update(k, rk)
+        Row.fromSeq(r.toSeq :+ rk)
+      }
+    }
+    spark.createDataFrame(withIdx, schema).drop(s)
+  }
+
   /** Append the INCLUSIVE running sum of `value` over the `order` total
     * order as column `sumCol` — the scale-safe replacement for
     * `sum(v).over(Window.orderBy(...))` (same single-partition wall as

@@ -240,10 +240,14 @@ object IncrementalQ3 {
 
   /** Batch-simulated run: slice the generated changelog into `k`
     * trigger-ordered micro-batches and fold [[step]] over them.
+    * `onBatch(b, state)` fires after each applied batch — mid-stream
+    * consumers (the prefix-snapshot query shares this fold instead of
+    * re-folding its prefix) read intermediate state there.
     */
   def runBatches(spark: SparkSession, events: DataFrame, k: Int,
                  aggKeys: Seq[String] = DefaultAggKeys,
-                 tMaxKnown: Option[Long] = None): State = {
+                 tMaxKnown: Option[Long] = None,
+                 onBatch: (Int, State) => Unit = (_, _) => ()): State = {
     val tMax = tMaxKnown.getOrElse(events.agg(max(col("t"))).head().getLong(0))
     // NO re-checkpoint here: both call sites (generateCached, StreamBench)
     // hand over an already-pinned frame, and the batch column is a trivial
@@ -255,6 +259,7 @@ object IncrementalQ3 {
       val t0 = System.nanoTime()
       val r = step(st, batched.filter(col("batch") === b).select("line"), aggKeys)
       System.err.println(f"[ivm] batch $b: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      onBatch(b, r)
       r
     }
     fin

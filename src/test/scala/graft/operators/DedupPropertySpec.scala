@@ -51,6 +51,24 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("hash-keyed substring dedup == exact text-key form (incl. conf flip)") {
+    import spark.implicits._
+    for (seed <- 11L to 16L) {
+      val data = sampleDocs(seed)
+      val df = data.toDF("doc_id", "text").repartition(5)
+      val exact = Dedup.repeatedPassagesDocs(df).collect().map(_.toSeq).toSeq
+      val hashed = Dedup.repeatedPassagesHashedDocs(df).collect().map(_.toSeq).toSeq
+      assert(hashed == exact, s"seed $seed: hashed variant diverged")
+    }
+    // the conf routes the default entry point to the hashed form
+    val data = sampleDocs(3L)
+    val df = data.toDF("doc_id", "text").repartition(5)
+    val exact = Dedup.repeatedPassagesDocs(df).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.substring.hashed", "true")
+    try assert(Dedup.repeatedPassagesDocs(df).collect().map(_.toSeq).toSeq == exact)
+    finally spark.conf.unset("spark.graft.substring.hashed")
+  }
+
   private val edgesGen: Gen[List[(Long, Long)]] = for {
     n <- Gen.choose(0, 60)
     as <- Gen.listOfN(n, Gen.choose(0L, 30L))

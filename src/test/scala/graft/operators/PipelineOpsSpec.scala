@@ -429,10 +429,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._2) == got.map(_._2).sorted(Ordering[Double].reverse))
   }
 
-  test("inverted index equals a sequential build and prunes the df tail") {
+  test("sharded inverted index equals a sequential build and prunes the df tail") {
     import graft.functions.TextOps
     val got = TextOps.invertedIndex(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
@@ -440,18 +441,27 @@ class PipelineOpsSpec extends SparkSpec {
       .flatMap { case (id, ws) => ws.groupBy(identity).map { case (t, o) => (t, id, o.size.toLong) } }
       .groupBy(_._1)
     val want = postings.toSeq
-      .map { case (t, ps) =>
-        val sorted = ps.sortBy(_._2)
-        (t, sorted.size.toLong, sorted.map(_._3).sum,
-          sorted.map(p => s"${p._2}:${p._3}").mkString(","))
+      .filter(_._2.size >= TextOps.IndexMinDf)
+      .flatMap { case (t, ps) =>
+        val df = ps.size.toLong
+        val totalTf = ps.map(_._3).sum
+        ps.groupBy(_._2 % TextOps.IndexShards).map { case (shard, sps) =>
+          val sorted = sps.sortBy(_._2)
+          (t, shard, df, totalTf,
+            sorted.map(p => s"${p._2}:${p._3}").mkString(","))
+        }
       }
-      .filter(_._2 >= TextOps.IndexMinDf)
-      .sortBy(_._1)
+      .sortBy(r => (r._1, r._2))
     assert(got == want && got.nonEmpty)
+    // the global stats are identical on every shard row of a term, and the
+    // shard column actually partitions (more rows than terms at this sf)
+    val terms = got.map(_._1).distinct
+    assert(got.groupBy(_._1).forall { case (_, rs) => rs.map(r => (r._3, r._4)).distinct.size == 1 })
+    assert(got.size > terms.size)
     // pruning accounting: emitted terms + pruned tail = full vocabulary
     // (sf0.001's vocab has no df<5 tail; the sf0.01 driver oracle has one)
     val tail = postings.count(_._2.size < TextOps.IndexMinDf)
-    assert(got.size == postings.size - tail)
+    assert(terms.size == postings.size - tail)
   }
 
   test("retention triangle equals a sequential cohort fold") {

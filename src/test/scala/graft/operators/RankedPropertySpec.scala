@@ -37,6 +37,34 @@ class RankedPropertySpec extends SparkSpec {
     }
   }
 
+  // skewed strata: ~80% of rows land in stratum 0 — the one-source-
+  // dominates mixture that motivates stratifiedRank over the window
+  private val stratGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 400)
+    keys <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+    ss <- Gen.listOfN(n, Gen.frequency(8 -> Gen.const(0L), 1 -> Gen.choose(1L, 4L)))
+  } yield keys.distinct.zip(ss) // distinct keys: ties take scan order
+
+  private def stratSample(i: Long): List[(Long, Long)] =
+    stratGen(Gen.Parameters.default, Seed(i)).get
+
+  test("stratifiedRank == partitioned-window row_number for skewed strata") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 21L to 26L) {
+      val data = stratSample(seed)
+      val df = data.toDF("k", "s").repartition(7)
+      val got = Ranked.stratifiedRank(df, Seq(col("s")), Seq(col("k")), "rnk")
+        .select("s", "k", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = df.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("s")).orderBy(col("k"))).cast("long"))
+        .select("s", "k", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed $seed: stratified rank diverged from the window")
+    }
+  }
+
   test("globalRank == sequential sort index for random inputs") {
     import spark.implicits._
     for (seed <- 11L to 16L) {

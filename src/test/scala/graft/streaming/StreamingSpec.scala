@@ -59,6 +59,25 @@ class StreamingSpec extends SparkSpec {
     assert(StreamQueries.q3FullCycle(spark, sfDir).collect().isEmpty)
   }
 
+  test("shared fold: prefix snapshot == standalone fold of the same prefix") {
+    // q3PrefixSnapshot now reads the batch-2/3 state of the SAME fold
+    // q3FullCycle consumes (one fold, two queries). Pin the refactor: the
+    // snapshot must equal folding exactly the prefix events in isolation
+    // (batching-invariance is the algebraic license for the sharing).
+    val got = StreamQueries.q3PrefixSnapshot(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val ev = Changelog.generate(spark, sfDir).localCheckpoint()
+    val tMax = ev.agg(max(col("t"))).head().getLong(0)
+    val boundary = (2L * tMax + 2L) / 3L // largest t in batch ≤ 1 of 3
+    val st = IncrementalQ3.step(IncrementalQ3.init(spark),
+      ev.filter(col("t") <= boundary).select("line"))
+    val want = IncrementalQ3.topN(st)
+      .select(col("l_orderkey"), col("o_orderdate").cast("string").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("changelog well-formedness: every delete mirrors an insert exactly") {
     // IncrementalQ3.newAgg drops groups on cnt=0 alone; that silently
     // discards any revenue residue a malformed changelog (delete payload ≠
