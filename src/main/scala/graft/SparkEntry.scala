@@ -556,7 +556,7 @@ object SparkEntry {
         |    sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_stream,
         |    sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_vector
         |  FROM d)
-        |SELECT doc_id, round(
+        |SELECT doc_id, floor((
         |    (CASE WHEN tf_hash > 0 THEN ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
         |       * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END
         |   + CASE WHEN tf_join > 0 THEN ln((n - df_join + 0.5) / (df_join + 0.5) + 1.0)
@@ -564,7 +564,8 @@ object SparkEntry {
         |   + CASE WHEN tf_stream > 0 THEN ln((n - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
         |       * (tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END
         |   + CASE WHEN tf_vector > 0 THEN ln((n - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
-        |       * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END, 4) AS bm25
+        |       * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END
+        |  ) * 10000 + 0.5) / 10000 AS bm25
         |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
     "text_inverted_index" ->
       """WITH toks AS (

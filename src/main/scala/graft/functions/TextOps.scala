@@ -293,8 +293,12 @@ object TextOps {
           (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
         .otherwise(lit(0.0))
     }.reduce(_ + _)
+    // floor-based half-up round4 (mirrors round6): `round(x, 4)` is the
+    // Spark-vs-DuckDB midpoint trap this file documents — a score landing
+    // on a 4-decimal midpoint could round apart AND flip the top-50 cutoff
+    val bm25Rounded = floor(score * lit(10000.0) + lit(0.5)) / lit(10000.0)
     perDoc.crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .select(col("doc_id"), bm25Rounded.as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(50)
   }

@@ -364,14 +364,11 @@ object Dedup {
     * so the plan doesn't grow with rounds.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // diff around the pair derivation: the shingle/signature blocks
-    // dedupMinhashLsh pins are released with the loop state on exit.
-    // (A concurrent thread checkpointing in this window would land in the
-    // diff too — same single-driver assumption as the loop's tracking.)
-    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // the shingle/signature blocks dedupMinhashLsh pins surface as
+    // LogicalRDD leaves of the pair frame's own plan — released with the
+    // loop state on exit
     val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val pairPins = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
-    clusterize(spark, pairs, pairPins)
+    clusterize(spark, pairs, pinIds(pairs))
   }
 
   /** Connected components over an explicit undirected pair set (spec
@@ -380,23 +377,33 @@ object Dedup {
   def clusterize(spark: SparkSession, pairs: DataFrame): DataFrame =
     clusterize(spark, pairs, Set.empty)
 
+  /** The persistent-RDD ids a frame reads from block storage: every
+    * `localCheckpoint` in its lineage survives as a `LogicalRDD` leaf of
+    * its plan, holding the exact RDD that was pinned. EXACT attribution —
+    * unlike a `getPersistentRDDs` set-diff around the call, a block a
+    * CONCURRENT thread checkpointed in the window can never be claimed
+    * here (and so never unpersisted by this call's exit sweep; because
+    * localCheckpoint truncates lineage, such a mis-attributed unpersist
+    * would be unrecoverable block loss for that thread, not a recompute).
+    */
+  private def pinIds(df: DataFrame): Set[Int] =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+
   private def clusterize(spark: SparkSession, pairs: DataFrame,
                          extraPins: Set[Int]): DataFrame = {
     val sc = spark.sparkContext
     // Track the block-storage ids each eager localCheckpoint pins so a
     // superseded round can be dropped as soon as the next one is
     // materialized — otherwise executor storage grows linearly with round
-    // count (and across repeated calls in a long session). The diff is
-    // safe here: nothing else checkpoints concurrently inside this call.
-    def pinnedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    // every id THIS call pinned (plus the caller's pair-derivation pins):
-    // the exit sweep drops only these, never a block some other thread of
-    // the session checkpointed while the loop ran
+    // count (and across repeated calls in a long session). Attribution is
+    // by the checkpointed frame's OWN plan (its LogicalRDD leaf), so only
+    // ids this call created are ever tracked or dropped.
     var mine = extraPins
     def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = pinnedIds
       val out = df.localCheckpoint()
-      val ids = pinnedIds -- before
+      val ids = pinIds(out) // exactly the new checkpoint's block id
       mine ++= ids
       (out, ids)
     }

@@ -85,16 +85,21 @@ object Temporal {
     * This is the declarative contract at 100 TB: the user writes the
     * BETWEEN join; the engine owns the scale path.
     *
-    * The width conf stays set on the session (plans read conf at
-    * OPTIMIZATION time, after this function returns its lazy frame) —
-    * safe: the rule is semantics-preserving and shape-narrow (pure
-    * two-sided long range joins with no cross-side equality).
+    * The conf is set to `auto`, not a width (it must stay set on the
+    * session: plans read conf at OPTIMIZATION time, after this function
+    * returns its lazy frame). In auto mode the rule reads each join's
+    * width off its own condition (`c_us BETWEEN error_us − W AND
+    * error_us` ⇒ width W, ≤2 buckets per interval row) — so the sticky
+    * conf can never misconfigure a LATER range join in the same session
+    * with a width chosen for this one: every rewrite is self-scoped or
+    * doesn't happen.
     */
   def rangeJoinViaRule(spark: SparkSession, dir: String): DataFrame = {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketRule
-    spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf, RangeWindowUs.toString)
+    spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf,
+      graft.plans.RangeJoinBucketRule.Auto)
     val ev = events(spark, dir)
     val errors = ev.filter(col("event_type") === "error")
       .select(us.as("error_us")).distinct()

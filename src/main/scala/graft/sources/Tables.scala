@@ -19,16 +19,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read nanos as long and convert (fixture timestamps are
-    // micro-precision, so the narrowing is lossless).
+    // Fixture generations encode events.ts differently: older ones carry
+    // TIMESTAMP(NANOS), which Spark's reader rejects unless the legacy
+    // conf maps it to a nanos long; newer ones TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false), which reads as TIMESTAMP_NTZ. Normalize
+    // both to a session-zone TIMESTAMP (the session is pinned UTC, so
+    // the instant is identical) — downstream epoch arithmetic
+    // (`unix_micros`) and the streaming schemas require the zoned type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // NB: integer division (`div`), not `/`: ns-epoch longs (~1.7e18)
-    // overflow double's 53-bit mantissa and `/` would round ±1µs.
     if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // NB: integer division (`div`), not `/`: ns-epoch longs
+          // (~1.7e18) overflow double's 53-bit mantissa and `/` would
+          // round ±1µs.
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 

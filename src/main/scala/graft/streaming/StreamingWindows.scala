@@ -238,11 +238,11 @@ object StreamingWindows {
     spark.table(sink).orderBy("user_id", "view_ts", "click_ts")
   }
 
-  /** The interval join as a started query (spec entry: the state-eviction
-    * assertion needs the query handle's progress metrics).
+  /** The interval join as an unbound streaming frame — shared by the
+    * memory-sink driver query and the checkpointed file-sink recovery
+    * path (StreamingWindowsSpec), so both run the identical plan.
     */
-  def startJoinInterval(spark: SparkSession, staged: String,
-                        sinkName: String): StreamingQuery = {
+  def joinIntervalFrame(spark: SparkSession, staged: String): DataFrame = {
     val schema = "ts timestamp, user_id bigint, event_type string, value double"
     // one column namespace per side: stream-stream self-joins must not
     // share attribute ids, and the watermark column is per-side
@@ -260,9 +260,35 @@ object StreamingWindows {
       .select(col("v_user").as("user_id"),
         date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
         date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+  }
+
+  /** The interval join as a started query (spec entry: the state-eviction
+    * assertion needs the query handle's progress metrics).
+    */
+  def startJoinInterval(spark: SparkSession, staged: String,
+                        sinkName: String): StreamingQuery =
+    joinIntervalFrame(spark, staged)
       .writeStream.queryName(sinkName).format("memory")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-  }
+
+  /** Checkpointed file-sink interval join: the stream-stream JOIN state —
+    * both sides' watermark-bounded buffers, the expensive part of this
+    * query — plus offsets and the sink commit log all live under `ckpt`,
+    * so a killed query resumes to the identical converged answer without
+    * re-emitting committed batches. Same operability contract as
+    * [[startTumblingCheckpointed]], proven for join state by
+    * StreamingWindowsSpec's kill-and-resume test.
+    */
+  def startJoinIntervalCheckpointed(spark: SparkSession, staged: String,
+                                    ckpt: String, outDir: String): StreamingQuery =
+    joinIntervalFrame(spark, staged)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet")
+      .option("path", outDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** The tumbling aggregation as an unbound streaming frame — shared by
     * the memory-sink driver query and the checkpointed file-sink recovery

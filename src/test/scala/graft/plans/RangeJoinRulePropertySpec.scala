@@ -15,10 +15,10 @@ import graft.SparkSpec
 class RangeJoinRulePropertySpec extends SparkSpec
     with TableDrivenPropertyChecks {
 
-  private def joined(widthConf: Option[Long]) = {
+  private def joined(widthConf: Option[String]) = {
     import spark.implicits._
     widthConf match {
-      case Some(w) => spark.conf.set(RangeJoinBucketRule.WidthConf, w.toString)
+      case Some(v) => spark.conf.set(RangeJoinBucketRule.WidthConf, v)
       case None    => spark.conf.unset(RangeJoinBucketRule.WidthConf)
     }
     if (!spark.experimental.extraOptimizations.contains(RangeJoinBucketRule))
@@ -53,13 +53,112 @@ class RangeJoinRulePropertySpec extends SparkSpec
       // widths around and across the value range, including W=1 (bucket
       // per value) and W larger than the whole domain (single bucket)
       forAll(Table("width", 1L, 7L, 64L, 100L, 1000L, 100000L)) { w =>
-        val got = joined(Some(w))
+        val got = joined(Some(w.toString))
         val plan = got.queryExecution.executedPlan.toString
         assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__graft_bucket"),
           s"W=$w: rule did not rewrite:\n$plan")
         assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
           .sameElements(wantRows), s"W=$w: rewritten join diverged")
       }
+    } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
+  }
+
+  /** Deterministic pseudo-random base values shared by the typed domains:
+    * a long point stream and an interval anchor stream, both with nulls.
+    */
+  private def rawPoints = (0 until 400).map { i =>
+    val v: java.lang.Long =
+      if (i % 37 == 0) null else (i * 7919L % 2000L) - 1000L
+    (i.toLong, v)
+  }
+  private def rawAnchors = (0 until 300).map { i =>
+    val a: java.lang.Long =
+      if (i % 41 == 0) null else (i * 104729L % 2000L) - 1000L
+    (i.toLong, a)
+  }
+
+  /** Constant-span joins (`p BETWEEN x − W AND x`) per point type: in
+    * `auto` mode the rule must infer each join's own width from its
+    * condition — no numeric conf anywhere — rewrite it, and reproduce the
+    * theta join exactly. Covers the long/int/date/timestamp conversions.
+    */
+  test("auto mode: span inference rewrites constant-span joins of every supported type") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinBucketRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinBucketRule
+
+    // (label, build) — each builds the SAME logical pairing through a
+    // different point type; date offsets quantize to days via v/20
+    val cases: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "long" -> (() => {
+        val p = rawPoints.toDF("pid", "p")
+        val x = rawAnchors.toDF("iid", "x")
+        p.join(x, col("p") >= col("x") - 170L && col("p") <= col("x"))
+          .select("pid", "iid")
+      }),
+      "int" -> (() => {
+        val p = rawPoints.toDF("pid", "pl").select(col("pid"), col("pl").cast("int").as("p"))
+        val x = rawAnchors.toDF("iid", "xl").select(col("iid"), col("xl").cast("int").as("x"))
+        p.join(x, col("p") >= col("x") - 170 && col("p") <= col("x"))
+          .select("pid", "iid")
+      }),
+      "date" -> (() => {
+        val p = rawPoints.toDF("pid", "pl")
+          .select(col("pid"), date_add(lit("2020-06-01").cast("date"), (col("pl") / 20L).cast("int")).as("p"))
+        val x = rawAnchors.toDF("iid", "xl")
+          .select(col("iid"), date_add(lit("2020-06-01").cast("date"), (col("xl") / 20L).cast("int")).as("x"))
+        p.join(x, col("p") >= date_sub(col("x"), 9) && col("p") <= col("x"))
+          .select("pid", "iid")
+      }),
+      "timestamp" -> (() => {
+        val p = rawPoints.toDF("pid", "pl")
+          .select(col("pid"), timestamp_micros(col("pl") * 1000000L).as("p"))
+        val x = rawAnchors.toDF("iid", "xl")
+          .select(col("iid"), timestamp_micros(col("xl") * 1000000L).as("x"))
+        p.join(x, col("p") >= col("x") - expr("INTERVAL 170 SECONDS") && col("p") <= col("x"))
+          .select("pid", "iid")
+      }))
+
+    forAll(Table("type", cases: _*)) { case (label, build) =>
+      spark.conf.unset(RangeJoinBucketRule.WidthConf)
+      val want = build()
+      assert(want.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        s"$label: baseline should be BNLJ")
+      val wantRows = want.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(wantRows.nonEmpty, s"$label: domain must produce matches")
+
+      spark.conf.set(RangeJoinBucketRule.WidthConf, RangeJoinBucketRule.Auto)
+      try {
+        val got = build()
+        val plan = got.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__graft_bucket"),
+          s"$label: auto mode did not infer+rewrite:\n$plan")
+        assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+          .sameElements(wantRows), s"$label: rewritten join diverged")
+      } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
+    }
+  }
+
+  /** Auto mode must NOT touch a variable-span join (independent lo/hi
+    * columns: no width is inferable, and no sticky numeric width exists
+    * to misapply) — the exact hazard the mode was introduced to remove.
+    */
+  test("auto mode: variable-span joins are left alone") {
+    try {
+      assert(joined(Some(RangeJoinBucketRule.Auto))
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
+  }
+
+  /** A malformed width value disables the rule instead of failing every
+    * query optimized afterwards in the session.
+    */
+  test("malformed width conf disables the rule, never fails the query") {
+    try {
+      val got = joined(Some("not-a-number"))
+      assert(got.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(got.collect().nonEmpty)
     } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
   }
 }

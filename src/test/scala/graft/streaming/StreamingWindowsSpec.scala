@@ -111,6 +111,58 @@ class StreamingWindowsSpec extends SparkSpec {
         s"(resumed ${resumed.size} vs full ${full.size} rows)")
   }
 
+  test("checkpointed interval JOIN resumes after a stop: kill-and-resume ≡ uninterrupted") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft-recover-j").toString
+    val staged = s"$base/events"
+    StreamingWindows.stage(spark, sfDir, staged)
+    // uninterrupted twin: all files, one run, its own checkpoint
+    val q0 = StreamingWindows.startJoinIntervalCheckpointed(
+      spark, staged, s"$base/ckpt_full", s"$base/out_full")
+    q0.awaitTermination()
+    val full = spark.read.parquet(s"$base/out_full").collect().map(_.toSeq).toSet
+    assert(full.nonEmpty)
+
+    // interrupted run: only chunk1 visible, query drains it and STOPS —
+    // the checkpoint now holds real JOIN state: both sides' buffered rows
+    // (views/clicks still inside the 1 h bound) plus offsets + watermark
+    val hidden = Files.createDirectory(Paths.get(s"$base/hidden"))
+    val later = scala.util.Using.resource(Files.list(Paths.get(staged))) {
+      _.iterator().asScala.toSeq
+        .filter(p => !p.getFileName.toString.startsWith("chunk1-"))
+    }
+    later.foreach { p =>
+      val dest = hidden.resolve(p.getFileName)
+      val t = Files.getLastModifiedTime(p)
+      Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, t) // mtimes encode event order
+    }
+    val q1 = StreamingWindows.startJoinIntervalCheckpointed(
+      spark, staged, s"$base/ckpt", s"$base/out")
+    q1.awaitTermination()
+    val partial = spark.read.parquet(s"$base/out").collect().map(_.toSeq).toSet
+    assert(partial.nonEmpty && partial != full,
+      "the interrupted run must have committed a strict subset")
+
+    // "restart": the rest of the stream arrives, a NEW query resumes from
+    // the same checkpoint — matches that pair a RESTORED buffered row with
+    // a post-restart arrival only appear if the join state truly resumed
+    later.foreach { p =>
+      val src = hidden.resolve(p.getFileName)
+      val t = Files.getLastModifiedTime(src)
+      Files.move(src, p, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(p, t)
+    }
+    val q2 = StreamingWindows.startJoinIntervalCheckpointed(
+      spark, staged, s"$base/ckpt", s"$base/out")
+    q2.awaitTermination()
+    val resumed = spark.read.parquet(s"$base/out").collect().map(_.toSeq).toSet
+    assert(resumed == full,
+      s"kill-and-resume must equal the uninterrupted run " +
+        s"(resumed ${resumed.size} vs full ${full.size} rows)")
+  }
+
   test("stream-static enrichment equals the batch join, covering every event") {
     import org.apache.spark.sql.functions._
     val agg = StreamingWindows.streamEnrichStatic(spark, sfDir)
