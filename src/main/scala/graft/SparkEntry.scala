@@ -94,6 +94,7 @@ object SparkEntry {
       Dedup.repeatedPassagesHashedDocs(
         graft.sources.Tables.table(s, d, "documents"))),
     "dedup_canonical" -> (Dedup.dedupCanonical _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     // --- similarity search ---
     "ann_brute_force" -> (Similarity.annBruteForce _),
     // LSH/IVF are recall stages + exact rerank; at the fixture scale their
@@ -597,6 +598,23 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupJaccardOracle(0.8),
     "dedup_minhash_lsh" -> dedupJaccardOracle(0.8),
+    // same feasible-form exact-Jaccard oracle, restricted to base×delta
+    // across the trailing-10%-of-ids split the operator uses
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents) t),
+        |k AS (SELECT (max(doc_id) * 9) // 10 AS split_id FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       floor((len(list_intersect(a.s, b.s))::DOUBLE
+        |             / len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM sh a, sh b, k
+        |WHERE a.doc_id < k.split_id AND b.doc_id >= k.split_id
+        |  AND len(list_distinct(list_concat(a.s, b.s))) > 0
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> dedupJaccardOracle(0.9),
     "dedup_embedding_cosine" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -143,21 +143,58 @@ object Dedup {
     * by the driver query and the scale harness (`graft.DedupBench`).
     */
   def minhashLshPairs(sh: DataFrame): DataFrame = {
-    // pin the signatures BEFORE banding: posexplode over the computed
-    // band array re-evaluates its element expressions per OUTPUT row,
-    // i.e. 16 bands × the full 32-hash aggregate fold (same trap as
-    // Similarity.bucketedIds); pinned, the explode reads 32 plain longs
-    val sig = minhashSignatures(sh).localCheckpoint()
-    val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b =>
-        hash(col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))): _*)))
-      .toDF("doc_id", "band", "bucket")
+    val bands = bandFrame(sh)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyCandidates(cand, sh, JaccardThreshold)
+  }
+
+  /** `(doc_id, band, bucket)` LSH band keys of a pinned shingle frame.
+    * The signatures are pinned BEFORE banding: posexplode over the
+    * computed band array re-evaluates its element expressions per OUTPUT
+    * row, i.e. 16 bands × the full 32-hash aggregate fold (same trap as
+    * Similarity.bucketedIds); pinned, the explode reads 32 plain longs.
+    */
+  private def bandFrame(sh: DataFrame): DataFrame = {
+    val sig = minhashSignatures(sh).localCheckpoint()
+    sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        hash(col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))): _*)))
+      .toDF("doc_id", "band", "bucket")
+  }
+
+  /** INCREMENTAL near-dup: which DELTA documents (the trailing tenth of
+    * doc_ids — a stand-in for "today's ingest batch") near-duplicate the
+    * BASE corpus? The production dedup shape: a corpus that already paid
+    * its MinHash cost once must not be re-paired per ingest.
+    *
+    * Scale design: the base side's `(doc_id, band, bucket)` keys are
+    * exactly the frame a deployment PERSISTS as its dedup index (here
+    * derived in-query; the operator is the same either way) — the delta
+    * equi-joins its own bands against that index, so per-ingest work is
+    * O(delta × bucket collision rate) and the base corpus is never
+    * re-shuffled, let alone re-paired against itself. Verification then
+    * touches only candidate ids. Output matches [[dedupMinhashLsh]]'s
+    * contract restricted to base×delta pairs (doc_a < split ≤ doc_b), so
+    * the exact-Jaccard oracle is the same feasible form with the split
+    * predicate.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).localCheckpoint()
+    // bounded scalar: the split point, delta = trailing 10% of the id space
+    val maxId = sh.agg(max(col("doc_id"))).head().getLong(0)
+    val splitId = maxId * 9 / 10
+    val bands = bandFrame(sh)
+    val cand = bands.filter(col("doc_id") < splitId).as("x")
+      .join(bands.filter(col("doc_id") >= splitId).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyCandidates(cand, sh, JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
   }
 
   private val SimBits = 64

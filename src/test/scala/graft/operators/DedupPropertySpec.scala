@@ -69,6 +69,23 @@ class DedupPropertySpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.substring.hashed")
   }
 
+  test("incremental dedup == full near-dup pairs restricted to base×delta") {
+    // the delta side is the trailing tenth of the id space, so the
+    // incremental answer must be EXACTLY the full pair set's cross-split
+    // slice: no pair invented, none lost at the index boundary
+    val full = Dedup.dedupMinhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val maxId = graft.sources.Tables.table(spark, sfDir, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId * 9 / 10
+    val want = full.filter { case (a, b, _) => a < split && b >= split }
+    val got = Dedup.dedupIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"incremental (${got.size}) != cross-split slice (${want.size}) of full (${full.size})")
+    assert(got.nonEmpty, "fixture must contain at least one base×delta near-dup pair")
+  }
+
   private val edgesGen: Gen[List[(Long, Long)]] = for {
     n <- Gen.choose(0, 60)
     as <- Gen.listOfN(n, Gen.choose(0L, 30L))
