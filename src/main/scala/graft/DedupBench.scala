@@ -115,6 +115,42 @@ object DedupBench {
     require(nHashed == nPassages,
       s"hash-keyed substring dedup rows $nHashed != exact form $nPassages")
     println(f"""{"metric":"substring_hashed_docs_per_sec","value":${nDocs / hashSec}%.0f,"unit":"docs/sec","docs":$nDocs,"passages":$nHashed,"seconds":$hashSec%.1f,"shuffle_bytes":$hashedBytes,"shuffle_ratio_vs_exact":${if (hashedBytes > 0) f"${exactBytes.toDouble / hashedBytes}%.2f" else "null"},"scale":$scale}""")
+
+    // Incremental ingest at the same scale: the whole scaled corpus is
+    // the BASE; its LSH index is pinned once (the persisted-index
+    // stand-in — building it is the already-amortized cost the
+    // incremental path exists to avoid re-paying). The DELTA is a 10%
+    // resample of base docs under fresh ids with text UNCHANGED, so
+    // every delta doc has an identical (J=1) base source — and identical
+    // signatures band together DETERMINISTICALLY, so completeness of the
+    // identity pairs is an exact requirement, not a recall bound. Timed:
+    // only the per-ingest work (delta shingle/sign/band + index join +
+    // candidate-restricted verify).
+    val deltaOff = scale.toLong * off
+    // the pinned delta frame is the "ingest batch arrives" stand-in: its
+    // synthesis (a filter over the regex-rewritten scaled union) is
+    // harness cost, not per-ingest operator cost, so it stays untimed
+    val delta = scaled.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + deltaOff).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val baseIndex = Dedup.lshIndex(sh).localCheckpoint()
+    baseIndex.count() // materialize the index OUTSIDE the timed window
+    val tInc = System.nanoTime()
+    val shDelta = Dedup.shingledDocs(delta).localCheckpoint()
+    val nDelta = shDelta.count()
+    val incPairs = Dedup.incrementalPairs(baseIndex, sh.unionByName(shDelta),
+      shDelta).localCheckpoint()
+    val nIncPairs = incPairs.count()
+    val incSec = (System.nanoTime() - tInc) / 1e9
+    // every delta doc must rediscover its identical source, exactly
+    val identity = incPairs.filter(col("doc_b") - col("doc_a") === deltaOff &&
+      col("jaccard") === 1.0).count()
+    // docs whose shingle set is empty (< 3 tokens) can never pair
+    val eligible = shDelta.filter(size(col("s")) > 0).count()
+    require(identity == eligible,
+      s"identity pairs $identity != eligible delta docs $eligible " +
+        "(a J=1 pair banding apart would be a broken signature)")
+    println(f"""{"metric":"incremental_delta_docs_per_sec","value":${nDelta / incSec}%.0f,"unit":"docs/sec","base_docs":$nDocs,"delta_docs":$nDelta,"pairs":$nIncPairs,"seconds":$incSec%.1f,"full_pipeline_seconds":$sec%.1f,"scale":$scale}""")
     spark.stop()
   }
 }

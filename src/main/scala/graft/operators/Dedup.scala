@@ -143,7 +143,7 @@ object Dedup {
     * by the driver query and the scale harness (`graft.DedupBench`).
     */
   def minhashLshPairs(sh: DataFrame): DataFrame = {
-    val bands = bandFrame(sh)
+    val bands = lshIndex(sh)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -152,13 +152,15 @@ object Dedup {
     verifyCandidates(cand, sh, JaccardThreshold)
   }
 
-  /** `(doc_id, band, bucket)` LSH band keys of a pinned shingle frame.
+  /** `(doc_id, band, bucket)` LSH band keys of a pinned shingle frame —
+    * the frame a deployment PERSISTS as its dedup index (16 rows × 12
+    * bytes per doc; [[dedupIncremental]] joins ingest batches against it).
     * The signatures are pinned BEFORE banding: posexplode over the
     * computed band array re-evaluates its element expressions per OUTPUT
     * row, i.e. 16 bands × the full 32-hash aggregate fold (same trap as
     * Similarity.bucketedIds); pinned, the explode reads 32 plain longs.
     */
-  private def bandFrame(sh: DataFrame): DataFrame = {
+  def lshIndex(sh: DataFrame): DataFrame = {
     val sig = minhashSignatures(sh).localCheckpoint()
     sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
@@ -166,34 +168,46 @@ object Dedup {
       .toDF("doc_id", "band", "bucket")
   }
 
+  /** Delta-vs-base near-dup pairs through a prebuilt [[lshIndex]]: the
+    * delta's bands equi-join the index, and the exact-Jaccard verify is
+    * restricted to the documents some candidate pair touches — EVERY
+    * stage is O(delta × bucket collision rate); the base corpus is never
+    * re-shuffled, let alone re-paired against itself. `shAll` must cover
+    * both sides' doc_ids (at deployment: the persisted shingle store,
+    * fetched by candidate id).
+    */
+  def incrementalPairs(baseIndex: DataFrame, shAll: DataFrame,
+                       shDelta: DataFrame): DataFrame = {
+    val cand = baseIndex.as("x").join(lshIndex(shDelta).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verification only ever reads docs a candidate pair touches, so the
+    // shingle fetch is candidate-sized, not corpus-sized
+    val touched = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    verifyCandidates(cand, shAll.join(touched, Seq("doc_id"), "left_semi"),
+      JaccardThreshold)
+  }
+
   /** INCREMENTAL near-dup: which DELTA documents (the trailing tenth of
     * doc_ids — a stand-in for "today's ingest batch") near-duplicate the
     * BASE corpus? The production dedup shape: a corpus that already paid
-    * its MinHash cost once must not be re-paired per ingest.
-    *
-    * Scale design: the base side's `(doc_id, band, bucket)` keys are
-    * exactly the frame a deployment PERSISTS as its dedup index (here
-    * derived in-query; the operator is the same either way) — the delta
-    * equi-joins its own bands against that index, so per-ingest work is
-    * O(delta × bucket collision rate) and the base corpus is never
-    * re-shuffled, let alone re-paired against itself. Verification then
-    * touches only candidate ids. Output matches [[dedupMinhashLsh]]'s
-    * contract restricted to base×delta pairs (doc_a < split ≤ doc_b), so
-    * the exact-Jaccard oracle is the same feasible form with the split
-    * predicate.
+    * its MinHash cost once must not be re-paired per ingest — see
+    * [[incrementalPairs]] for the cost argument and `graft.DedupBench`
+    * for the measured marginal-ingest cost at a scaled corpus. Output
+    * matches [[dedupMinhashLsh]]'s contract restricted to base×delta
+    * pairs (doc_a < split ≤ doc_b), so the exact-Jaccard oracle is the
+    * same feasible form with the split predicate.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).localCheckpoint()
     // bounded scalar: the split point, delta = trailing 10% of the id space
     val maxId = sh.agg(max(col("doc_id"))).head().getLong(0)
     val splitId = maxId * 9 / 10
-    val bands = bandFrame(sh)
-    val cand = bands.filter(col("doc_id") < splitId).as("x")
-      .join(bands.filter(col("doc_id") >= splitId).as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyCandidates(cand, sh, JaccardThreshold)
+    incrementalPairs(
+      lshIndex(sh.filter(col("doc_id") < splitId)),
+      sh, sh.filter(col("doc_id") >= splitId))
       .orderBy("doc_a", "doc_b")
   }
 
