@@ -105,6 +105,7 @@ object SparkEntry {
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
     "multimodal_features" -> (Multimodal.featureSummary _),
     "multimodal_frames" -> (Multimodal.frameSample _),
+    "multimodal_image_decode" -> (Multimodal.imageDecode _),
     // --- composite pipelines ---
     "pipeline_curation" -> (operators.Pipelines.corpusCuration _),
     "pipeline_funnel" -> (operators.Pipelines.funnel _),
@@ -696,6 +697,17 @@ object SparkEntry {
         |       octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS checksum
         |FROM documents""".stripMargin,
+    // closed-form recomputation of the synthesized pixels: equality holds
+    // only if Spark's REAL PNG encode->decode roundtrip (javax.imageio)
+    // preserved every 8-bit channel value
+    "multimodal_image_decode" ->
+      """WITH px AS (SELECT i // 16 AS x, i % 16 AS y FROM range(256) t(i)),
+        |ch AS (SELECT c FROM range(3) t(c))
+        |SELECT d.doc_id, 16 AS width, 16 AS height,
+        |       CAST(SUM(((d.doc_id % 1000003) * 31 + px.x * 7 + px.y * 13 + ch.c * 5) % 256) AS BIGINT) AS px_sum
+        |FROM documents d, px, ch
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "pipeline_curation" -> s"""
       |WITH pairs AS (${dedupJaccardOracle(0.8)}),
       |toks AS (SELECT *, string_split_regex(trim(text), '\\s+') AS w FROM documents),

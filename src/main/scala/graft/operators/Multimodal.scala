@@ -8,10 +8,16 @@ import graft.sources.Tables
 
 /** Multimodal-column plumbing (builder brief): opaque `binary` payloads +
   * typed metadata, with decode/feature-extract as per-partition batch
-  * operators. The image/audio codecs are NOT in this environment, so the
+  * operators.
+  *
+  * Two tiers. [[imageDecode]] is a REAL codec path — PNG encode and
+  * decode through the JDK's built-in `javax.imageio` (no external
+  * libraries needed), oracle-checked end to end because the synthesized
+  * pixels follow a closed form DuckDB can recompute and PNG is lossless.
+  * For formats the JDK cannot decode (JPEG2000, video, audio), the
   * decode step is a clearly-marked deterministic STUB — the Spark-side
   * contract (schema, binary columns, partition-batch processing shape,
-  * feature vector output) is real and tested.
+  * feature vector output) is real and tested either way.
   */
 object Multimodal {
 
@@ -107,6 +113,75 @@ object Multimodal {
           s"""transform(sequence(0, CAST((length(text) - 1) DIV $FrameStride AS INT)),
              |  i -> md5(substr(text, i * $FrameStride + 1, $FrameLen)))""".stripMargin)))
       .toDF("doc_id", "frame_no", "frame_checksum")
+
+  private val ImgW = 16
+  private val ImgH = 16
+
+  /** Channel value of the synthesized test image at `(x, y, c)` for a
+    * document — the closed form BOTH engines evaluate: Spark renders it
+    * into real PNG bytes and decodes them back; the DuckDB oracle sums
+    * the formula directly. All terms stay far below 2⁶³ (doc_id is
+    * reduced first), so the arithmetic is overflow-free in either engine.
+    */
+  private def channel(docId: Long, x: Int, y: Int, c: Int): Int =
+    (((docId % 1000003L) * 31L + x * 7L + y * 13L + c * 5L) % 256L).toInt
+
+  /** REAL image decode, end to end: per document, render the closed-form
+    * [[channel]] pixels into an actual PNG via the JDK's built-in
+    * `javax.imageio` codec, then — in a separate per-partition pass, the
+    * way a production decoder consumes a binary column it didn't write —
+    * decode the bytes back and emit exact integer stats (dimensions +
+    * total RGB mass). PNG is lossless 8-bit RGB, so decode(encode(img))
+    * is bit-exact and the DuckDB oracle can recompute `px_sum` from the
+    * closed form without any codec: the oracle equality holds only if
+    * the REAL encode→decode roundtrip preserved every pixel.
+    *
+    * Scale shape: both passes are `mapPartitions` (codec init amortized
+    * per partition, not per row); payloads never shuffle — the stats
+    * reduce to 4 numbers per doc at the decode site.
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.table(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val pngs = ids.mapPartitions { iter =>
+      iter.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < ImgH) {
+          var x = 0
+          while (x < ImgW) {
+            img.setRGB(x, y, (channel(id, x, y, 0) << 16) |
+              (channel(id, x, y, 1) << 8) | channel(id, x, y, 2))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "png").as[(Long, Array[Byte])]
+    pngs.mapPartitions { iter =>
+      iter.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth, img.getHeight, sum)
+      }
+    }.toDF("doc_id", "width", "height", "px_sum")
+      .orderBy("doc_id")
+  }
 
   /** Driver-contract summary of [[features]], in exact integers: per-source
     * doc/byte totals plus the total mass of histogram bin 6 (bytes
