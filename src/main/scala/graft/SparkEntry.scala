@@ -106,6 +106,7 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.featureSummary _),
     "multimodal_frames" -> (Multimodal.frameSample _),
     "multimodal_image_decode" -> (Multimodal.imageDecode _),
+    "multimodal_audio_decode" -> (Multimodal.audioDecode _),
     // --- composite pipelines ---
     "pipeline_curation" -> (operators.Pipelines.corpusCuration _),
     "pipeline_funnel" -> (operators.Pipelines.funnel _),
@@ -706,6 +707,15 @@ object SparkEntry {
         |SELECT d.doc_id, 16 AS width, 16 AS height,
         |       CAST(SUM(((d.doc_id % 1000003) * 31 + px.x * 7 + px.y * 13 + ch.c * 5) % 256) AS BIGINT) AS px_sum
         |FROM documents d, px, ch
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // WAV twin: the closed-form PCM16 signal recomputed without the
+    // container — equality proves the real RIFF/WAV encode->decode
+    "multimodal_audio_decode" ->
+      """WITH s AS (SELECT i FROM range(256) t(i))
+        |SELECT d.doc_id, 256 AS n_samples, 8000 AS sample_rate,
+        |       CAST(SUM(((d.doc_id % 1000003) * 31 + s.i * 17) % 65536 - 32768) AS BIGINT) AS amp_sum
+        |FROM documents d, s
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "pipeline_curation" -> s"""

@@ -183,6 +183,66 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  private val AudioN = 256
+  private val AudioRate = 8000f
+
+  /** 16-bit PCM sample `i` of the synthesized test clip for a document —
+    * the closed form both engines evaluate (see [[channel]]).
+    */
+  private def pcmSample(docId: Long, i: Int): Int =
+    ((((docId % 1000003L) * 31L + i * 17L) % 65536L) - 32768L).toInt
+
+  /** REAL audio decode, end to end — the WAV twin of [[imageDecode]]:
+    * render the closed-form [[pcmSample]] signal into an actual RIFF/WAV
+    * container via the JDK's built-in `javax.sound.sampled`, decode the
+    * bytes back in a separate per-partition pass, and emit exact integer
+    * stats (frame count, sample rate, total signed amplitude). PCM16 in
+    * WAV is lossless, so the DuckDB oracle recomputes `amp_sum` from the
+    * closed form — equality proves the real container roundtrip.
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import javax.sound.sampled._
+    val ids = Tables.table(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val wavs = ids.mapPartitions { iter =>
+      iter.map { id =>
+        val pcm = new Array[Byte](AudioN * 2) // little-endian PCM16 mono
+        var i = 0
+        while (i < AudioN) {
+          val s = pcmSample(id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(AudioRate, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, AudioN.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "wav").as[(Long, Array[Byte])]
+    wavs.mapPartitions { iter =>
+      iter.map { case (id, bytes) =>
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val rate = ais.getFormat.getSampleRate.toInt
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          // sign lives in the high byte: sign-extend it, OR the low byte
+          sum += (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+          i += 1
+        }
+        (id, n, rate, sum)
+      }
+    }.toDF("doc_id", "n_samples", "sample_rate", "amp_sum")
+      .orderBy("doc_id")
+  }
+
   /** Driver-contract summary of [[features]], in exact integers: per-source
     * doc/byte totals plus the total mass of histogram bin 6 (bytes
     * 0x60–0x6f — for the ASCII fixture text, exactly the chars `[a-o]`,
