@@ -97,6 +97,14 @@ class RangeJoinRulePropertySpec extends SparkSpec
         p.join(x, col("p") >= col("x") - 170L && col("p") <= col("x"))
           .select("pid", "iid")
       }),
+      // mixed literal offsets on BOTH bounds (x − a AND x + b): exercises
+      // the Add-form pattern and the cross-bound span a+b
+      "long-mixed" -> (() => {
+        val p = rawPoints.toDF("pid", "p")
+        val x = rawAnchors.toDF("iid", "x")
+        p.join(x, col("p") >= col("x") - 100L && col("p") <= col("x") + 70L)
+          .select("pid", "iid")
+      }),
       "int" -> (() => {
         val p = rawPoints.toDF("pid", "pl").select(col("pid"), col("pl").cast("int").as("p"))
         val x = rawAnchors.toDF("iid", "xl").select(col("iid"), col("xl").cast("int").as("x"))
