@@ -86,6 +86,25 @@ class DedupPropertySpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must contain at least one base×delta near-dup pair")
   }
 
+  test("incremental dedup against a parquet-PERSISTED index == derived index") {
+    // the deployment claim behind Dedup.lshIndex: the (doc_id, band,
+    // bucket) frame survives a write/reload roundtrip and an ingest batch
+    // joined against the RELOADED index produces the identical pair set
+    val sh = Dedup.shingled(spark, sfDir).localCheckpoint()
+    val maxId = sh.agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId * 9 / 10
+    val shBase = sh.filter(col("doc_id") < split)
+    val shDelta = sh.filter(col("doc_id") >= split)
+    val derived = Dedup.incrementalPairs(Dedup.lshIndex(shBase), sh, shDelta)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    Dedup.lshIndex(shBase).write.mode("overwrite").parquet(dir)
+    val reloaded = Dedup.incrementalPairs(spark.read.parquet(dir), sh, shDelta)
+      .collect().map(_.toSeq).toSet
+    assert(reloaded == derived && derived.nonEmpty,
+      s"persisted-index pairs (${reloaded.size}) != derived (${derived.size})")
+  }
+
   private val edgesGen: Gen[List[(Long, Long)]] = for {
     n <- Gen.choose(0, 60)
     as <- Gen.listOfN(n, Gen.choose(0L, 30L))
