@@ -118,6 +118,7 @@ object SparkEntry {
     "pipeline_cdc_upsert" -> (operators.Pipelines.cdcUpsert _),
     "pipeline_chunk" -> (operators.Pipelines.chunkDocuments _),
     "pipeline_interleave" -> (operators.Pipelines.interleaveSources _),
+    "pipeline_epoch_shuffle" -> (operators.Pipelines.epochShuffle _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -809,6 +810,18 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY (rnk-1) * (6 // w), source, rnk) AS BIGINT) AS pos,
         |       source, doc_id
         |FROM ranked""".stripMargin,
+    // the shuffle keys are md5 over distinct doc_ids, hence collision-free
+    // distinct: both engines' total orders are identical, rank by rank
+    "pipeline_epoch_shuffle" ->
+      """WITH e0 AS (SELECT doc_id, row_number() OVER (
+        |         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) AS pos_e0
+        |       FROM documents),
+        |e1 AS (SELECT doc_id, row_number() OVER (
+        |         ORDER BY md5('1:' || CAST(doc_id AS VARCHAR))) AS pos_e1
+        |       FROM documents)
+        |SELECT e0.doc_id, pos_e0, pos_e1
+        |FROM e0 JOIN e1 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
         |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'

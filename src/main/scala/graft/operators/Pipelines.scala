@@ -38,6 +38,26 @@ object Pipelines {
         sum(size(graft.functions.TextOps.tokens)).cast("long").as("kept_tokens"))
   }
 
+  /** Deterministic EPOCH SHUFFLE: the reproducible global training order a
+    * data loader consumes per epoch. Epoch `e`'s order is
+    * `md5("<e>:<doc_id>")` — engine-portable, stable across reruns, and
+    * uncorrelated between epochs (each epoch re-keys every doc) — and the
+    * global position materializes through [[Ranked.globalRank]]
+    * (range-partitioned sort + per-partition offsets), so at 100 TB the
+    * shuffle-order sort is fully distributed: no single-partition window,
+    * one sorted shard per partition, which is exactly the layout an epoch
+    * writer persists. Emitting two epochs' positions per doc is the
+    * resume-safe loader-checkpoint shape, and lets the oracle pin
+    * inter-epoch decorrelation for free.
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents").select("doc_id")
+    def pos(e: Int, c: String) = Ranked.globalRank(
+      docs.withColumn("k", md5(concat_ws(":", lit(e), col("doc_id")))),
+      Seq(col("k")), c).select(col("doc_id"), col(c))
+    pos(0, "pos_e0").join(pos(1, "pos_e1"), "doc_id").orderBy("doc_id")
+  }
+
   /** Conversion funnel over the events stream table: per user, did a view
     * lead to a click lead to a purchase (in timestamp order)? Classic
     * product-analytics session ordering via window functions.
