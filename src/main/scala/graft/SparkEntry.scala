@@ -119,6 +119,7 @@ object SparkEntry {
     "pipeline_chunk" -> (operators.Pipelines.chunkDocuments _),
     "pipeline_interleave" -> (operators.Pipelines.interleaveSources _),
     "pipeline_epoch_shuffle" -> (operators.Pipelines.epochShuffle _),
+    "pipeline_scd2" -> (operators.Pipelines.scd2Build _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -141,6 +142,12 @@ object SparkEntry {
     "scalar_datetime" -> (Relational.scalarDatetime _),
     // --- sketches ---
     "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
+    "agg_hll_distinct" -> (operators.Sketches.hllDistinct _),
+    // --- profiling / layout / graph (beyond-parity: ingestion QA, scan
+    // pruning, and iterative analytics over the same relational fixtures) ---
+    "profile_table" -> (operators.Profiling.profileTable _),
+    "layout_zorder" -> (operators.Layout.zorderKeys _),
+    "graph_pagerank" -> (operators.Graph.pageRank _),
     // --- embedding hygiene ---
     "embed_norms" -> (operators.Similarity.embedNorms _),
     "embed_quantize" -> (operators.Similarity.embedQuantize _),
@@ -822,6 +829,17 @@ object SparkEntry {
         |SELECT e0.doc_id, pos_e0, pos_e1
         |FROM e0 JOIN e1 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, state
+        |      FROM e WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
         |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'
@@ -1026,6 +1044,13 @@ object SparkEntry {
         |            ELSE 63.0 / (CAST(CAST(concat('0x', substr(hk, 1, 15)) AS BIGINT) AS DOUBLE)
         |                         / 1152921504606846976.0) END AS kmv_estimate
         |FROM k""".stripMargin,
+    // profiling / layout / graph oracles are generated next to their
+    // operator definitions (same loops/constants as the engine side, so
+    // the pair cannot drift) — see each object's *OracleSql.
+    "agg_hll_distinct" -> operators.Sketches.hllOracleSql,
+    "profile_table" -> operators.Profiling.oracleSql,
+    "layout_zorder" -> operators.Layout.zorderOracleSql,
+    "graph_pagerank" -> operators.Graph.pageRankOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact
     // decimal sum over those rounded values, so group stats are
     // merge-order-independent on both engines

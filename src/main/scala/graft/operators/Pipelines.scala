@@ -296,4 +296,36 @@ object Pipelines {
       col("o_orderkey") === col("ck"), "left_anti")
     changes.unionByName(kept)
   }
+
+  /** SCD Type-2 dimension build from a CDC event log — the other half of
+    * the lakehouse MERGE story ([[cdcUpsert]] keeps only the latest
+    * version; SCD2 keeps the full history as validity intervals). Each
+    * user's events are a change stream of their `event_type` state:
+    * consecutive duplicates are collapsed (a no-change record opens no new
+    * version — the defining SCD2 rule), then every retained change gets
+    * `[valid_from, valid_to)` from its own and the next change's
+    * timestamp, with the open interval flagged `is_current`.
+    *
+    * Scale shape: both passes are windows PARTITIONED BY the dimension key
+    * (`user_id`) — millions of keys at corpus scale, each holding one
+    * entity's short history, so the sort is hash-distributed with no
+    * single hot partition (unlike a global or low-cardinality-partition
+    * window). One shuffle total: both windows share the same
+    * (partition, ordering) spec, so Catalyst plans one Exchange + one
+    * Sort and runs the lag-filter and lead in the same WindowExec stage.
+    * Ties inside a key are broken by `event_id` (the CDC log's sequence
+    * number), so the history is deterministic under equal timestamps.
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
 }

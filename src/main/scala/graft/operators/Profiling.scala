@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Dataset profiling — the acceptance summary every large-scale ingestion
+  * run computes before a drop is admitted to the corpus: per column, the
+  * null count, exact distinct cardinality, and min/max, in long format
+  * (one row per column) so downstream quality gates can diff profiles
+  * across drops without schema churn.
+  *
+  * Scale shape: ONE scan of the table feeds a single aggregate; the
+  * multi-column exact `countDistinct` plans as Catalyst's Expand (each
+  * input row fans out once per profiled column, ids/values only), then one
+  * hash aggregate with map-side partials — no per-column scan, no join.
+  * Exact distinct over C columns shuffles ~C× the distinct values; the
+  * 100 TB variant swaps `countDistinct` for the mergeable KMV sketch
+  * ([[Sketches.kmvDistinct]] / `graft.functions.KmvSketch`), turning the
+  * Expand shuffle into constant-size sketch state per column — same query
+  * shape, tunable error. The pivot to long format happens AFTER
+  * aggregation on a one-row frame (`stack` over scalars — free).
+  */
+object Profiling {
+
+  /** (name, value column, result formatter) for each profiled column.
+    * Formatters produce engine-portable strings: integral types and dates
+    * print identically in Spark and ANSI SQL engines; doubles go through
+    * an exact decimal cast first (double→string formatting is NOT
+    * portable — "1.0E7" vs "10000000.0").
+    */
+  private def profiled: Seq[(String, Column, Column => Column)] = Seq(
+    ("l_orderkey", col("l_orderkey"), (c: Column) => c.cast("string")),
+    ("l_linenumber", col("l_linenumber"), (c: Column) => c.cast("string")),
+    ("l_quantity", col("l_quantity"),
+      (c: Column) => c.cast("decimal(12,2)").cast("string")),
+    ("l_returnflag", col("l_returnflag"), (c: Column) => c),
+    ("l_shipdate", col("l_shipdate"),
+      (c: Column) => c.cast("date").cast("string")))
+
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+    val aggs = profiled.flatMap { case (n, c, fmt) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+      countDistinct(c).as(s"${n}__nd"),
+      fmt(min(c)).as(s"${n}__min"),
+      fmt(max(c)).as(s"${n}__max"))
+    }
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = profiled.map { case (n, _, _) =>
+      s"'$n', ${n}__nulls, ${n}__nd, ${n}__min, ${n}__max"
+    }.mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${profiled.size}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_value, max_value)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
+  /** The DuckDB oracle: one UNION ALL branch per profiled column, each
+    * computing the same (nulls, exact distinct, formatted min/max). Kept
+    * next to the profile definition so column list and formatting can
+    * never drift apart.
+    */
+  def oracleSql: String = {
+    def fmtSql(n: String): String => String = n match {
+      case "l_quantity" => v => s"CAST(CAST($v AS DECIMAL(12,2)) AS VARCHAR)"
+      case "l_returnflag" => v => v
+      case "l_shipdate" => v => s"CAST(CAST($v AS DATE) AS VARCHAR)"
+      case _ => v => s"CAST($v AS VARCHAR)"
+    }
+    profiled.map { case (n, _, _) =>
+      val f = fmtSql(n)
+      s"""SELECT '$n' AS column_name, count(*) AS n_rows,
+         |       count(*) - count($n) AS n_nulls,
+         |       count(DISTINCT $n) AS n_distinct,
+         |       ${f(s"min($n)")} AS min_value,
+         |       ${f(s"max($n)")} AS max_value
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the profiling / layout / graph / SCD2 additions; exact
+  * value parity is the driver's DuckDB gate.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("scd2: intervals chain, one open version per user, no no-change rows") {
+    val rows = Pipelines.scd2Build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, hist0) =>
+      val hist = hist0.sortBy(h => (h._3.getTime, h._4.map(_.getTime).getOrElse(Long.MaxValue)))
+      // exactly one open (current) version, and it is the last one
+      assert(hist.count(_._5) == 1, s"user $u: exactly one is_current")
+      assert(hist.last._4.isEmpty && hist.last._5, s"user $u: open interval is last")
+      hist.init.foreach(h => assert(h._4.nonEmpty, s"user $u: closed intervals have valid_to"))
+      // intervals chain: each valid_to equals the next valid_from
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: intervals must chain")
+          // the defining SCD2 rule: consecutive versions differ
+          assert(a._2 != b._2, s"user $u: no-change rows must be collapsed")
+        case _ => ()
+      }
+    }
+  }
+
+  test("profile: one-scan long-format stats agree with direct aggregates") {
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+    val n = li.count()
+    val prof = Profiling.profileTable(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(prof.size == 5)
+    prof.values.foreach { case (rows, nulls, nd, mn, mx) =>
+      assert(rows == n && nulls == 0L && nd > 0 && mn <= mx)
+    }
+    val ndFlag = li.select(countDistinct(col("l_returnflag"))).head().getLong(0)
+    assert(prof("l_returnflag")._3 == ndFlag)
+    val qMin = li.agg(min(col("l_quantity"))).head().getDouble(0)
+    assert(prof("l_quantity")._4 == BigDecimal(qMin).setScale(2).toString)
+  }
+
+  test("morton16: interleave is exact and invertible") {
+    // closed-form checks: all-ones in one dimension lands on the odd
+    // (resp. even) bit positions only
+    val one = spark.range(1).select(
+      Layout.morton16(lit(0xFFFFL), lit(0L)).as("a"),
+      Layout.morton16(lit(0L), lit(0xFFFFL)).as("b"),
+      Layout.morton16(lit(0xFFFFL), lit(0xFFFFL)).as("c")).head()
+    assert(one.getLong(0) == 0xAAAAAAAAL)
+    assert(one.getLong(1) == 0x55555555L)
+    assert(one.getLong(2) == 0xFFFFFFFFL)
+    // invertibility over random pairs: decode in Scala, recover inputs
+    def deinterleave(z: Long): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      for (i <- 0 until 16) {
+        a |= ((z >> (2 * i + 1)) & 1L) << i
+        b |= ((z >> (2 * i)) & 1L) << i
+      }
+      (a, b)
+    }
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val zs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      Layout.morton16(lit(a), lit(b)).as(s"z$i")
+    }
+    val got = spark.range(1).select(zs: _*).head()
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(deinterleave(got.getLong(i)) == ((a, b)), s"pair $i roundtrip")
+    }
+  }
+
+  test("zorder shards prune a box predicate; orderkey-sorted shards cannot") {
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val shards = 16
+    def hitShards(df: org.apache.spark.sql.DataFrame): Long = {
+      // per-shard min/max footer, exactly what parquet would persist
+      val stats = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      val (pLo, pHi, sLo, sHi) = (1L, 25L, 1L, 3L)
+      stats.filter(col("pmin") <= pHi && col("pmax") >= pLo &&
+        col("smin") <= sHi && col("smax") >= sLo).count()
+    }
+    val zHit = hitShards(Layout.zorderShards(li, col("l_partkey"), col("l_suppkey"), shards))
+    val linHit = hitShards(li.repartitionByRange(shards, col("l_orderkey")))
+    assert(linHit == shards.toLong, "ingest-ordered layout prunes nothing")
+    assert(zHit < linHit / 2, s"zorder must prune most shards (hit $zHit of $shards)")
+  }
+
+  test("pagerank: distributed fixed-point ranks equal an exact local replay") {
+    val got = Graph.pageRank(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.size == 20)
+    // exact local replay with the same integer arithmetic
+    val e0 = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(concat(lit("p:"), col("l_partkey")), concat(lit("s:"), col("l_suppkey")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val sym = e0 ++ e0.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val One = 1000000000000L
+    var r = deg.keys.map(_ -> One).toMap
+    for (_ <- 1 to 5) {
+      val in = sym.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = in.map { case (id, sc) => id -> (One * 3 / 20 + 17 * sc / 20) }
+    }
+    val want = r.toSeq.sortBy { case (id, rk) => (-rk, id) }.take(20)
+    assert(got == want, "distributed ranks must bit-match the local replay")
+  }
+}
