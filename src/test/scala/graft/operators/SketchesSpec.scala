@@ -63,4 +63,23 @@ class SketchesSpec extends SparkSpec {
     val est = row.getAs[Double]("kmv_estimate")
     assert(math.abs(est - exact) / exact < 0.4, s"est=$est exact=$exact")
   }
+
+  test("hll estimate lands within 40% and its integer core is consistent") {
+    val row = Sketches.hllDistinct(spark, sfDir).head()
+    val exact = row.getAs[Long]("n_exact").toDouble
+    val est = row.getAs[Double]("hll_estimate")
+    // m=64 → standard error ≈ 1.04/√64 ≈ 13%; 40% is a loose pin that
+    // still catches a broken rank/bucket computation outright
+    assert(math.abs(est - exact) / exact < 0.4, s"est=$est exact=$exact")
+    // the exact-integer core: harmonic sum covers all 64 registers, and
+    // empty registers contribute exactly 2^55 each
+    val (vZero, sInt) = (row.getAs[Long]("v_zero"), row.getAs[Long]("s_int"))
+    assert(vZero >= 0 && sInt >= (1L << 55) * vZero && sInt <= 64L * (1L << 55))
+    // bit-determinism: the register state is integer and mergeable, so a
+    // full re-execution (fresh shuffles, different task interleavings)
+    // must reproduce the identical row — the property the oracle gate
+    // relies on and a double-harmonic-sum HLL would not have
+    val again = Sketches.hllDistinct(spark, sfDir).head()
+    assert(row == again, "hll row must be bit-deterministic across runs")
+  }
 }
