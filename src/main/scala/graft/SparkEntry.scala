@@ -78,6 +78,8 @@ object SparkEntry {
     "text_repetition" -> (graft.functions.TextOps.textRepetition _),
     "text_redact_pii" -> (graft.functions.TextOps.redactPii _),
     "text_bm25" -> (graft.functions.TextOps.bm25 _),
+    "text_lm_bigram_score" -> (graft.functions.TextOps.lmBigramScore _),
+    "text_tfidf_keywords" -> (graft.functions.TextOps.tfidfKeywords _),
     "text_inverted_index" -> ((s: SparkSession, d: String) =>
       graft.functions.TextOps.invertedIndex(s, d)),
     "text_normalize" -> (graft.functions.NfcNormalize.textNormalize _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "pipeline_interleave" -> (operators.Pipelines.interleaveSources _),
     "pipeline_epoch_shuffle" -> (operators.Pipelines.epochShuffle _),
     "pipeline_scd2" -> (operators.Pipelines.scd2Build _),
+    "pipeline_mixture_weights" -> (operators.Pipelines.mixtureWeights _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -146,6 +149,7 @@ object SparkEntry {
     // --- profiling / layout / graph (beyond-parity: ingestion QA, scan
     // pruning, and iterative analytics over the same relational fixtures) ---
     "profile_table" -> (operators.Profiling.profileTable _),
+    "profile_drift" -> (operators.Profiling.profileDrift _),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
     "graph_pagerank" -> (operators.Graph.pageRank _),
     // --- embedding hygiene ---
@@ -578,6 +582,50 @@ object SparkEntry {
         |       * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END
         |  ) * 10000 + 0.5) / 10000 AS bm25
         |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+    // tf·idf keywords: score = tf/df over the df≥2 vocabulary, top 3 per
+    // doc, ties broken by term — ranking deterministic on both engines
+    "text_tfidf_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+        |dfv AS (SELECT term, count(*) AS df FROM tfc
+        |        GROUP BY term HAVING count(*) >= 2),
+        |s AS (SELECT tfc.doc_id, tfc.term, tfc.tf, dfv.df,
+        |        floor(CAST(tfc.tf AS DOUBLE) / CAST(dfv.df AS DOUBLE)
+        |              * 1000000.0 + 0.5) / 1000000.0 AS score
+        |      FROM tfc JOIN dfv USING (term)),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+        |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // bigram LM score: vocabulary = bigrams in ≥2 distinct docs; per-doc
+    // known-occurrence fraction + mean df of known occurrences, integer
+    // counts with one division each then the floor-based round6
+    "text_lm_bigram_score" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |bgl AS (SELECT doc_id,
+        |    CASE WHEN len(w) >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |         ELSE [] END AS bg FROM d),
+        |occ AS (SELECT doc_id, unnest(bg) AS b FROM bgl),
+        |model AS (SELECT b, count(DISTINCT doc_id) AS df FROM occ
+        |          GROUP BY b HAVING count(DISTINCT doc_id) >= 2),
+        |known AS (SELECT occ.doc_id, count(*) AS n_known, sum(df) AS sum_df
+        |          FROM occ JOIN model USING (b) GROUP BY occ.doc_id)
+        |SELECT bgl.doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(n_known, 0) AS BIGINT) AS n_known,
+        |       CASE WHEN len(bg) > 0
+        |            THEN floor(CAST(COALESCE(n_known, 0) AS DOUBLE)
+        |                       / CAST(len(bg) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |            ELSE 0.0 END AS known_frac,
+        |       CASE WHEN COALESCE(n_known, 0) > 0
+        |            THEN floor(CAST(sum_df AS DOUBLE)
+        |                       / CAST(n_known AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |            ELSE 0.0 END AS avg_known_df
+        |FROM bgl LEFT JOIN known ON bgl.doc_id = known.doc_id
+        |ORDER BY bgl.doc_id""".stripMargin,
     "text_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
@@ -840,6 +888,24 @@ object SparkEntry {
         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM c""".stripMargin,
+    // α=0.5 temperature mixture: per-source √tokens snapped to a scaled
+    // long BEFORE the normalizing sum (integer total — addend-order-proof),
+    // then weight and implied epochs against a 1M-token budget, mirroring
+    // Pipelines.mixtureWeights operation-for-operation
+    "pipeline_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w_scaled
+        |      FROM per),
+        |t AS (SELECT SUM(w_scaled) AS w_tot FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       floor(CAST(w_scaled AS DOUBLE) / CAST(w_tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS weight,
+        |       floor(CAST(w_scaled AS DOUBLE) / CAST(w_tot AS DOUBLE) * 1000000.0
+        |             / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS epochs
+        |FROM w, t ORDER BY source""".stripMargin,
     "pipeline_funnel" ->
       """SELECT stage, count(*) AS n_users FROM (
         |  SELECT CASE WHEN first_view IS NULL THEN 'no_view'
@@ -1049,6 +1115,7 @@ object SparkEntry {
     // the pair cannot drift) — see each object's *OracleSql.
     "agg_hll_distinct" -> operators.Sketches.hllOracleSql,
     "profile_table" -> operators.Profiling.oracleSql,
+    "profile_drift" -> operators.Profiling.driftOracleSql,
     "layout_zorder" -> operators.Layout.zorderOracleSql,
     "graph_pagerank" -> operators.Graph.pageRankOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact

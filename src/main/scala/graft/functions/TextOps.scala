@@ -364,4 +364,95 @@ object TextOps {
         col("postings"))
       .orderBy(col("term"), col("shard"))
   }
+
+  /** Per-document keyword extraction — the tf·idf family in its
+    * engine-exact form: score = tf/df (idf taken as 1/df, monotone in the
+    * usual log idf for a fixed doc, so per-doc ranking is the classic
+    * one), over the shared vocabulary (df ≥ 2 — a df-1 term is a typo or
+    * hapax, not a keyword), top 3 terms per doc. The per-doc tag set a
+    * retrieval/labeling pipeline materializes next to the corpus.
+    *
+    * Scale shape: the (term, doc, tf) frame is [[invertedIndex]]'s first
+    * aggregate (map-side combined — a doc's repeated terms never leave
+    * their partition); df is one more aggregate over its term-distinct
+    * rows; scoring re-joins on term (broadcast at fixture scale, shuffle
+    * join under AQE at corpus scale). The top-3 is a row_number window
+    * PARTITIONED BY doc_id — millions of small partitions, the skew-free
+    * window shape (nothing like the single-partition global windows this
+    * repo bans). One division per surviving row, then [[round6]].
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfv = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= 2)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfv, "term")
+      .withColumn("score",
+        round6(col("tf").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Bigram language-model quality score — the KenLM-shaped perplexity
+    * filter of pretraining pipelines (CCNet/RefinedWeb), in its
+    * engine-exact integer form: the corpus itself is the model (bigrams
+    * seen in ≥ 2 distinct documents are "in-vocabulary"), and each doc is
+    * scored by (a) the fraction of its bigram OCCURRENCES that are
+    * in-vocabulary and (b) the mean document-frequency of those known
+    * occurrences. Low `known_frac` flags gibberish / degenerate text the
+    * way high LM perplexity does; high `avg_known_df` flags boilerplate.
+    * Integer counts + one final division each (then [[round6]]) — no
+    * per-token float log whose summation order an engine could reorder.
+    *
+    * Scale shape: text is tokenized ONCE and the per-doc bigram array is
+    * PINNED before the explode ([[graft.operators.Dedup]]'s measured
+    * trap: a `Generate` over the raw `transform(...)` chain re-evaluates
+    * it per OUTPUT row). The model build is the two-level aggregate of
+    * [[invertedIndex]] — distinct (bigram, doc) pairs combine map-side,
+    * then one count per bigram; the scoring join moves (bigram, doc_id)
+    * pairs against the (bigram, df) model and re-aggregates by doc with
+    * map-side partials. The shuffle key is bigram TEXT (same volume knob
+    * as substring dedup: shuffle `xxhash64(bigram)` instead and accept
+    * hash-conflated vocabulary entries — kept as the documented option,
+    * not the default, so the oracle stays exact).
+    */
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docs(spark, dir)
+      .select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      .localCheckpoint()
+    val occ = bg.select(col("doc_id"), explode(col("bg")).as("b"))
+    val model = occ
+      .groupBy(col("b"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("b")).agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= 2)
+    val known = occ.join(model, "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_known"),
+        sum(col("df")).cast("long").as("sum_df"))
+    bg.select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"))
+      .join(known, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(col("n_bigrams") > 0,
+          round6(coalesce(col("n_known"), lit(0L)).cast("double")
+            / col("n_bigrams").cast("double")))
+          .otherwise(lit(0.0)).as("known_frac"),
+        when(coalesce(col("n_known"), lit(0L)) > 0,
+          round6(col("sum_df").cast("double") / col("n_known").cast("double")))
+          .otherwise(lit(0.0)).as("avg_known_df"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -114,7 +114,7 @@ object Pipelines {
     * partition/row position) cannot give, and the one that matters when a
     * 100 TB corpus is re-materialized and the split must not move.
     */
-  private def hashBucket(key: org.apache.spark.sql.Column) =
+  private[operators] def hashBucket(key: org.apache.spark.sql.Column) =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 1000
 
   /** Deterministic train/val/test split (80/10/10 of hash space) over
@@ -327,5 +327,45 @@ object Pipelines {
       .select(col("user_id"), col("state"), col("ts").as("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))
       .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  /** Temperature-based mixture reweighting — the sampling-weight
+    * computation every multi-source pretraining run performs (the
+    * `p_s ∝ n_s^α` rule, α = 0.5 here: upweight small high-value sources
+    * relative to their token share without letting any source dominate).
+    * Emits, per source: its token count, its normalized sampling weight,
+    * and the number of EPOCHS of that source a fixed token budget implies
+    * (weight·budget / n_tokens — the over-sampling factor the loader must
+    * support; > 1 means the source repeats).
+    *
+    * Determinism: each source's raw weight √n_tokens is snapped to a
+    * scaled long (`floor(√n·10⁶ + 0.5)`) BEFORE the normalizing sum, so
+    * the total is an integer sum — associative and engine-exact — rather
+    * than a float sum whose value depends on addend order. `sqrt` itself
+    * is IEEE-correctly-rounded in both engines; everything after the snap
+    * is integer or single-division arithmetic mirrored in the oracle.
+    *
+    * Scale shape: one scan → per-source hash aggregate (map-side
+    * combined; the group count is the source count, tiny by definition),
+    * then a broadcast of the one-row total. Token counting rides the same
+    * scan. Nothing here grows with corpus size except the single pass.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L // token budget the epochs column is quoted against
+    val per = Tables.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextOps.tokens)).cast("long").as("n_tokens"))
+      .withColumn("w_scaled",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val tot = per.agg(sum(col("w_scaled")).as("w_tot"))
+    import graft.functions.TextOps.round6
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round6(col("w_scaled").cast("double") / col("w_tot").cast("double"))
+          .as("weight"),
+        round6(col("w_scaled").cast("double") / col("w_tot").cast("double")
+          * lit(budget.toDouble) / col("n_tokens").cast("double")).as("epochs"))
+      .orderBy(col("source"))
   }
 }

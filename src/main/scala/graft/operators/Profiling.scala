@@ -89,4 +89,64 @@ object Profiling {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
   }
+
+  /** Train/val distribution drift — the gate that catches a skewed split
+    * or an ingestion drop whose new slice no longer looks like the corpus:
+    * histogram a feature (doc length, 50-char buckets) over the
+    * deterministic train and val slices ([[Pipelines.hashBucket]], the
+    * same 80/10 hash-space split `pipeline_split` materializes) and emit
+    * per-bucket shares plus their absolute difference — the per-bucket
+    * term of total-variation distance. Pure arithmetic (integer counts,
+    * one division per share, subtraction), NOT a PSI/KL log form: IEEE
+    * `ln` is not correctly-rounded across libms, so a log-based stat
+    * cannot promise the engine-exactness this repo's oracles demand; TVD
+    * ranks drift the same way and is bit-portable.
+    *
+    * Scale shape: ONE scan computes both slices — the membership bits
+    * ride the row (md5-bucket compare), one hash aggregate keyed by the
+    * ≤ 20 histogram buckets (map-side combined: the shuffle is buckets ×
+    * partitions rows of two longs), then a broadcast of the one-row
+    * totals. No per-slice scan, no window, nothing corpus-sized past the
+    * first aggregate.
+    */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps.round6
+    val sliced = Tables.table(spark, dir, "documents")
+      .withColumn("hb", Pipelines.hashBucket(col("doc_id")))
+      .filter(col("hb") < 900)
+      .select(least(floor(col("n_chars") / 50), lit(10)).cast("int").as("bucket"),
+        (col("hb") < 800).as("is_train"))
+    val agg = sliced.groupBy(col("bucket")).agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_val"))
+    val tot = agg.agg(sum(col("n_train")).as("t_train"),
+      sum(col("n_val")).as("t_val"))
+    val pT = col("n_train").cast("double") / col("t_train").cast("double")
+    val pV = col("n_val").cast("double") / col("t_val").cast("double")
+    agg.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_train"), col("n_val"),
+        round6(pT).as("p_train"), round6(pV).as("p_val"),
+        round6(abs(pT - pV)).as("abs_diff"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[profileDrift]] — same md5 hash-space slices, same
+    * bucketing, same snap-at-the-end rounding.
+    */
+  def driftOracleSql: String =
+    """WITH s AS (
+      |  SELECT least(CAST(floor(n_chars / 50) AS INT), 10) AS bucket,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS hb
+      |  FROM documents),
+      |a AS (SELECT bucket,
+      |        SUM(CASE WHEN hb < 800 THEN 1 ELSE 0 END) AS n_train,
+      |        SUM(CASE WHEN hb >= 800 THEN 1 ELSE 0 END) AS n_val
+      |      FROM s WHERE hb < 900 GROUP BY bucket),
+      |t AS (SELECT SUM(n_train) AS t_train, SUM(n_val) AS t_val FROM a)
+      |SELECT bucket, CAST(n_train AS BIGINT) AS n_train, CAST(n_val AS BIGINT) AS n_val,
+      |       floor(CAST(n_train AS DOUBLE) / CAST(t_train AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p_train,
+      |       floor(CAST(n_val AS DOUBLE) / CAST(t_val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p_val,
+      |       floor(abs(CAST(n_train AS DOUBLE) / CAST(t_train AS DOUBLE)
+      |                 - CAST(n_val AS DOUBLE) / CAST(t_val AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS abs_diff
+      |FROM a, t ORDER BY bucket""".stripMargin
 }

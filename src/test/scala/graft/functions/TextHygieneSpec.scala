@@ -44,4 +44,69 @@ class TextHygieneSpec extends SparkSpec {
     // word-salad fixture: repeated vocab means SOME doc repeats a bigram
     assert(rep.filter(col("dup_bigram_frac") > 0).count() > 0)
   }
+
+  test("tfidfKeywords: top-3 per doc, deterministic ties, exact local replay") {
+    val out = TextOps.tfidfKeywords(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (d, ks0) =>
+      val ks = ks0.sortBy(_._2)
+      assert(ks.map(_._2).toSeq == (1 to ks.length), s"doc $d ranks contiguous")
+      assert(ks.length <= 3)
+      // scores non-increasing; equal scores ordered by term
+      ks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 > b._6 || (a._6 == b._6 && a._3 < b._3), s"doc $d order")
+        case _ => ()
+      }
+    }
+    // local replay on the collected corpus
+    val toks = graft.sources.Tables.table(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    val tfc = toks.toSeq.flatMap { case (d, w) =>
+      w.groupBy(identity).map { case (t, o) => (d, t, o.length.toLong) } }
+    val dfv = tfc.groupBy(_._2).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2).toMap
+    val want = tfc.filter(t => dfv.contains(t._2))
+      .map { case (d, t, tf) =>
+        (d, t, tf, dfv(t), math.floor(tf.toDouble / dfv(t) * 1e6 + 0.5) / 1e6) }
+      .groupBy(_._1).toSeq.flatMap { case (d, ts) =>
+        ts.sortBy(x => (-x._5, x._2)).take(3).zipWithIndex
+          .map { case ((_, t, tf, df, sc), i) => (d, i + 1, t, tf, df, sc) } }
+      .sortBy(x => (x._1, x._2))
+    assert(out.sortBy(x => (x._1, x._2)).toSeq == want, "tfidf local replay")
+  }
+
+  test("lmBigramScore: per-doc row, count bounds, and an exact local replay") {
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val out = TextOps.lmBigramScore(spark, sfDir)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.size == docs.count(), "one score row per document")
+    rows.values.foreach { case (nb, nk, frac, adf) =>
+      assert(nk >= 0 && nk <= nb, "known occurrences bounded by bigrams")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert((nk == 0) == (frac == 0.0) || nb == 0)
+      assert(adf == 0.0 || adf >= 2.0, "known bigrams have df >= 2 by definition")
+    }
+    // exact local replay of the model + scoring on the collected corpus
+    val toks = docs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    val bgs = toks.view.mapValues(w =>
+      if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty).toMap
+    val df = bgs.toSeq.flatMap { case (d, bs) => bs.distinct.map(_ -> d) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).filter(_._2 >= 2).toMap
+    bgs.foreach { case (d, bs) =>
+      val known = bs.filter(df.contains)
+      val (nb, nk, frac, adf) = rows(d)
+      assert(nb == bs.length.toLong && nk == known.length.toLong, s"doc $d counts")
+      val wantFrac = if (bs.isEmpty) 0.0
+        else math.floor(known.length.toDouble / bs.length * 1e6 + 0.5) / 1e6
+      val wantAdf = if (known.isEmpty) 0.0
+        else math.floor(known.map(df).sum.toDouble / known.length * 1e6 + 0.5) / 1e6
+      assert(frac == wantFrac && adf == wantAdf, s"doc $d score replay")
+    }
+  }
 }

@@ -118,4 +118,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     val want = r.toSeq.sortBy { case (id, rk) => (-rk, id) }.take(20)
     assert(got == want, "distributed ranks must bit-match the local replay")
   }
+
+  test("mixture weights: normalized, and temperature upweights per-token the smaller source") {
+    val rows = Pipelines.mixtureWeights(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // weights are a distribution (each term round6'd, so ±n·1e-6 slack)
+    val wSum = rows.map(_._4).sum
+    assert(math.abs(wSum - 1.0) <= rows.length * 1e-6, s"weights sum to $wSum")
+    rows.foreach { case (s, nd, nt, w, ep) =>
+      assert(nd > 0 && nt > 0 && w > 0 && ep > 0, s"source $s degenerate")
+      // epochs is exactly weight·budget/n_tokens up to the two roundings
+      assert(math.abs(ep - w * 1000000.0 / nt) < 2e-3, s"source $s epochs")
+    }
+    // α=0.5: per-token sampling rate (weight/n_tokens) strictly decreases
+    // as the source grows — the whole point of temperature reweighting
+    val byTokens = rows.sortBy(_._3)
+    byTokens.sliding(2).foreach {
+      case Array(a, b) if a._3 < b._3 =>
+        assert(a._4 / a._3 > b._4 / b._3,
+          s"${a._1} (smaller) must be upweighted per token vs ${b._1}")
+      case _ => ()
+    }
+  }
+
+  test("profile drift: shares are distributions and abs_diff is their gap") {
+    val rows = Profiling.profileDrift(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= rows.length * 1e-6)
+    assert(math.abs(rows.map(_._5).sum - 1.0) <= rows.length * 1e-6)
+    rows.foreach { case (b, nt, nv, pt, pv, d) =>
+      assert(b >= 0 && b <= 10 && nt + nv > 0)
+      assert(math.abs(d - math.abs(pt - pv)) <= 3e-6, s"bucket $b abs_diff")
+    }
+    // slice totals reconcile with the split the buckets were drawn from
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val nTrain = docs.filter(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000 < 800).count()
+    assert(rows.map(_._2).sum == nTrain, "train slice total")
+  }
 }
