@@ -27,6 +27,7 @@ object SparkEntry {
     "source_json_roundtrip" -> (Relational.sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (Relational.sourceOrcRoundtrip _),
     "source_partitioned_pruning" -> (Relational.sourcePartitionedPruning _),
+    "join_dpp" -> (Relational.joinDpp _),
     // --- §2.3 projections / filters ---
     "filter_customer_segment" -> (Relational.filterCustomerSegment _),
     "filter_orders_date" -> (Relational.filterOrdersDate _),
@@ -199,6 +200,12 @@ object SparkEntry {
     "source_partitioned_pruning" ->
       """SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    // the dim's keep flag decides the partitions — the WHERE here mirrors
+    // the dim join the engine prunes with at runtime (DPP)
+    "join_dpp" ->
+      """SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'fr', 'zh')
+        |GROUP BY source ORDER BY source""".stripMargin,
     "filter_customer_segment" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,

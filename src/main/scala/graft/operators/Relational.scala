@@ -175,6 +175,49 @@ object Relational {
   private[operators] def partitionPrunedFrame(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).filter(col("lang") === "en")
 
+  /** DYNAMIC partition pruning — the RUNTIME companion of
+    * [[sourcePartitionedPruning]]'s planning-time prune, and the other
+    * half of the 100 TB scan lever: here the partition predicate is not
+    * in the query text at all. The fact table is hive-partitioned by
+    * `lang`; which languages survive is decided by a JOIN against a dim
+    * table carrying a keep flag. Spark's DPP turns the dim's broadcast
+    * into a partition filter on the fact scan at execution time — the
+    * dropped languages' directories are never read — which is exactly
+    * the fact⋈filtered-dim shape of every warehouse star query at scale.
+    * The plan-level proof (a `dynamicpruning` subquery in the scan's
+    * PartitionFilters) is asserted in RelationalSpec; the driver query
+    * proves values.
+    */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame =
+    dppJoinedFrame(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  private[operators] def dppJoinedFrame(spark: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_dpp_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+    import spark.implicits._
+    if (!new java.io.File(base).exists()) {
+      t(spark, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$base/documents")
+      // the dim: every language, a keep flag on three. Staged as PARQUET,
+      // not a literal frame: Catalyst folds a filtered LocalRelation into
+      // its result rows, erasing the selective Filter node the
+      // PartitionPruning rule requires — a dim SCAN keeps it (and matches
+      // reality: warehouse dims are tables, not literals).
+      Seq(("de", 0), ("en", 1), ("es", 0), ("fr", 1), ("zh", 1))
+        .toDF("d_lang", "keep")
+        .write.mode("overwrite").parquet(s"$base/lang_dim")
+    }
+    // the keep filter lives on the DIM, never on the fact — only runtime
+    // DPP can prune the fact scan's partitions
+    spark.read.parquet(s"$base/documents")
+      .join(broadcast(spark.read.parquet(s"$base/lang_dim")
+        .filter(col("keep") === 1)),
+        col("lang") === col("d_lang"))
+  }
+
   /** PIVOT (beyond-parity): per-source document counts spread across an
     * EXPLICIT language column list. The explicit values list matters at
     * scale: `pivot(col)` without values runs an extra distinct-collect

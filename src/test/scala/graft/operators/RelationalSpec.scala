@@ -126,6 +126,22 @@ class RelationalSpec extends SparkSpec {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("dim-join partitions prune at RUNTIME (dynamic partition pruning)") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val joined = Relational.dppJoinedFrame(spark, sfDir)
+    // the fact scan must carry a dynamicpruning partition filter — the
+    // keep-flag predicate lives on the dim only, so a planning-time prune
+    // is impossible; only DPP can skip the dropped languages' directories
+    val scan = joined.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$scan")
+    val expected = Tables.table(spark, sfDir, "documents")
+      .filter(col("lang").isin("en", "fr", "zh")).count()
+    assert(joined.count() == expected && expected > 0)
+  }
+
   test("csv source drops malformed rows (the reference's bad-row skipping)") {
     import graft.sources.{Csv, Tables}
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
