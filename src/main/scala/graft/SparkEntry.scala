@@ -28,6 +28,7 @@ object SparkEntry {
     "source_orc_roundtrip" -> (Relational.sourceOrcRoundtrip _),
     "source_partitioned_pruning" -> (Relational.sourcePartitionedPruning _),
     "join_dpp" -> (Relational.joinDpp _),
+    "topn_per_group" -> (Relational.topnPerGroup _),
     // --- §2.3 projections / filters ---
     "filter_customer_segment" -> (Relational.filterCustomerSegment _),
     "filter_orders_date" -> (Relational.filterOrdersDate _),
@@ -206,6 +207,16 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'fr', 'zh')
         |GROUP BY source ORDER BY source""".stripMargin,
+    // the custom heap operator must reproduce the window spelling exactly
+    // (the ordering is total, so both are deterministic)
+    "topn_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "filter_customer_segment" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,

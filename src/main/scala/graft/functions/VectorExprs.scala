@@ -112,5 +112,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     // pure range joins → bucketed equi-joins (opt-in via the width conf)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketRule)
+    // the custom TOP-K PER GROUP physical operator (partial+final heaps)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -175,6 +175,22 @@ object Relational {
   private[operators] def partitionPrunedFrame(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).filter(col("lang") === "en")
 
+  /** Top-3 orders per priority class by price — through the CUSTOM
+    * bounded-heap top-k-per-group operator ([[graft.plans.TopKPerGroup]]:
+    * logical node + strategy + partial/final heap execs), NOT the
+    * window-sort spelling. The ordering is total (price desc, key asc) so
+    * the result is deterministic; the trailing orderBy is presentational.
+    * TopKPerGroupSpec pins equality against the window spelling and the
+    * absence of any Sort/Window under the heap nodes.
+    */
+  def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup.topKPerGroup(o, Seq("o_orderpriority"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** DYNAMIC partition pruning — the RUNTIME companion of
     * [[sourcePartitionedPruning]]'s planning-time prune, and the other
     * half of the 100 TB scan lever: here the partition predicate is not

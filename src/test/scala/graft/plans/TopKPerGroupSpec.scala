@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class TopKPerGroupSpec extends SparkSpec {
+
+  private def orders = Tables.table(spark, sfDir, "orders")
+    .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+
+  test("heap operator reproduces the window spelling exactly") {
+    val got = TopKPerGroup.topKPerGroup(orders, Seq("o_orderpriority"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .collect().map(_.toSeq).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("plans as partial+final heaps with a group-keyed exchange, no sort, no window") {
+    val df = TopKPerGroup.topKPerGroup(orders, Seq("o_orderpriority"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // nodeName drops the Exec suffix; partial flag prints as the trailing
+    // boolean — demand one partial and one final heap node
+    assert("TopKPerGroup \\[.*, true".r.findFirstIn(plan).isDefined &&
+      "TopKPerGroup \\[.*, false".r.findFirstIn(plan).isDefined,
+      s"expected partial and final heap nodes:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(o_orderpriority"),
+      s"the exchange must be keyed by the group columns:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("SortExec"),
+      s"the heap path must not sort or window:\n$plan")
+  }
+
+  test("partial pass bounds the shuffle: at most partitions x groups x k rows cross") {
+    val k = 2
+    val many = orders.repartition(8)
+    val df = TopKPerGroup.topKPerGroup(many, Seq("o_orderpriority"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k)
+    val nGroups = orders.select(col("o_orderpriority")).distinct().count()
+    assert(df.count() == nGroups * k) // every priority class has ≥ k orders
+    // the partial stage's emission bound, computed directly: per input
+    // partition, each group forwards at most k rows
+    val partialCount = many.mapPartitions { it =>
+      Iterator.single(it.map(_.getString(0)).toSeq.groupBy(identity)
+        .map { case (_, v) => math.min(v.size, k) }.sum)
+    }(org.apache.spark.sql.Encoders.scalaInt).collect().map(_.toLong).sum
+    assert(partialCount <= 8 * nGroups * k && partialCount < orders.count(),
+      s"partial must emit ≤ ${8 * nGroups * k} and fewer than the input")
+  }
+
+  test("ties and small groups: k larger than a group returns the whole group") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 3L, 1.0))
+      .toDF("g", "id", "v")
+    val got = TopKPerGroup.topKPerGroup(tiny, Seq("g"),
+        Seq(("v", true), ("id", false)), 10)
+      .collect().map(_.toSeq).toSet
+    assert(got == tiny.collect().map(_.toSeq).toSet)
+    // equal v: id ascending decides the single slot
+    val one = TopKPerGroup.topKPerGroup(tiny.filter(col("g") === "a"),
+      Seq("g"), Seq(("v", true), ("id", false)), 1).collect()
+    assert(one.map(_.getLong(1)).toSeq == Seq(1L))
+  }
+}
