@@ -35,19 +35,29 @@ object Similarity {
   }
 
   private def topK(scored: DataFrame): DataFrame = {
+    // the k survivors per query via the custom bounded-heap operator
+    // (graft.plans.TopKPerGroup): the former window-over-everything
+    // spelling sorted EVERY query's full candidate set (at corpus scale:
+    // queries × corpus rows through one sort); the heap's partial stage
+    // forwards ≤ queries·K rows per partition instead. The residual
+    // row_number below only ranks the ≤ K-row groups the heap kept —
+    // identical output under the same total order (c desc, id asc).
+    val kept = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq("query_id"), Seq(("c", true), ("neighbor_id", false)), K)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    kept.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("c"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
   /** Exact top-K: broadcast the (small) query set against the full corpus —
-    * one scan, no all-pairs shuffle; per-query heap via window rank. At
-    * 100 TB the corpus side stays partitioned and only the queries move.
+    * one scan, no all-pairs shuffle; per-query bounded heap via the custom
+    * [[graft.plans.TopKPerGroup]] operator. At 100 TB the corpus side
+    * stays partitioned, only the queries move, and only queries·K rows
+    * per partition survive to the shuffle.
     */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.dot
