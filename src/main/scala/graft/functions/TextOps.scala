@@ -390,13 +390,19 @@ object TextOps {
     val dfv = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
       .filter(col("df") >= 2)
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(dfv, "term")
+    val scored = tf.join(dfv, "term")
       .withColumn("score",
         round6(col("tf").cast("double") / col("df").cast("double")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    // the 3 survivors per doc via the custom bounded-heap operator — the
+    // window spelling shuffles and sorts every (term, doc) pair; the heap
+    // forwards ≤ 3·docs rows per partition. The residual row_number only
+    // ranks the ≤ 3-row groups the heap kept (identical output, the
+    // ordering is total).
+    val kept = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq("doc_id"), Seq(("score", true), ("term", false)), 3)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    kept.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("rank"), col("term"),
         col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id"), col("rank"))
