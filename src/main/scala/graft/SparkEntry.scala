@@ -138,6 +138,7 @@ object SparkEntry {
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
+    "temporal_asof_tolerance" -> (operators.Temporal.asofJoinTolerance _),
     "temporal_range_join" -> (operators.Temporal.rangeJoin _),
     "temporal_range_join_rule" -> (operators.Temporal.rangeJoinViaRule _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
@@ -1046,6 +1047,22 @@ object SparkEntry {
         |SELECT p.user_id, p.us AS purchase_us, v.us AS last_view_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.us <= p.us""".stripMargin,
+    // tolerance = 30 min: stale matches null out; DuckDB has no TOLERANCE
+    // clause, so the oracle post-filters its ASOF result the same way
+    "temporal_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |p AS (SELECT DISTINCT user_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT DISTINCT user_id, us FROM e WHERE event_type = 'view'),
+        |a AS (SELECT p.user_id, p.us AS purchase_us, v.us AS last_view_us
+        |      FROM p ASOF LEFT JOIN v
+        |        ON p.user_id = v.user_id AND v.us <= p.us)
+        |SELECT user_id, purchase_us,
+        |       CASE WHEN last_view_us IS NOT NULL
+        |                 AND purchase_us - last_view_us <= 1800000000
+        |            THEN last_view_us END AS attributed_view_us,
+        |       (last_view_us IS NOT NULL
+        |        AND purchase_us - last_view_us <= 1800000000) AS attributed
+        |FROM a""".stripMargin,
     "temporal_range_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
         |err AS (SELECT DISTINCT user_id, us AS e_us FROM e WHERE event_type = 'error'),

@@ -46,6 +46,23 @@ object Temporal {
       .agg(max(col("last_view_us")).as("last_view_us"))
   }
 
+  /** AS-OF with TOLERANCE (the `ASOF ... TOLERANCE` clause of kdb/DuckDB/
+    * Pandas `merge_asof`): an attribution is only valid if the matched
+    * view is within 30 minutes of the purchase; staler matches become
+    * NULL (unattributed) rather than silently joining across days. Same
+    * single-shuffle running-max realization as [[asofJoin]] — the
+    * tolerance is a row-local predicate on its output, which is exactly
+    * why the composed form is the right scale shape (no second join).
+    */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val G = 1800000000L // 30 min in epoch micros
+    asofJoin(spark, dir).select(col("user_id"), col("purchase_us"),
+        when(col("last_view_us").isNotNull &&
+          col("purchase_us") - col("last_view_us") <= G,
+          col("last_view_us")).as("attributed_view_us"))
+      .withColumn("attributed", col("attributed_view_us").isNotNull)
+  }
+
   private val RangeWindowUs = 300000000L // 5 minutes
 
   /** Bounded RANGE JOIN: for every distinct error event, how many clicks

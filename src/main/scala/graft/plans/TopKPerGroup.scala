@@ -63,6 +63,15 @@ case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // observability contract of a production operator: retained rows and
+  // group count surface in the SQL UI / plan metrics, so "did the partial
+  // stage actually bound the shuffle" is answerable from the UI alone
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
@@ -75,6 +84,8 @@ case class TopKPerGroupExec(
     val groupE = groupExprs
     val ordE = ordering
     val kk = k
+    val rowsMetric = longMetric("numOutputRows")
+    val groupsMetric = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupE, schema)
       // head of the max-heap = the WORST retained row; a new row enters
@@ -94,7 +105,9 @@ case class TopKPerGroupExec(
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
+      groupsMetric += heaps.size
       heaps.valuesIterator.flatMap(_.iterator)
+        .map { r => rowsMetric += 1; r }
     }
   }
 }

@@ -45,7 +45,9 @@ class TopKPerGroupSpec extends SparkSpec {
     val df = TopKPerGroup.topKPerGroup(many, Seq("o_orderpriority"),
       Seq(("o_totalprice", true), ("o_orderkey", false)), k)
     val nGroups = orders.select(col("o_orderpriority")).distinct().count()
-    assert(df.count() == nGroups * k) // every priority class has ≥ k orders
+    // execute df's own plan (count() would execute a different one and
+    // leave df's metrics untouched)
+    assert(df.collect().length == nGroups * k) // every class has ≥ k orders
     // the partial stage's emission bound, computed directly: per input
     // partition, each group forwards at most k rows
     val partialCount = many.mapPartitions { it =>
@@ -54,6 +56,24 @@ class TopKPerGroupSpec extends SparkSpec {
     }(org.apache.spark.sql.Encoders.scalaInt).collect().map(_.toLong).sum
     assert(partialCount <= 8 * nGroups * k && partialCount < orders.count(),
       s"partial must emit ≤ ${8 * nGroups * k} and fewer than the input")
+    // the operator's own metrics agree: the partial node emitted exactly
+    // the bound computed above, the final node exactly groups·k
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides materialized stages behind leaf QueryStageExec nodes —
+    // recurse through them to reach the physical operators
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val execs = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: TopKPerGroupExec => e }
+    assert(execs.size == 2, s"expected both heap nodes, got ${execs.size}")
+    val byPhase = execs.map(e => e.partial -> e.metrics).toMap
+    assert(byPhase(true)("numOutputRows").value == partialCount)
+    assert(byPhase(false)("numOutputRows").value == nGroups * k)
+    assert(byPhase(false)("numGroups").value == nGroups)
   }
 
   test("ties and small groups: k larger than a group returns the whole group") {
