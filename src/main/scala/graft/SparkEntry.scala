@@ -107,6 +107,7 @@ object SparkEntry {
     "ann_ivf" -> (Similarity.annIvf _),
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
+    "source_binary_files" -> (Multimodal.binaryFilesRoundtrip _),
     "multimodal_features" -> (Multimodal.featureSummary _),
     "multimodal_frames" -> (Multimodal.frameSample _),
     "multimodal_image_decode" -> (Multimodal.imageDecode _),
@@ -773,6 +774,12 @@ object SparkEntry {
         |       octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS checksum
         |FROM documents""".stripMargin,
+    // binaryFile-source roundtrip: the file length + content checksum must
+    // reproduce the documents table exactly
+    "source_binary_files" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // closed-form recomputation of the synthesized pixels: equality holds
     // only if Spark's REAL PNG encode->decode roundtrip (javax.imageio)
     // preserved every 8-bit channel value

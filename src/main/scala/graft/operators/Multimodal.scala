@@ -40,6 +40,42 @@ object Multimodal {
   def ingestMeta(spark: SparkSession, dir: String): DataFrame =
     ingest(spark, dir).select("doc_id", "mime", "n_bytes", "checksum")
 
+  /** The `binaryFile` SOURCE roundtrip — how raw image/audio/video blobs
+    * actually enter a Spark pipeline at scale (one row per object-store
+    * file: path, length, modificationTime, content), as opposed to
+    * [[ingest]]'s already-tabular payloads. One file per document is
+    * staged (UTF-8 text bytes, written distributed via foreachPartition),
+    * read back through `spark.read.format("binaryFile")`, and verified by
+    * content checksum + the source's OWN `length` metadata column against
+    * the documents oracle — proving the bytes survive the file boundary
+    * and the source's metadata is trustworthy. At 100 TB the same plan
+    * reads object storage listings; the per-file row is the unit of
+    * parallelism (small-file compaction is [[graft.operators.Layout]]'s
+    * territory).
+    */
+  def binaryFilesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir") +
+      s"/graft_binfiles_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+    if (!new java.io.File(tmp).exists()) {
+      new java.io.File(tmp).mkdirs()
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+        .foreachPartition { (it: Iterator[Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
+              r.getAs[Array[Byte]]("b"))
+          }
+        }
+    }
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(tmp)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   private val FeatureBins = 16
 
   /** STUB decoder — stands in for image/audio decode (codec libraries are
