@@ -76,6 +76,13 @@ case class TopKPerGroupExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
 
+  // the heap is row-preserving per partition, so the child's partitioning
+  // survives — declaring it lets a downstream group-keyed operator (e.g.
+  // the residual rank window over the kept k-row groups) reuse the final
+  // node's exchange instead of shuffling again
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
