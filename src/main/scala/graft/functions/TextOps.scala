@@ -394,10 +394,11 @@ object TextOps {
       .withColumn("score",
         round6(col("tf").cast("double") / col("df").cast("double")))
     // the 3 survivors per doc via the custom bounded-heap operator — the
-    // window spelling shuffles and sorts every (term, doc) pair; the heap
-    // forwards ≤ 3·docs rows per partition. The residual row_number only
-    // ranks the ≤ 3-row groups the heap kept (identical output, the
-    // ordering is total).
+    // window spelling (even under Spark's WindowGroupLimit, which does
+    // bound the shuffle) still fully sorts every partition's (term, doc)
+    // rows; the heap is one sort-free O(n log k) pass per side of the
+    // exchange. The residual row_number only ranks the ≤ 3-row groups
+    // the heap kept (identical output, the ordering is total).
     val kept = graft.plans.TopKPerGroup.topKPerGroup(
       scored, Seq("doc_id"), Seq(("score", true), ("term", false)), 3)
     val w = Window.partitionBy(col("doc_id"))

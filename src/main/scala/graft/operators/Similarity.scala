@@ -36,12 +36,13 @@ object Similarity {
 
   private def topK(scored: DataFrame): DataFrame = {
     // the k survivors per query via the custom bounded-heap operator
-    // (graft.plans.TopKPerGroup): the former window-over-everything
-    // spelling sorted EVERY query's full candidate set (at corpus scale:
-    // queries × corpus rows through one sort); the heap's partial stage
-    // forwards ≤ queries·K rows per partition instead. The residual
-    // row_number below only ranks the ≤ K-row groups the heap kept —
-    // identical output under the same total order (c desc, id asc).
+    // (graft.plans.TopKPerGroup): the window spelling — even with Spark's
+    // own WindowGroupLimit bounding the shuffle — still SORTS every input
+    // partition in full (at corpus scale: queries × corpus candidate rows
+    // through O(n log n) sorts); the heap replaces both sorts with one
+    // O(n log k) pass. The residual row_number below only ranks the
+    // ≤ K-row groups the heap kept — identical output under the same
+    // total order (c desc, id asc).
     val kept = graft.plans.TopKPerGroup.topKPerGroup(
       scored, Seq("query_id"), Seq(("c", true), ("neighbor_id", false)), K)
     val w = org.apache.spark.sql.expressions.Window

@@ -14,14 +14,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * to this repo's optimizer rule and codegen expressions).
   *
   * Why Spark needs it: the built-in spelling is
-  * `row_number() OVER (PARTITION BY g ORDER BY o) <= k`, which plans as
-  * Exchange → FULL SORT of every group's rows → WindowExec → Filter. The
-  * sort is O(n log n) in EACH group's size and materializes the whole
-  * input, when only k rows per group survive. The heap operator is
-  * O(n log k) with O(groups·k) state, and — the part that matters at
-  * 100 TB — it runs a PARTIAL pass before the shuffle (the aggregate
-  * pattern): each input partition forwards at most k rows per group, so
-  * the exchange moves ≤ partitions·groups·k rows instead of the corpus.
+  * `row_number() OVER (PARTITION BY g ORDER BY o) <= k`. Spark ≥ 3.5
+  * does optimize it (`WindowGroupLimit` inserts partial/final group
+  * limits around the exchange, so the SHUFFLE is already bounded) — but
+  * each group limit sits ON TOP of a full per-partition `Sort`: every
+  * input row is still sorted, O(n log n) per partition, then the rank
+  * machinery runs over the survivors. The heap operator removes the
+  * sorts entirely — one O(n log k) pass with O(groups·k) state on each
+  * side of the exchange — and, like the built-in limit, forwards at
+  * most k rows per group per partition to the shuffle.
   *
   * Determinism: callers must pass a TOTAL ordering (tie-break to a key
   * column), exactly as they must for the window spelling to be
