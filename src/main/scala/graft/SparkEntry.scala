@@ -141,6 +141,7 @@ object SparkEntry {
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
     "temporal_asof_tolerance" -> (operators.Temporal.asofJoinTolerance _),
     "temporal_range_join" -> (operators.Temporal.rangeJoin _),
+    "temporal_interval_overlap" -> (operators.Temporal.intervalOverlapJoin _),
     "temporal_range_join_rule" -> (operators.Temporal.rangeJoinViaRule _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
     "window_lag_lead" -> (operators.Temporal.windowLagLead _),
@@ -1070,6 +1071,17 @@ object SparkEntry {
         |       (last_view_us IS NOT NULL
         |        AND purchase_us - last_view_us <= 1800000000) AS attributed
         |FROM a""".stripMargin,
+    // interval × interval overlap (error [e, e+10m] × click [c−5m, c]):
+    // the oracle is the plain theta join; the engine's bucketed form must
+    // reproduce it pair-for-pair (dedup guard ⇒ no duplicates)
+    "temporal_interval_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |a AS (SELECT DISTINCT user_id, us AS e_us FROM e WHERE event_type = 'error'),
+        |b AS (SELECT DISTINCT user_id, us AS c_us FROM e WHERE event_type = 'click')
+        |SELECT a.user_id, e_us, c_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND e_us <= c_us AND c_us - 300000000 <= e_us + 600000000
+        |ORDER BY a.user_id, e_us, c_us""".stripMargin,
     "temporal_range_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
         |err AS (SELECT DISTINCT user_id, us AS e_us FROM e WHERE event_type = 'error'),

@@ -128,6 +128,41 @@ object Temporal {
       .agg(count(col("c_us")).as("n_clicks_5m"))
   }
 
+  /** INTERVAL-OVERLAP join — both sides are INTERVALS (error impact
+    * windows [e, e+10 min] × click attention windows [c−5 min, c]), the
+    * step past [[rangeJoin]]'s point-in-interval shape and the classic
+    * genomics/observability primitive. Same bucketize-to-equi-join scale
+    * strategy: each interval replicates to the 5-min buckets it covers
+    * (≤ 3 / ≤ 2 per row — replication is bounded by interval length over
+    * bucket width), the join runs on (user, bucket) with the exact
+    * overlap predicate inside, and the pair-dedup guard keeps exactly the
+    * bucket containing max(a.lo, b.lo) — each overlapping pair shares
+    * that bucket and no other emission survives, so no post-join
+    * distinct is needed. Never an all-pairs theta join.
+    */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = RangeWindowUs // 5-min buckets
+    val ev = events(spark, dir)
+    val a = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), us.as("e_us")).distinct()
+      .withColumn("a_lo", col("e_us"))
+      .withColumn("a_hi", col("e_us") + 600000000L)
+    val b = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("b_user"), us.as("c_us")).distinct()
+      .withColumn("b_lo", col("c_us") - 300000000L)
+      .withColumn("b_hi", col("c_us"))
+    val ab = a.withColumn("bucket",
+      explode(expr(s"sequence(a_lo DIV ${W}L, a_hi DIV ${W}L)")))
+    val bb = b.withColumn("bucket",
+      explode(expr(s"sequence(b_lo DIV ${W}L, b_hi DIV ${W}L)")))
+    ab.join(bb,
+        col("user_id") === col("b_user") && ab("bucket") === bb("bucket") &&
+          col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
+          ab("bucket") === expr(s"greatest(a_lo, b_lo) DIV ${W}L"))
+      .select(col("user_id"), col("e_us"), col("c_us"))
+      .orderBy(col("user_id"), col("e_us"), col("c_us"))
+  }
+
   /** Analytic navigation functions (lag / lead / first_value) per user in
     * time order. The ORDER BY tuple (us, event_type, value) is a TOTAL
     * order up to fully-identical rows, which are interchangeable — so the

@@ -85,4 +85,24 @@ class TemporalSpec extends SparkSpec {
     assert(out.filter(col("n_1h") < 1).isEmpty)
     assert(out.filter(col("sum_1h") > col("cum_sum") + 1e-6).isEmpty)
   }
+
+  test("interval overlap: bucketed pairs equal the naive theta join, no duplicates") {
+    val got = Temporal.intervalOverlapJoin(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "dedup guard must hold")
+    // naive theta join over the same interval construction
+    import graft.sources.Tables
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val a = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("us").as("e_us")).distinct()
+    val b = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("bu"), col("us").as("c_us")).distinct()
+    val want = a.join(b, col("user_id") === col("bu") &&
+        col("e_us") <= col("c_us") &&
+        col("c_us") - 300000000L <= col("e_us") + 600000000L)
+      .select(col("user_id"), col("e_us"), col("c_us"))
+      .collect().map(_.toSeq)
+    assert(got.toSet == want.toSet && got.nonEmpty == want.nonEmpty)
+  }
 }
