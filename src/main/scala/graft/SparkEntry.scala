@@ -136,6 +136,7 @@ object SparkEntry {
     "stream_dedup" -> (streaming.StreamingWindows.streamDedup _),
     "stream_enrich_static" -> (streaming.StreamingWindows.streamEnrichStatic _),
     "stream_join_interval" -> (streaming.StreamingWindows.streamJoinInterval _),
+    "stream_cdc_upsert" -> (streaming.StreamingWindows.streamCdcUpsert _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -1071,6 +1072,17 @@ object SparkEntry {
         |       (last_view_us IS NOT NULL
         |        AND purchase_us - last_view_us <= 1800000000) AS attributed
         |FROM a""".stripMargin,
+    // streaming foreachBatch upsert: the final state is batching-invariant
+    // (associative per-key max), so it must equal the one-shot latest-per-
+    // user answer — the lexicographic (ts, event_type, value) max
+    "stream_cdc_upsert" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |r AS (SELECT user_id, ts, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_type DESC, value DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // interval × interval overlap (error [e, e+10m] × click [c−5m, c]):
     // the oracle is the plain theta join; the engine's bucketed form must
     // reproduce it pair-for-pair (dedup guard ⇒ no duplicates)

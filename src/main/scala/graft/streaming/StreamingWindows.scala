@@ -336,4 +336,53 @@ object StreamingWindows {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming→table MERGE via `foreachBatch` — the production pattern
+    * for continuously upserting a keyed table from a stream (the
+    * streaming twin of [[graft.operators.Pipelines.cdcUpsert]]'s batch
+    * MERGE shape). Each micro-batch: reduce the batch to its per-user
+    * latest row (ordered-struct max over (ts, event_type, value) — a
+    * TOTAL order, so deterministic), merge with the prior state version
+    * by the same associative max, write state version v_b. Because the
+    * per-key max is associative and commutative, the final state is
+    * BATCHING-INVARIANT — however AvailableNow chops the archive into
+    * micro-batches, the result equals the one-shot batch answer, which
+    * is exactly what makes a foreachBatch upsert oracle-checkable.
+    * Versioned directories stand in for a table format's atomic commit
+    * (each batch reads v_{b-1}, writes v_b — never in place).
+    */
+  def streamCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEvents(spark, dir)
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_upsert_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}_${sinkCounter.incrementAndGet()}"
+    val schema = "ts timestamp, user_id bigint, event_type string, value double"
+    val latest = max(struct(col("ts"), col("event_type"), col("value"))).as("s")
+    @volatile var version = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val changes = batch.groupBy(col("user_id")).agg(latest)
+        val merged =
+          if (version == 0) changes
+          else changes.sparkSession.read.parquet(s"$base/v$version")
+            .union(changes).groupBy(col("user_id"))
+            .agg(max(col("s")).as("s"))
+        merged.write.mode("overwrite").parquet(s"$base/v${version + 1}")
+        version += 1
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // raw timestamp out (not a string cast): the driver compares
+    // timestamp VALUES, and string formats of timestamps are not
+    // engine-portable
+    spark.read.parquet(s"$base/v$version")
+      .select(col("user_id"),
+        col("s.ts").as("last_ts"),
+        col("s.event_type").as("last_type"),
+        col("s.value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
 }

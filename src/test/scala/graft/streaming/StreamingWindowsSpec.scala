@@ -214,4 +214,26 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(stateRows < streamed / 2,
       s"state not evicted: $stateRows rows buffered of $streamed streamed")
   }
+
+  test("foreachBatch upsert merges per micro-batch and equals the one-shot answer") {
+    import org.apache.spark.sql.functions._
+    val out = StreamingWindows.streamCdcUpsert(spark, sfDir)
+    val got = out.collect().map(_.toSeq)
+    // one-shot latest-per-user over the raw table (same total order)
+    val want = graft.sources.Tables.table(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_type"), col("value"))).as("s"))
+      .select(col("user_id"), col("s.ts"), col("s.event_type"), col("s.value"))
+      .collect().map(_.toSeq)
+    assert(got.toSet == want.toSet && got.nonEmpty,
+      "batching-invariant merge must equal the one-shot answer")
+    // the merge really ran incrementally: the staged archive is 3 chunks
+    // at maxFilesPerTrigger=1, so ≥ 3 state versions exist on disk
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(
+        s"graft_upsert_${spark.sparkContext.applicationId}"))
+    assert(base.nonEmpty && base.exists(
+      _.listFiles().count(_.getName.startsWith("v")) >= 3),
+      "expected one state version per micro-batch")
+  }
 }
