@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_edit_distance" -> (Dedup.editDistancePairs _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding_cosine" -> (Dedup.dedupEmbeddingCosine _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
@@ -678,6 +679,17 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupJaccardOracle(0.8),
     "dedup_minhash_lsh" -> dedupJaccardOracle(0.8),
+    // Levenshtein audit over the same exact-Jaccard pair set (MinHash is
+    // full-recall-verified ≡ exact pairs); both engines' levenshtein is
+    // the classic unit-cost DP, prefix-bounded
+    "dedup_edit_distance" ->
+      s"""WITH pairs AS (${dedupJaccardOracle(0.8)})
+        |SELECT pairs.doc_a, pairs.doc_b,
+        |       levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS edit_distance
+        |FROM pairs
+        |JOIN documents a ON a.doc_id = pairs.doc_a
+        |JOIN documents b ON b.doc_id = pairs.doc_b
+        |ORDER BY pairs.doc_a, pairs.doc_b""".stripMargin,
     // same feasible-form exact-Jaccard oracle, restricted to base×delta
     // across the trailing-10%-of-ids split the operator uses
     "dedup_incremental" ->

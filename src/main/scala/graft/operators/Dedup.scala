@@ -152,6 +152,27 @@ object Dedup {
     verifyCandidates(cand, sh, JaccardThreshold)
   }
 
+  /** Character-level edit-distance audit of the near-dup pair set — the
+    * post-hoc check curation pipelines run on shingle-level matches
+    * (token Jaccard can pair docs whose surface text differs more than
+    * the threshold suggests; Levenshtein on a fixed prefix quantifies
+    * it). Spark's BUILT-IN codegen'd `levenshtein` (functions-not-UDFs),
+    * DP cost bounded by the 120-char prefix, computed only for the pair
+    * set — text moves only for pair-touched docs through two ids-keyed
+    * joins, never corpus×corpus.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
+    pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("edit_distance"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** `(doc_id, band, bucket)` LSH band keys of a pinned shingle frame —
     * the frame a deployment PERSISTS as its dedup index (16 rows × 12
     * bytes per doc; [[dedupIncremental]] joins ingest batches against it).
