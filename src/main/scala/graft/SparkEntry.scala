@@ -157,6 +157,7 @@ object SparkEntry {
     // pruning, and iterative analytics over the same relational fixtures) ---
     "profile_table" -> (operators.Profiling.profileTable _),
     "profile_drift" -> (operators.Profiling.profileDrift _),
+    "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
     "graph_pagerank" -> (operators.Graph.pageRank _),
     // --- embedding hygiene ---
@@ -1194,6 +1195,7 @@ object SparkEntry {
     "agg_hll_distinct" -> operators.Sketches.hllOracleSql,
     "profile_table" -> operators.Profiling.oracleSql,
     "profile_drift" -> operators.Profiling.driftOracleSql,
+    "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "layout_zorder" -> operators.Layout.zorderOracleSql,
     "graph_pagerank" -> operators.Graph.pageRankOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact

@@ -130,6 +130,74 @@ object Profiling {
       .orderBy(col("bucket"))
   }
 
+  /** The DATASET CARD — the per-source acceptance datasheet a corpus drop
+    * ships with: volume (docs, tokens, token range), quality (mean of the
+    * engine's quality score), redundancy (exact-dup rate), and language
+    * spread, in one row per source. Composes the profiling, text-quality,
+    * and dedup primitives into one declarative plan — the "datasheets for
+    * datasets" artifact, continuously computable.
+    *
+    * Determinism: the mean quality is the [[graft.functions.TextOps.round6]]
+    * per-doc score summed as DECIMAL(18,6) (exact, addend-order-free) then
+    * divided once — the same discipline as `embed_norms`' decimal mean; a
+    * double sum would be partition-order-dependent. Two aggregates by
+    * design (same reason as [[profileTable]]): the countDistinct pair
+    * rides its own Expand+hash aggregate; the basic stats stay one
+    * single-pass hash aggregate; the join of two source-keyed 20-row
+    * frames is free.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("text"))
+      .withColumn("q", TextOps.round6(TextOps.quality))
+      .withColumn("tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("h", md5(col("text")))
+    val basic = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tok")).cast("long").as("n_tokens"),
+      min(col("tok")).as("min_tokens"),
+      max(col("tok")).as("max_tokens"),
+      sum(col("q").cast("decimal(18,6)")).as("qsum"))
+    val distincts = d.groupBy(col("source")).agg(
+      countDistinct(col("h")).as("n_unique_texts"),
+      countDistinct(col("lang")).as("n_langs"))
+    basic.join(distincts, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        TextOps.round6(col("qsum").cast("double") / col("n_docs"))
+          .as("mean_quality"),
+        col("n_unique_texts"),
+        TextOps.round6((col("n_docs") - col("n_unique_texts"))
+          / col("n_docs")).as("dup_rate"),
+        col("n_langs"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[datasetCard]] — the same quality formula the
+    * `dedup_canonical`/`pipeline_curation` oracles use, the same decimal
+    * mean, mirrored operation for operation.
+    */
+  def datasetCardOracleSql: String =
+    """WITH d AS (
+      |  SELECT source, lang, md5(text) AS h,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+      |    floor((0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))
+      |        + 0.3 * least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100.0, 1.0)
+      |        + 0.4 * (len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+      |                 / len(string_split_regex(trim(text), '\s+')))) * 1000000 + 0.5) / 1000000 AS q
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |       min(tok) AS min_tokens, max(tok) AS max_tokens,
+      |       floor(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+      |             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+      |       count(DISTINCT h) AS n_unique_texts,
+      |       floor(CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+      |             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,
+      |       count(DISTINCT lang) AS n_langs
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** DuckDB oracle for [[profileDrift]] — same md5 hash-space slices, same
     * bucketing, same snap-at-the-end rounding.
     */
