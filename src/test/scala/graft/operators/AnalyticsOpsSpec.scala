@@ -143,6 +143,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("dataset card: one row per source, counts reconcile, rates bounded") {
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val rows = Profiling.datasetCard(spark, sfDir).collect()
+    assert(rows.length ==
+      docs.select(col("source")).distinct().count().toInt)
+    val totDocs = rows.map(_.getLong(1)).sum
+    assert(totDocs == docs.count(), "per-source docs must cover the corpus")
+    rows.foreach { r =>
+      val (nDocs, minT, maxT, meanQ, nUniq, dupRate) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7))
+      assert(minT >= 1 && minT <= maxT)
+      assert(meanQ > 0.0 && meanQ <= 1.0)
+      assert(nUniq >= 1 && nUniq <= nDocs)
+      assert(dupRate >= 0.0 && dupRate < 1.0)
+      assert(math.abs(dupRate - (nDocs - nUniq).toDouble / nDocs) < 2e-6)
+    }
+  }
+
   test("profile drift: shares are distributions and abs_diff is their gap") {
     val rows = Profiling.profileDrift(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
