@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     // --- similarity search ---
     "ann_brute_force" -> (Similarity.annBruteForce _),
+    "ann_range_search" -> (Similarity.annRangeSearch _),
     // LSH/IVF are recall stages + exact rerank; at the fixture scale their
     // default regimes have full recall, so they share brute-force's oracle.
     "ann_lsh" -> (Similarity.annLsh _),
@@ -765,6 +766,19 @@ object SparkEntry {
         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
         |FROM lab ORDER BY doc_id""".stripMargin,
     "ann_brute_force" -> annTopKOracle,
+    // range search: same dot/norm op sequence, row-local τ filter on the
+    // raw cosine; rounding is display-only
+    "ann_range_search" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
+        |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+        |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
+        |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, round(c, 6) AS cosine
+        |FROM p WHERE c >= 0.30
+        |ORDER BY query_id, neighbor_id""".stripMargin,
     // Same oracle as brute force: the LSH/IVF defaults are the full-recall
     // regime at verification scale, and candidates are exact-reranked, so
     // the approximate paths must reproduce the exact top-K bit-for-bit.

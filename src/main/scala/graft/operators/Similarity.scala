@@ -71,6 +71,30 @@ object Similarity {
     topK(scored)
   }
 
+  /** RANGE search — the vector-store API next to top-k: every neighbor at
+    * cosine ≥ τ, however many there are (retrieval wants "all
+    * sufficiently similar", not a fixed k, when recall matters more than
+    * a budget). Same broadcast-queries-over-partitioned-corpus scan as
+    * [[annBruteForce]], but the selection is a row-local filter — no
+    * ranking state at all, which is why range search scales even more
+    * simply than top-k: one codegen'd scan, output size data-dependent.
+    * The threshold compares the RAW cosine (both engines compute the
+    * identical op sequence, so the boundary cannot flip); rounding is
+    * display-only.
+    */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+      .filter(col("c") >= 0.30)
+      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   // --- random-hyperplane LSH ---------------------------------------------
 
   private val Dim = 64
