@@ -46,6 +46,7 @@ object SparkEntry {
     // --- §2.5 aggregations ---
     "agg_group_sum" -> (Relational.aggGroupSum _),
     "agg_stats" -> (Relational.aggStats _),
+    "agg_mode" -> (Relational.aggMode _),
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_percentiles" -> (Relational.aggPercentiles _),
     "agg_cube" -> (Relational.aggCube _),
@@ -292,6 +293,16 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_revenue,
         |       COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // deterministic mode: max count, ties to the smallest value — the
+    // builtin mode() of either engine is tie-unspecified
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, max(cnt) AS cnt FROM c GROUP BY 1)
+        |SELECT c.l_returnflag, min(l_quantity) AS mode_quantity,
+        |       CAST(max(c.cnt) AS BIGINT) AS n_occurrences
+        |FROM c JOIN m USING (l_returnflag, cnt)
+        |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin,
     "agg_stats" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |       COUNT(DISTINCT o_custkey) AS n_customers,

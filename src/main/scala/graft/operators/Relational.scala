@@ -558,6 +558,25 @@ object Relational {
         sum(revenueExpr).cast("double").as("sum_revenue"),
         count(lit(1)).as("count_order"))
 
+  /** Per-group MODE with a deterministic tie rule (max count, ties to the
+    * smallest value). Spark's builtin `mode()` is tie-nondeterministic —
+    * oracle-hostile and replay-hostile — so the engine form is two hash
+    * aggregates plus an equi-join on (group, max count): the counts frame
+    * is group × distinct-value sized (never row-sized past the first
+    * map-side-combined aggregate), no sort, no window.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = c.groupBy(col("l_returnflag")).agg(max(col("cnt")).as("cnt"))
+    c.join(m, Seq("l_returnflag", "cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("mode_quantity"),
+        max(col("cnt")).as("n_occurrences"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Full scalar-aggregate battery: count / min / max (+ exactly-rounded
     * avg) — beyond the reference (it only has SUM) but table stakes for an
     * engine; SURVEY.md §2.10.
