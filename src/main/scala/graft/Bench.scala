@@ -52,24 +52,48 @@ object Bench {
       }
       name -> sec
     }
-    // The record must survive the driver's bounded tail capture (r3/r4 both
-    // truncated to "parsed": null): keep every line short. 3-decimal times
-    // halve the line length; sorted per-query chunks are printed FIRST, each
-    // an independently parseable JSON line, so whichever suffix of stdout
-    // the driver keeps contains whole records; the compact summary line
-    // stays last per the contract.
+    // The record must survive the driver's bounded ~2 KB stdout tail capture
+    // (r3/r4/r5 all captured "parsed": null): with 118 queries the full map
+    // is ~3.8 KB and can never fit, and sbt appends its own "[success]" line
+    // after ours. Three-part fix:
+    //  1. The COMPLETE record is written to bench_results.json in the repo
+    //     during the run — the durable per-query history, referenced from
+    //     README.
+    //  2. Sorted per-query chunk lines (each well under 1.5 KB, independently
+    //     parseable) are printed immediately before the summary, so the tail
+    //     suffix holds whole records for as many queries as it can.
+    //  3. The FINAL line is a compact summary that always fits in the tail:
+    //     total + sf + the slowest queries up to a ~1.3 KB budget, plus
+    //     "n_queries" and a "full" pointer to the on-disk record.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val sorted = results.toSeq.sortBy(_._1)
     val entries = sorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-    val chunks = entries.grouped(12).toSeq
-    chunks.zipWithIndex.foreach { case (c, i) =>
-      println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
-    }
     val qs = entries.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
+    val fullRecord =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf,"cpus":$cpus}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_results.json"),
+        (fullRecord + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_results.json write failed: ${e.getMessage}") }
+    val chunks = entries.grouped(10).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
+    // Slowest-first subset for the final line: the most informative queries
+    // under a byte budget that leaves room for the tail to also keep the
+    // sbt success line and at least one whole chunk line above.
+    val byTime = results.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val budget = 1200
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    byTime.foreach { e => if (used + e.length + 1 <= budget) { picked += e; used += e.length + 1 } }
+    val subset = picked.sorted.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$subset,"sf":$sf,"n_queries":${results.size},"full":"bench_results.json"}""")
     spark.stop()
   }
 }

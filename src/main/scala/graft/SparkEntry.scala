@@ -113,8 +113,10 @@ object SparkEntry {
     "source_binary_files" -> (Multimodal.binaryFilesRoundtrip _),
     "multimodal_features" -> (Multimodal.featureSummary _),
     "multimodal_frames" -> (Multimodal.frameSample _),
+    "multimodal_resize" -> (Multimodal.resize _),
     "multimodal_image_decode" -> (Multimodal.imageDecode _),
     "multimodal_audio_decode" -> (Multimodal.audioDecode _),
+    "multimodal_binary_pipeline" -> (Multimodal.binaryPipeline _),
     // --- composite pipelines ---
     "pipeline_curation" -> (operators.Pipelines.corpusCuration _),
     "pipeline_funnel" -> (operators.Pipelines.funnel _),
@@ -795,20 +797,49 @@ object SparkEntry {
     // the approximate paths must reproduce the exact top-K bit-for-bit.
     "ann_lsh" -> annTopKOracle,
     "ann_ivf" -> annTopKOracle,
-    // Histogram bin 6 covers bytes 0x60–0x6f = backtick + [a-o]; include
-    // the backtick in the char class so the oracle is exact for any ASCII
-    // fixture, not just backtick-free text (ADVICE r1).
+    // REAL-codec features (r6): bin-6 of the 16-bin histogram over DECODED
+    // channel values covers values 96–111; the oracle recomputes the
+    // closed-form pixels, so equality proves javax.imageio's decode fed
+    // the histogram (not the encoded bytes).
     "multimodal_features" ->
-      """SELECT source, count(*) AS n_docs,
-        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        |       CAST(SUM(length(regexp_replace(text, '[^`a-o]', '', 'g'))) AS BIGINT) AS f6_bytes
-        |FROM documents GROUP BY source""".stripMargin,
+      """WITH px AS (SELECT i // 16 AS x, i % 16 AS y FROM range(256) t(i)),
+        |ch AS (SELECT c FROM range(3) t(c)),
+        |v AS (SELECT d.doc_id, d.source,
+        |        ((d.doc_id % 1000003) * 31 + px.x * 7 + px.y * 13 + ch.c * 5) % 256 AS val
+        |      FROM documents d, px, ch)
+        |SELECT source, CAST(count(*) // 768 AS BIGINT) AS n_docs,
+        |       CAST(SUM(val) AS BIGINT) AS px_total,
+        |       CAST(SUM(CASE WHEN val // 16 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS bin6_px
+        |FROM v GROUP BY source""".stripMargin,
+    // REAL-codec frame sampling (r6): every 25th PCM16 sample of the
+    // decoded WAV; the oracle recomputes each signed amplitude from the
+    // closed form, proving the sampled values came through the container.
     "multimodal_frames" ->
-      """SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
-        |       md5(substr(text, i * 100 + 1, 32)) AS frame_checksum
-        |FROM (SELECT doc_id, text,
-        |        unnest(range(0, (length(text) - 1) // 100 + 1)) AS i
-        |      FROM documents) t""".stripMargin,
+      """WITH f AS (SELECT i FROM range(11) t(i))
+        |SELECT d.doc_id, CAST(f.i AS INTEGER) AS frame_no,
+        |       CAST(((d.doc_id % 1000003) * 31 + f.i * 25 * 17) % 65536 - 32768 AS INTEGER) AS amplitude
+        |FROM documents d, f""".stripMargin,
+    // REAL-codec resize (r6): 16×16 → 4×4 box pooling of the decoded
+    // image, exact per-channel integer block sums recomputed closed-form.
+    "multimodal_resize" ->
+      """WITH b AS (SELECT i // 4 AS bx, i % 4 AS by FROM range(16) t(i)),
+        |o AS (SELECT i // 4 AS dx, i % 4 AS dy FROM range(16) t(i))
+        |SELECT d.doc_id, CAST(b.bx AS INTEGER) AS bx, CAST(b.by AS INTEGER) AS by,
+        |       CAST(SUM(((d.doc_id % 1000003) * 31 + (b.bx*4+o.dx)*7 + (b.by*4+o.dy)*13) % 256) AS BIGINT) AS r_sum,
+        |       CAST(SUM(((d.doc_id % 1000003) * 31 + (b.bx*4+o.dx)*7 + (b.by*4+o.dy)*13 + 5) % 256) AS BIGINT) AS g_sum,
+        |       CAST(SUM(((d.doc_id % 1000003) * 31 + (b.bx*4+o.dx)*7 + (b.by*4+o.dy)*13 + 10) % 256) AS BIGINT) AS b_sum
+        |FROM documents d, b, o
+        |GROUP BY d.doc_id, b.bx, b.by""".stripMargin,
+    // Composed intake (r6): PNG files on disk → binaryFile source →
+    // javax.imageio decode → per-source stats; oracle recomputes the
+    // closed-form pixel mass, proving encode → file → source → decode.
+    "multimodal_binary_pipeline" ->
+      """WITH px AS (SELECT i // 16 AS x, i % 16 AS y FROM range(256) t(i)),
+        |ch AS (SELECT c FROM range(3) t(c))
+        |SELECT d.source, CAST(count(*) // 768 AS BIGINT) AS n_docs,
+        |       CAST(SUM(((d.doc_id % 1000003) * 31 + px.x * 7 + px.y * 13 + ch.c * 5) % 256) AS BIGINT) AS px_total
+        |FROM documents d, px, ch
+        |GROUP BY d.source""".stripMargin,
     "multimodal_ingest" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS n_bytes,

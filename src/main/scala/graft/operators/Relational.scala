@@ -211,12 +211,14 @@ object Relational {
       .orderBy(col("source"))
 
   private[operators] def dppJoinedFrame(spark: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") +
-      s"/graft_dpp_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
     import spark.implicits._
-    if (!new java.io.File(base).exists()) {
+    // Marker-gated staging (ADVICE r5): both writes must complete before
+    // the directory is reusable — a documents write that succeeded while
+    // the lang_dim write failed must re-stage, not silently half-reuse.
+    val base = graft.sources.Staging.ensure(
+      graft.sources.Staging.dirFor(spark, "dpp", dir)) { out =>
       t(spark, dir, "documents")
-        .write.mode("overwrite").partitionBy("lang").parquet(s"$base/documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$out/documents")
       // the dim: every language, a keep flag on three. Staged as PARQUET,
       // not a literal frame: Catalyst folds a filtered LocalRelation into
       // its result rows, erasing the selective Filter node the
@@ -224,7 +226,7 @@ object Relational {
       // reality: warehouse dims are tables, not literals).
       Seq(("de", 0), ("en", 1), ("es", 0), ("fr", 1), ("zh", 1))
         .toDF("d_lang", "keep")
-        .write.mode("overwrite").parquet(s"$base/lang_dim")
+        .write.mode("overwrite").parquet(s"$out/lang_dim")
     }
     // the keep filter lives on the DIM, never on the fact — only runtime
     // DPP can prune the fact scan's partitions

@@ -71,7 +71,9 @@ case class TopKPerGroupExec(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of groups"))
+      .createMetric(sparkContext, "number of groups"),
+    "numSortFallbacks" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partitions degraded to external sort"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
@@ -92,8 +94,18 @@ case class TopKPerGroupExec(
     val groupE = groupExprs
     val ordE = ordering
     val kk = k
+    val isPartial = partial
+    // Memory bound (ADVICE r5): the heap map holds O(groups·k) copied rows,
+    // which is unbounded when the group key is high-cardinality (doc_id).
+    // Past this many distinct groups in one partition, the partial node
+    // flushes its combiner map (correct: the final node re-reduces per
+    // key), and the final node degrades to a spill-safe external sort +
+    // streaming group-limit (exact: same answer, O(1) heap state).
+    val maxGroups = conf.getConfString(
+      "spark.graft.topk.maxGroupsInMemory", (1 << 18).toString).toInt
     val rowsMetric = longMetric("numOutputRows")
     val groupsMetric = longMetric("numGroups")
+    val fallbackMetric = longMetric("numSortFallbacks")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupE, schema)
       // head of the max-heap = the WORST retained row; a new row enters
@@ -102,29 +114,153 @@ case class TopKPerGroupExec(
       val cmp = RowOrdering.create(ordE, schema)
       implicit val rowOrd: Ordering[InternalRow] =
         Ordering.comparatorToOrdering(cmp)
-      val heaps = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        // probe with the projection's REUSED buffer; copy the key only on
-        // first sight of a group (copying per row is 1 allocation/row —
-        // measured as 2-3x wall time in GC churn at 100M rows)
+      type HeapMap = scala.collection.mutable.LinkedHashMap[
+        UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      // insert `row` into the map; false iff the row opens a NEW group and
+      // the map is at capacity (the caller decides flush vs sort-fallback).
+      // Probe with the projection's REUSED buffer; copy the key only on
+      // first sight of a group (copying per row is 1 allocation/row —
+      // measured as 2-3x wall time in GC churn at 100M rows).
+      def insert(heaps: HeapMap, row: InternalRow): Boolean = {
         val probe = keyProj(row)
-        val heap = heaps.get(probe) match {
-          case Some(h) => h
+        heaps.get(probe) match {
+          case Some(heap) =>
+            if (heap.size < kk) heap.enqueue(row.copy())
+            else if (cmp.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+            true
           case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow]
-            heaps.put(probe.copy(), h)
-            h
-        }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (cmp.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+            if (heaps.size >= maxGroups) false
+            else {
+              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow]
+              h.enqueue(row.copy())
+              heaps.put(probe.copy(), h)
+              true
+            }
         }
       }
-      groupsMetric += heaps.size
-      heaps.valuesIterator.flatMap(_.iterator)
-        .map { r => rowsMetric += 1; r }
+      if (isPartial) {
+        // Chunked combiner, hash-aggregate style: fill a bounded map, emit
+        // its ≤ k-per-group survivors DOWNSTREAM (the shuffle writer
+        // drains the chunk before the next one builds, so retired chunks
+        // are garbage), start fresh. The final node re-reduces per key, so
+        // a group split across chunks is still exact.
+        new Iterator[InternalRow] {
+          private var pending: InternalRow = _ // the row that hit capacity
+          private var out: Iterator[InternalRow] = Iterator.empty
+          private def buildChunk(): Iterator[InternalRow] = {
+            val heaps: HeapMap = scala.collection.mutable.LinkedHashMap.empty
+            if (pending != null) { insert(heaps, pending); pending = null }
+            var full = false
+            while (iter.hasNext && !full) {
+              val row = iter.next()
+              if (!insert(heaps, row)) { pending = row.copy(); full = true }
+            }
+            groupsMetric += heaps.size
+            heaps.valuesIterator.flatMap(_.iterator)
+          }
+          override def hasNext: Boolean = {
+            while (!out.hasNext && (iter.hasNext || pending != null))
+              out = buildChunk()
+            out.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            rowsMetric += 1; out.next()
+          }
+        }
+      } else {
+        val heaps: HeapMap = scala.collection.mutable.LinkedHashMap.empty
+        var breach: InternalRow = null
+        while (iter.hasNext && breach == null) {
+          val row = iter.next()
+          if (!insert(heaps, row)) breach = row.copy()
+        }
+        if (breach == null) {
+          groupsMetric += heaps.size
+          heaps.valuesIterator.flatMap(_.iterator)
+            .map { r => rowsMetric += 1; r }
+        } else {
+          // exact node over more groups than the map may hold: degrade to
+          // a spill-safe external sort over (buffered heap rows ++ the
+          // breaching row ++ remaining input), then stream k per group
+          fallbackMetric += 1
+          val rest = heaps.valuesIterator.flatMap(_.iterator) ++
+            Iterator.single(breach) ++ iter
+          TopKPerGroupExec.sortFallback(
+            rest, schema, groupE, ordE, kk, rowsMetric, groupsMetric)
+        }
+      }
+    }
+  }
+}
+
+object TopKPerGroupExec {
+  import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+  import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+
+  /** Spill-safe exact top-k for a partition whose group cardinality
+    * outgrew the heap map: external-sort every row by (group keys, caller
+    * ordering) — `UnsafeExternalRowSorter` spills to disk under memory
+    * pressure exactly as `SortExec`'s does — then one streaming pass takes
+    * the first k rows of each now-contiguous group with O(1) state.
+    */
+  private[plans] def sortFallback(
+      rows: Iterator[InternalRow],
+      schema: Seq[Attribute],
+      groupE: Seq[Expression],
+      ordE: Seq[SortOrder],
+      k: Int,
+      rowsMetric: org.apache.spark.sql.execution.metric.SQLMetric,
+      groupsMetric: org.apache.spark.sql.execution.metric.SQLMetric): Iterator[InternalRow] = {
+    val fullOrder = groupE.map(SortOrder(_, Ascending)) ++ ordE
+    val ordering = RowOrdering.create(fullOrder, schema)
+    // constant prefix → every comparison falls through to the full record
+    // comparator; correct, and the sorter still pages + spills off-heap
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        result.isNull = false; result.value = 0L; result
+      }
+    }
+    val sorter = UnsafeExternalRowSorter.create(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(schema),
+      Ordering.comparatorToOrdering(ordering), PrefixComparators.LONG,
+      prefixComputer, org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+      false)
+    val ctx = org.apache.spark.TaskContext.get()
+    if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => sorter.cleanupResources())
+    val toUnsafe = UnsafeProjection.create(schema.map(_.dataType).toArray)
+    rows.foreach {
+      case u: UnsafeRow => sorter.insertRow(u)
+      case r => sorter.insertRow(toUnsafe(r))
+    }
+    val keyProj = UnsafeProjection.create(groupE, schema)
+    val sorted = sorter.sort()
+    // LAZY fetch: the sorter's iterator returns a REUSED row buffer, so the
+    // next underlying row may only be pulled after the consumer is done
+    // with the previous one (an eager lookahead corrupts every emitted row)
+    new Iterator[InternalRow] {
+      private var curKey: UnsafeRow = _
+      private var inGroup = 0
+      private var nextRow: InternalRow = _
+      private def fetch(): Unit = {
+        while (nextRow == null && sorted.hasNext) {
+          val r = sorted.next()
+          val key = keyProj(r)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy(); inGroup = 0; groupsMetric += 1
+          }
+          inGroup += 1
+          if (inGroup <= k) nextRow = r
+        }
+      }
+      override def hasNext: Boolean = { if (nextRow == null) fetch(); nextRow != null }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRow; nextRow = null; rowsMetric += 1; r
+      }
     }
   }
 }
@@ -139,9 +275,16 @@ object TopKPerGroup {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
                    orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    // Registration (ADVICE r5): under a lock — two concurrent first calls
+    // raced the check-then-append — and checked against the PLANNER's full
+    // strategy list, which includes extension-injected strategies, so a
+    // GraftExtensions-built session is not registered twice.
+    TopKPerGroup.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(TopKPerGroupStrategy) &&
+          !spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
     val lp = df.queryExecution.analyzed
     def attr(name: String): Attribute = lp.output
       .find(a => spark.sessionState.conf.resolver(a.name, name))

@@ -125,26 +125,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: features are normalized histograms batched per partition") {
+  test("multimodal: features are normalized histograms over decoded pixels") {
     val rows = Multimodal.features(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val f = r.getSeq[Double](r.fieldIndex("features"))
       assert(f.length == 16)
       assert(math.abs(f.sum - 1.0) < 1e-9, "histogram must be normalized")
+      assert(r.getLong(r.fieldIndex("n_px")) == 768L, "16x16 RGB = 768 values")
     }
-    // deterministic across runs
+    // deterministic across runs (real PNG encode->decode is bit-stable)
     val again = Multimodal.features(spark, sfDir).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
-  test("multimodal resize: fixed dims, deterministic, mean preserved") {
+  test("multimodal resize: 4x4 box pooling of the decoded image, exact sums") {
     val rows = Multimodal.resize(spark, sfDir).collect()
     assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach(rs => assert(rs.length == 16, "4x4 blocks per doc"))
     rows.foreach { r =>
-      val v = r.getSeq[Double](r.fieldIndex("resized"))
-      assert(v.length == 8)
-      assert(v.forall(x => x >= 0 && x <= 255))
+      Seq("r_sum", "g_sum", "b_sum").foreach { c =>
+        val v = r.getLong(r.fieldIndex(c))
+        assert(v >= 0 && v <= 16L * 255, "block sum of 16 8-bit values")
+      }
     }
     val again = Multimodal.resize(spark, sfDir).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
