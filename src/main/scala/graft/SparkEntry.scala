@@ -85,6 +85,7 @@ object SparkEntry {
     "text_tfidf_keywords" -> (graft.functions.TextOps.tfidfKeywords _),
     "text_inverted_index" -> ((s: SparkSession, d: String) =>
       graft.functions.TextOps.invertedIndex(s, d)),
+    "text_index_lookup" -> (graft.functions.TextOps.indexLookup _),
     "text_normalize" -> (graft.functions.NfcNormalize.textNormalize _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "stream_enrich_static" -> (streaming.StreamingWindows.streamEnrichStatic _),
     "stream_join_interval" -> (streaming.StreamingWindows.streamJoinInterval _),
     "stream_cdc_upsert" -> (streaming.StreamingWindows.streamCdcUpsert _),
+    "stream_dedup_incremental" -> (streaming.StreamingDedup.streamIncrementalDedup _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -149,6 +151,7 @@ object SparkEntry {
     "temporal_range_join" -> (operators.Temporal.rangeJoin _),
     "temporal_interval_overlap" -> (operators.Temporal.intervalOverlapJoin _),
     "temporal_range_join_rule" -> (operators.Temporal.rangeJoinViaRule _),
+    "temporal_interval_overlap_rule" -> (operators.Temporal.intervalOverlapViaRule _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
     "window_lag_lead" -> (operators.Temporal.windowLagLead _),
     "window_ntile" -> (Relational.windowNtile _),
@@ -174,17 +177,35 @@ object SparkEntry {
     * exact-reranked) ann_lsh / ann_ivf.
     */
   private val annTopKOracle: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |p AS (
       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
       |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
       |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
       |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
-      |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < 10)
+      |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < ${Similarity.NumQueries})
       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, round(c, 6) AS cosine FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
       |  FROM p) t
       |WHERE rnk <= 5""".stripMargin
+
+  // exact-Jaccard base x delta pairs (doc_a < split <= doc_b) - shared by
+  // the batch dedup_incremental query and its streaming twin
+  private val incrementalJaccardOracle: String =
+    """WITH sh AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents) t),
+        |k AS (SELECT (max(doc_id) * 9) // 10 AS split_id FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       floor((len(list_intersect(a.s, b.s))::DOUBLE
+        |             / len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM sh a, sh b, k
+        |WHERE a.doc_id < k.split_id AND b.doc_id >= k.split_id
+        |  AND len(list_distinct(list_concat(a.s, b.s))) > 0
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q3_batch" -> Relational.q3Sql,
@@ -675,6 +696,28 @@ object SparkEntry {
         |       string_agg(tf.doc_id || ':' || tf.tf, ',' ORDER BY tf.doc_id) AS postings
         |FROM tf JOIN tot USING (term)
         |GROUP BY 1, 2, 3, 4 ORDER BY term, shard""".stripMargin,
+    // Term-batch lookup over the index: the oracle recomputes the top-20
+    // straight from documents (tf, df ≥ 5, bm25 idf, per-term round6 then
+    // exact-decimal sum), so equality proves the index round-trip:
+    // build → serialize postings → parse → score ≡ score-from-scratch
+    "text_index_lookup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+        |        HAVING count(*) >= 5),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |hits AS (
+        |  SELECT t.doc_id,
+        |         CAST(floor(ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |                    * t.tf * 1000000.0 + 0.5) / 1000000.0
+        |              AS DECIMAL(18,6)) AS c
+        |  FROM tf t JOIN dfv d USING (term), n
+        |  WHERE t.term IN ('hash', 'join', 'stream', 'vector'))
+        |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, count(*) AS n_terms
+        |FROM hits GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // chr(769)/chr(771) = the combining acute/tilde the Spark side seeds
     "text_normalize" ->
       """WITH s AS (SELECT text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o' AS raw
@@ -697,31 +740,25 @@ object SparkEntry {
     // Levenshtein audit over the same exact-Jaccard pair set (MinHash is
     // full-recall-verified ≡ exact pairs); both engines' levenshtein is
     // the classic unit-cost DP, prefix-bounded
+    // ASCII-folded prefixes (non-ASCII -> '_') on BOTH sides: the two
+    // engines' levenshtein character units are only guaranteed to agree
+    // on a single-byte alphabet (ADVICE r5; zh fixture docs)
     "dedup_edit_distance" ->
       s"""WITH pairs AS (${dedupJaccardOracle(0.8)})
         |SELECT pairs.doc_a, pairs.doc_b,
-        |       levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS edit_distance
+        |       levenshtein(regexp_replace(substr(a.text, 1, 120), '[^\\x00-\\x7F]', '_', 'g'),
+        |                   regexp_replace(substr(b.text, 1, 120), '[^\\x00-\\x7F]', '_', 'g')) AS edit_distance
         |FROM pairs
         |JOIN documents a ON a.doc_id = pairs.doc_a
         |JOIN documents b ON b.doc_id = pairs.doc_b
         |ORDER BY pairs.doc_a, pairs.doc_b""".stripMargin,
     // same feasible-form exact-Jaccard oracle, restricted to base×delta
     // across the trailing-10%-of-ids split the operator uses
-    "dedup_incremental" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |         for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents) t),
-        |k AS (SELECT (max(doc_id) * 9) // 10 AS split_id FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       floor((len(list_intersect(a.s, b.s))::DOUBLE
-        |             / len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
-        |FROM sh a, sh b, k
-        |WHERE a.doc_id < k.split_id AND b.doc_id >= k.split_id
-        |  AND len(list_distinct(list_concat(a.s, b.s))) > 0
-        |  AND len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental" -> incrementalJaccardOracle,
+    // true streaming run, batching-invariant by construction -> shares the
+    // batch query's oracle verbatim
+    "stream_dedup_incremental" -> incrementalJaccardOracle,
+
     "dedup_simhash" -> dedupJaccardOracle(0.9),
     "dedup_embedding_cosine" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -782,13 +819,13 @@ object SparkEntry {
     // range search: same dot/norm op sequence, row-local τ filter on the
     // raw cosine; rounding is display-only
     "ann_range_search" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |p AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
         |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
         |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
         |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
-        |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < 10)
+        |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < ${Similarity.NumQueries})
         |SELECT query_id, neighbor_id, round(c, 6) AS cosine
         |FROM p WHERE c >= 0.30
         |ORDER BY query_id, neighbor_id""".stripMargin,
@@ -1163,6 +1200,15 @@ object SparkEntry {
         |FROM a JOIN b ON a.user_id = b.user_id
         |  AND e_us <= c_us AND c_us - 300000000 <= e_us + 600000000
         |ORDER BY a.user_id, e_us, c_us""".stripMargin,
+    // pure two-sided overlap via the optimizer rule: [e, e+600s] overlaps
+    // [c-300s, c]  <=>  e <= c AND c <= e + 900s
+    "temporal_interval_overlap_rule" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |a AS (SELECT DISTINCT us AS e_us FROM ev WHERE event_type = 'error'),
+        |b AS (SELECT DISTINCT us AS c_us FROM ev WHERE event_type = 'click')
+        |SELECT e_us AS error_us, count(*) AS n_overlaps
+        |FROM a JOIN b ON e_us <= c_us AND c_us <= e_us + 900000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "temporal_range_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
         |err AS (SELECT DISTINCT user_id, us AS e_us FROM e WHERE event_type = 'error'),

@@ -160,11 +160,23 @@ object Dedup {
     * DP cost bounded by the 120-char prefix, computed only for the pair
     * set — text moves only for pair-touched docs through two ids-keyed
     * joins, never corpus×corpus.
+    *
+    * The audited prefix is ASCII-FOLDED first (every non-ASCII char →
+    * `_`): Spark's and DuckDB's levenshtein/substr are not guaranteed to
+    * agree on character units outside ASCII (code points vs bytes vs
+    * graphemes — ADVICE r5, the fixture includes zh documents), so the
+    * cross-engine contract is pinned to a provably single-unit alphabet.
+    * For BMP text the fold is length-preserving, so distances keep their
+    * audit meaning; the residual engine divergence (supplementary-plane
+    * chars fold to 2 units in UTF-16 engines vs 1 rune in UTF-8 engines)
+    * is outside both the fixture and the 120-char audit's precision needs.
     */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
     val d = Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
+      .select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 120),
+          "[^\\x00-\\x7F]", "_").as("p"))
     pairs
       .join(d.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")

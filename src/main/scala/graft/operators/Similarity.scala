@@ -14,7 +14,13 @@ import graft.sources.Tables
 object Similarity {
 
   val K = 5
-  val NumQueries = 10
+  // 1000 (r6, up from 10): the query set is a FRAME everywhere — broadcast
+  // against the corpus in brute force/range search, bucket-joined in LSH,
+  // and (since r6) pure joins in IVF too — so the engine serves large
+  // query batches with zero per-query driver state; the fixture oracles
+  // stay exact at any N (vec_id < N just selects more of the corpus as
+  // queries).
+  val NumQueries = 1000
 
   /** Cosine similarity between two double arrays: codegen'd left-fold dot
     * product / norms ([[graft.functions.VectorExprs.DotProduct]]), the
@@ -199,47 +205,55 @@ object Similarity {
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, d) => acc + d)
-    // per-cell radius r_j = max ‖u − c_j‖ (bounded collect: IvfCells rows)
-    val radii: Map[Int, Double] = assigned.join(broadcast(centersDf), "cell")
+    // per-cell radius r_j = max ‖u − c_j‖ — a FRAME (IvfCells rows), like
+    // every other per-query/per-cell intermediate here: since r6 the whole
+    // probe schedule is joins over frames (centroids broadcast, per-query
+    // kth-best seeded as a frame), zero per-query driver collections, so
+    // the same plan serves millions of queries (r5 VERDICT item 2).
+    val radiiDf = assigned.join(broadcast(centersDf), "cell")
       .groupBy("cell").agg(max(sqrt(sqDist(col("u"), col("ctr")))).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    // bounded collect: NumQueries unit vectors for driver-side cell math
-    val queries: Map[Long, Array[Double]] = vn.filter(col("vec_id") < NumQueries)
-      .select("vec_id", "u").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    def cellDists(q: Array[Double]): Array[(Int, Double)] =
-      centers.zipWithIndex.map { case (c, i) =>
-        (i, math.sqrt(q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum))
-      }
     val q = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    // (query, cell) distance table: queries × broadcast centroids — the
+    // only all-cells product, IvfCells rows per query, fully distributed
+    val cellDist = vn.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u"))
+      .join(broadcast(centersDf))
+      .select(col("query_id"), col("cell"),
+        sqrt(sqDist(col("u"), col("ctr"))).as("d"))
     def scoreCells(probeDf: DataFrame): DataFrame = {
-      val cand = assigned.join(broadcast(probeDf), "cell")
-        .join(broadcast(q),
-          col("vec_id") =!= col("qid") && col("qid") === col("query_id"))
+      // no broadcast hints on the probe/query sides: both scale with the
+      // query batch — AQE broadcasts them while small and falls back to
+      // shuffle joins when a million-query batch makes them big
+      val cand = assigned.join(probeDf, "cell")
+        .join(q, col("vec_id") =!= col("qid") && col("qid") === col("query_id"))
       topK(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
     }
-    // phase 1: exact scores in the IvfProbes nearest cells seed the bound
-    val seedProbes = queries.toSeq.flatMap { case (qid, qv) =>
-      cellDists(qv).sortBy(_._2).take(math.min(IvfProbes, IvfCells))
-        .map { case (cell, _) => (qid, cell) }
-    }
-    val seed = scoreCells(seedProbes.toDF("query_id", "cell")).collect()
-    val kthCos: Map[Long, Double] = seed.groupBy(_.getLong(0)).collect {
-      case (qid, rs) if rs.length >= K => qid -> rs.map(_.getDouble(3)).min
-    }
+    // phase 1: exact scores in the IvfProbes nearest cells seed the bound —
+    // probe selection itself runs through the bounded-heap top-k operator
+    // (smallest distances per query), not a driver sort
+    val seedProbes = graft.plans.TopKPerGroup.topKPerGroup(
+      cellDist, Seq("query_id"), Seq(("d", false), ("cell", false)),
+      math.min(IvfProbes, IvfCells)).select("query_id", "cell")
+    // per-query kth-best cosine as a frame (queries whose seed found < K
+    // rows get no bound and keep every cell — exactness first)
+    val kthCos = scoreCells(seedProbes)
+      .groupBy(col("query_id").as("kq"))
+      .agg(count(lit(1)).as("kn"), min(col("cosine")).as("kth_c"))
+      .filter(col("kn") >= K)
+      .select(col("kq"), col("kth_c"))
     // phase 2: keep every cell whose nearest possible point could still
     // beat the seeded kth best (margins absorb the round(c,6) in topK and
     // double noise; a too-loose bound only probes more, never misses)
-    val probes = queries.toSeq.flatMap { case (qid, qv) =>
-      val bound = kthCos.get(qid)
-        .map(c => math.sqrt(math.max(0.0, 2.0 - 2.0 * (c - 1e-6))) + 1e-9)
-      cellDists(qv).filter { case (cell, d) =>
-        bound.forall(b => d - radii.getOrElse(cell, 0.0) <= b)
-      }.map { case (cell, _) => (qid, cell) }
-    }
-    scoreCells(probes.toDF("query_id", "cell"))
+    val probes = cellDist
+      .join(radiiDf, Seq("cell"), "left")
+      .join(kthCos, col("query_id") === col("kq"), "left")
+      .filter(col("kth_c").isNull ||
+        col("d") - coalesce(col("r"), lit(0.0)) <=
+          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * (col("kth_c") - lit(1e-6)))) + lit(1e-9))
+      .select(col("query_id"), col("cell"))
+    scoreCells(probes)
   }
 
   /** LSH-bucketed ANN: sign-of-projection sketches put each vector in
@@ -256,9 +270,20 @@ object Similarity {
     // payload-carrying rows 28× and ran distinct() over array columns.
     val v = vectors(spark, dir).localCheckpoint()
     val ids = bucketedIds(v)
+    // MULTI-PROBE (r6): each query also probes every bucket at Hamming
+    // distance 1 from its own (flip each of the b bits) — the standard
+    // recall lever that costs (b+1)× probe rows instead of more tables.
+    // Per-table miss becomes P(≥2 bits disagree); for the weakest fixture
+    // pairs (cos ≈ 0.1 ⇒ per-bit agree ≈ 0.53) that is ≈ 0.45 per table
+    // and 0.45^28 ≈ 2e-10 over the family — full recall holds for ANY
+    // query-set size, which is what lets NumQueries be 1000 (vs 10 in r5,
+    // where exact-bucket probing was only full-recall for the 10-query
+    // fixture). The rerank is exact either way; recall is the only knob.
+    val probeMasks = 0L +: (0 until BitsPerTable).map(b => 1L << b)
     val qids = ids.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"),
-        col("table").as("qt"), col("bucket").as("qb"))
+      .select(col("vec_id").as("query_id"), col("table").as("qt"),
+        explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("qb"))
     val candIds = ids.join(qids,
         col("table") === col("qt") && col("bucket") === col("qb") &&
           col("vec_id") =!= col("query_id"))

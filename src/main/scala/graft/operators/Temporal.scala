@@ -163,6 +163,40 @@ object Temporal {
       .orderBy(col("user_id"), col("e_us"), col("c_us"))
   }
 
+  /** The PURE (no user key) interval-overlap join — error impact windows
+    * [e, e+10 min] × click attention windows [c−5 min, c], GLOBAL — written
+    * as the naive two-sided theta join and left to
+    * [[graft.plans.RangeJoinBucketRule]]'s overlap extension (r6): without
+    * the rule Spark's only plan is a BroadcastNestedLoopJoin; with the
+    * conf at `auto` the rule reads BOTH spans off the condition's literal
+    * offsets (600 s and 300 s from each side's base), buckets both sides
+    * at the max span, and keeps each pair exactly once via the
+    * greatest-lo bucket guard — the same plan [[intervalOverlapJoin]]
+    * builds by hand, now owed by the optimizer (TemporalRuleSpec pins the
+    * BNLJ elimination and result equality). The declarative contract at
+    * 100 TB, extended from point-in-range to overlap.
+    */
+  def intervalOverlapViaRule(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketRule
+    spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf,
+      graft.plans.RangeJoinBucketRule.Auto)
+    val ev = events(spark, dir)
+    val a = ev.filter(col("event_type") === "error")
+      .select(us.as("e_us")).distinct()
+    val b = ev.filter(col("event_type") === "click")
+      .select(us.as("c_us")).distinct()
+    // overlap of [e_us, e_us+600s] and [c_us−300s, c_us], bounds INLINE in
+    // the condition (the rule infers spans from the literal offsets)
+    a.join(b,
+        col("e_us") <= col("c_us") &&
+          col("c_us") - 300000000L <= col("e_us") + 600000000L)
+      .groupBy(col("e_us").as("error_us"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("error_us"))
+  }
+
   /** Analytic navigation functions (lag / lead / first_value) per user in
     * time order. The ORDER BY tuple (us, event_type, value) is a TOTAL
     * order up to fully-identical rows, which are interchangeable — so the

@@ -186,6 +186,9 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
         hi.point.semanticEquals(lo.point)
     } yield (lo, hi)).headOption
 
+    if (pair.isEmpty)
+      return overlapRewrite(j, left, right, cond, hint, mode, conjuncts, side)
+
     pair.flatMap { case (lo, hi) =>
       val span = inferredSpan(lo.bound, hi.bound)
       val width = mode match {
@@ -226,6 +229,97 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
           else (intervalPlan, pointPlan)
         // prune the marker columns back to the join's original output
         Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      }
+    }
+  }
+
+  /** One normalized cross-side inequality `small ≤ big` (strictness is
+    * immaterial: the original condition re-evaluates inside the join).
+    */
+  private case class SideIneq(small: Expression, big: Expression,
+                              smallOnLeft: Boolean)
+
+  /** INTERVAL-OVERLAP extension (r6): the two-sided shape
+    *
+    * {{{
+    *   A ⋈ B ON A.lo ≤ B.hi AND B.lo ≤ A.hi        -- planned as BNLJ
+    *   ⇒  A×buckets([A.lo,A.hi]) ⋈ B×buckets([B.lo,B.hi])
+    *        ON bucketA = bucketB AND <original condition>
+    *        AND bucketA = bucket(greatest(A.lo, B.lo))
+    * }}}
+    *
+    * Every overlapping pair shares the bucket containing the larger of
+    * the two interval starts, and the last conjunct keeps exactly that
+    * one emission — no post-join distinct (the same dedup guard
+    * [[graft.operators.Temporal.intervalOverlapJoin]] builds by hand).
+    * Point-in-range is the degenerate case where one side's lo ≡ hi and
+    * is handled first (one-sided replication is cheaper); this path only
+    * sees genuine two-sided shapes.
+    *
+    * Width: in auto mode BOTH spans must be inferable (literal offsets
+    * from a shared base per side — which also proves every interval is
+    * well-formed, lo ≤ hi on every row) and the width is their max, so
+    * each side replicates to at most 2 buckets. Under an explicit width,
+    * intervals may be malformed on some rows (lo > hi with the overlap
+    * condition still satisfiable), so the bucket cover is built
+    * orientation-insensitively (least..greatest) — completeness holds for
+    * every satisfiable pair either way.
+    */
+  private def overlapRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                             cond: Expression, hint: JoinHint, mode: Mode,
+                             conjuncts: Seq[Expression],
+                             side: Expression => Option[Boolean]): Option[LogicalPlan] = {
+    def mk(small: Expression, big: Expression): Option[SideIneq] =
+      (side(small), side(big)) match {
+        case (Some(ss), Some(sb))
+            if ss != sb && small.dataType == big.dataType &&
+              SupportedTypes.contains(small.dataType) =>
+          Some(SideIneq(small, big, smallOnLeft = ss))
+        case _ => None
+      }
+    val ineqs = conjuncts.flatMap {
+      case LessThanOrEqual(a, b)    => mk(a, b)
+      case GreaterThanOrEqual(a, b) => mk(b, a)
+      case LessThan(a, b)           => mk(a, b)
+      case GreaterThan(a, b)        => mk(b, a)
+      case _                        => None
+    }
+    val shape = (for {
+      c1 <- ineqs if c1.smallOnLeft   // L.lo ≤ R.hi
+      c2 <- ineqs if !c2.smallOnLeft  // R.lo ≤ L.hi
+      if c1.small.dataType == c2.small.dataType
+    } yield (c1, c2)).headOption
+
+    shape.flatMap { case (c1, c2) =>
+      val (lLo, rHi, rLo, lHi) = (c1.small, c1.big, c2.small, c2.big)
+      val spanL = inferredSpan(lLo, lHi)
+      val spanR = inferredSpan(rLo, rHi)
+      val inferred = for { a <- spanL; b <- spanR } yield math.max(a, b)
+      val width = mode match {
+        case AutoMode      => inferred
+        case FixedWidth(w) => Some(inferred.getOrElse(w))
+      }
+      width.map { w =>
+        val wLit = Literal(w, LongType)
+        def bucket(e: Expression) = IntegralDivide(toLong(e), wLit)
+        // orientation-insensitive cover; Sequence over least..greatest can
+        // never throw, and a NULL endpoint yields a NULL sequence, which
+        // Explode drops — correct, the original condition is NULL there too
+        def cover(lo: Expression, hi: Expression): Expression = {
+          val (l, h) = (bucket(lo), bucket(hi))
+          new Sequence(Least(Seq(l, h)), Greatest(Seq(l, h)),
+            Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+        }
+        val aAttr = AttributeReference(s"${Marker}_a", LongType, nullable = false)()
+        val bAttr = AttributeReference(s"${Marker}_b", LongType, nullable = false)()
+        val leftPlan = Generate(Explode(cover(lLo, lHi)), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None, generatorOutput = Seq(aAttr), child = left)
+        val rightPlan = Generate(Explode(cover(rLo, rHi)), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None, generatorOutput = Seq(bAttr), child = right)
+        val dedupGuard = EqualTo(aAttr,
+          IntegralDivide(Greatest(Seq(toLong(lLo), toLong(rLo))), wLit))
+        val newCond = And(And(cond, EqualTo(aAttr, bAttr)), dedupGuard)
+        Project(j.output, Join(leftPlan, rightPlan, Inner, Some(newCond), hint))
       }
     }
   }

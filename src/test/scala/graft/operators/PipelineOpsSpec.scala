@@ -117,7 +117,9 @@ class PipelineOpsSpec extends SparkSpec {
   test("ann brute force: 5 neighbors per query, descending cosine") {
     val rows = Similarity.annBruteForce(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))
-    assert(byQ.size == Similarity.NumQueries)
+    // vec_id < NumQueries selects min(NumQueries, corpus) query vectors
+    val nVecs = graft.sources.Tables.table(spark, sfDir, "embeddings").count()
+    assert(byQ.size == math.min(Similarity.NumQueries.toLong, nVecs))
     byQ.values.foreach { rs =>
       assert(rs.length == Similarity.K)
       val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))

@@ -80,6 +80,37 @@ class TemporalSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
   }
 
+  test("overlap rule: two-sided BNLJ becomes a bucketed equi-join, same answer") {
+    import graft.plans.RangeJoinBucketRule
+    val ev = Tables.table(spark, sfDir, "events")
+    val a = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("e_us")).distinct()
+    val b = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us")).distinct()
+    def theta = a.join(b,
+      col("e_us") <= col("c_us") &&
+        col("c_us") - 300000000L <= col("e_us") + 600000000L)
+
+    spark.conf.unset(RangeJoinBucketRule.WidthConf)
+    assert(theta.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "pure overlap join should baseline as BNLJ")
+    val want = theta.groupBy(col("e_us"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val out = Temporal.intervalOverlapViaRule(spark, sfDir)
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"overlap rule must eliminate the nested-loop join:\n$plan")
+      assert(plan.contains("__graft_bucket"), "bucketed overlap rewrite not applied")
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "rewritten overlap join must reproduce the theta join exactly")
+    } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
+  }
+
   test("window frames: trailing never exceeds cumulative; counts positive") {
     val out = Temporal.windowFrames(spark, sfDir)
     assert(out.filter(col("n_1h") < 1).isEmpty)

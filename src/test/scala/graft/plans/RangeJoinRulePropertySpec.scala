@@ -159,6 +159,110 @@ class RangeJoinRulePropertySpec extends SparkSpec
     } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
   }
 
+  // --- interval-overlap extension (r6) -----------------------------------
+
+  /** Two interval tables with independent, sometimes-inverted endpoints —
+    * the adversarial domain for the overlap rewrite's orientation-
+    * insensitive bucket cover (an inverted interval can still satisfy the
+    * two-sided condition, and the rewrite must not lose it).
+    */
+  private def overlapJoined(widthConf: Option[String]) = {
+    import spark.implicits._
+    widthConf match {
+      case Some(v) => spark.conf.set(RangeJoinBucketRule.WidthConf, v)
+      case None    => spark.conf.unset(RangeJoinBucketRule.WidthConf)
+    }
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinBucketRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinBucketRule
+    val as = (0 until 250).map { i =>
+      val lo: java.lang.Long =
+        if (i % 37 == 0) null else (i * 7919L % 2000L) - 1000L
+      val hi: java.lang.Long =
+        if (lo == null) null
+        else if (i % 11 == 0) lo - 40L // inverted, can still overlap
+        else lo + (i * 29L % 210L)
+      (i.toLong, lo, hi)
+    }.toDF("aid", "alo", "ahi")
+    val bs = (0 until 220).map { i =>
+      val lo: java.lang.Long =
+        if (i % 41 == 0) null else (i * 104729L % 2000L) - 1000L
+      val hi: java.lang.Long =
+        if (lo == null) null
+        else if (i % 13 == 0) lo - 60L
+        else lo + (i * 37L % 180L)
+      (i.toLong, lo, hi)
+    }.toDF("bid", "blo", "bhi")
+    as.join(bs, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid")
+  }
+
+  test("overlap rewrite ≡ theta join over nulls and inverted intervals (fixed widths)") {
+    try {
+      val want = overlapJoined(None)
+      assert(want.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      val wantRows = want.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(wantRows.nonEmpty)
+      forAll(Table("width", 1L, 7L, 64L, 100L, 1000L, 100000L)) { w =>
+        val got = overlapJoined(Some(w.toString))
+        val plan = got.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__graft_bucket"),
+          s"W=$w: overlap rule did not rewrite:\n$plan")
+        assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+          .sameElements(wantRows), s"W=$w: overlap rewrite diverged")
+      }
+    } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
+  }
+
+  test("auto mode: overlap spans inferred from literal offsets, both sides ≤2 buckets") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinBucketRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinBucketRule
+    def build() = {
+      val xs = rawPoints.toDF("aid", "x")
+      val ys = rawAnchors.toDF("bid", "y")
+      // overlap of [x, x+173] and [y−97, y]: x ≤ y AND y−97 ≤ x+173
+      xs.join(ys, col("x") <= col("y") && col("y") - 97L <= col("x") + 173L)
+        .select("aid", "bid")
+    }
+    spark.conf.unset(RangeJoinBucketRule.WidthConf)
+    val want = build()
+    assert(want.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val wantRows = want.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(wantRows.nonEmpty)
+    spark.conf.set(RangeJoinBucketRule.WidthConf, RangeJoinBucketRule.Auto)
+    try {
+      val got = build()
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__graft_bucket"),
+        s"auto overlap did not infer+rewrite:\n$plan")
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(wantRows), "auto overlap rewrite diverged")
+    } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
+  }
+
+  test("auto mode: variable-span overlap and equality-conjunct joins are left alone") {
+    try {
+      // independent endpoints: no span inferable in auto mode
+      assert(overlapJoined(Some(RangeJoinBucketRule.Auto))
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      // a cross-side equality means Spark already has an equi-join: the
+      // rule must stand down even though the overlap conjuncts match
+      import spark.implicits._
+      spark.conf.set(RangeJoinBucketRule.WidthConf, "50")
+      val as = (0 until 100).map(i => (i.toLong, i % 7L, (i * 13L) % 500L))
+        .toDF("aid", "ak", "ax")
+      val bs = (0 until 100).map(i => (i.toLong, i % 7L, (i * 17L) % 500L))
+        .toDF("bid", "bk", "bx")
+      val eq = as.join(bs, col("ak") === col("bk") &&
+        col("ax") <= col("bx") + 60L && col("bx") <= col("ax") + 60L)
+      assert(!eq.queryExecution.executedPlan.toString.contains("__graft_bucket"),
+        "rule must stand down on equality conjuncts")
+      assert(eq.count() > 0)
+    } finally spark.conf.unset(RangeJoinBucketRule.WidthConf)
+  }
+
   /** A malformed width value disables the rule instead of failing every
     * query optimized afterwards in the session.
     */
