@@ -86,6 +86,7 @@ object SparkEntry {
     "text_inverted_index" -> ((s: SparkSession, d: String) =>
       graft.functions.TextOps.invertedIndex(s, d)),
     "text_index_lookup" -> (graft.functions.TextOps.indexLookup _),
+    "text_index_lookup_persisted" -> (graft.functions.TextOps.indexLookupPersisted _),
     "text_normalize" -> (graft.functions.NfcNormalize.textNormalize _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "pipeline_epoch_shuffle" -> (operators.Pipelines.epochShuffle _),
     "pipeline_scd2" -> (operators.Pipelines.scd2Build _),
     "pipeline_mixture_weights" -> (operators.Pipelines.mixtureWeights _),
+    "pipeline_dataset_diff" -> (operators.Pipelines.datasetDiff _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -163,6 +165,8 @@ object SparkEntry {
     // --- profiling / layout / graph (beyond-parity: ingestion QA, scan
     // pruning, and iterative analytics over the same relational fixtures) ---
     "profile_table" -> (operators.Profiling.profileTable _),
+    "profile_quantiles" -> (operators.Profiling.profileQuantiles _),
+    "profile_outliers" -> (operators.Profiling.profileOutliers _),
     "profile_drift" -> (operators.Profiling.profileDrift _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
@@ -206,6 +210,28 @@ object SparkEntry {
         |  AND len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  // top-20 recomputed straight from documents (tf, df >= 5, bm25 idf,
+  // per-term round6 then exact-decimal sum) - shared by the in-flight
+  // and persisted index lookups
+  private val indexLookupOracle: String =
+    """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+        |        HAVING count(*) >= 5),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |hits AS (
+        |  SELECT t.doc_id,
+        |         CAST(floor(ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |                    * t.tf * 1000000.0 + 0.5) / 1000000.0
+        |              AS DECIMAL(18,6)) AS c
+        |  FROM tf t JOIN dfv d USING (term), n
+        |  WHERE t.term IN ('hash', 'join', 'stream', 'vector'))
+        |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, count(*) AS n_terms
+        |FROM hits GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q3_batch" -> Relational.q3Sql,
@@ -700,24 +726,10 @@ object SparkEntry {
     // straight from documents (tf, df ≥ 5, bm25 idf, per-term round6 then
     // exact-decimal sum), so equality proves the index round-trip:
     // build → serialize postings → parse → score ≡ score-from-scratch
-    "text_index_lookup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term
-        |        HAVING count(*) >= 5),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |hits AS (
-        |  SELECT t.doc_id,
-        |         CAST(floor(ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-        |                    * t.tf * 1000000.0 + 0.5) / 1000000.0
-        |              AS DECIMAL(18,6)) AS c
-        |  FROM tf t JOIN dfv d USING (term), n
-        |  WHERE t.term IN ('hash', 'join', 'stream', 'vector'))
-        |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, count(*) AS n_terms
-        |FROM hits GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_index_lookup" -> indexLookupOracle,
+    // persisted read path: identical contract, scored off the parquet
+    // index with the term filter pushed to the scan
+    "text_index_lookup_persisted" -> indexLookupOracle,
     // chr(769)/chr(771) = the combining acute/tilde the Spark side seeds
     "text_normalize" ->
       """WITH s AS (SELECT text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o' AS raw
@@ -1025,6 +1037,23 @@ object SparkEntry {
     // α=0.5 temperature mixture: per-source √tokens snapped to a scaled
     // long BEFORE the normalizing sum (integer total — addend-order-proof),
     // then weight and implied epochs against a 1M-token budget, mirroring
+    // snapshot diff: v1 derived closed-form (drop doc_id%10==0, suffix the
+    // text where doc_id%7==0), v2 = documents; ids+hashes only
+    "pipeline_dataset_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id AS k1,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v1]' ELSE text END) AS h1
+        |  FROM documents WHERE doc_id % 10 != 0),
+        |v2 AS (SELECT doc_id AS k2, md5(text) AS h2 FROM documents),
+        |d AS (
+        |  SELECT COALESCE(k1, k2) AS doc_id,
+        |         CASE WHEN k1 IS NULL THEN 'added'
+        |              WHEN k2 IS NULL THEN 'removed'
+        |              WHEN h1 != h2 THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+        |SELECT status, count(*) AS n, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     // Pipelines.mixtureWeights operation-for-operation
     "pipeline_mixture_weights" ->
       """WITH per AS (
@@ -1296,6 +1325,31 @@ object SparkEntry {
     // the pair cannot drift) — see each object's *OracleSql.
     "agg_hll_distinct" -> operators.Sketches.hllOracleSql,
     "profile_table" -> operators.Profiling.oracleSql,
+    // exact type-7 quantiles; round6 on both sides absorbs 1-ulp
+    // interpolation-formula differences (results sit on a ≤4-decimal
+    // lattice for the 2-decimal fixture values)
+    "profile_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       floor(quantile_cont(value, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+        |       floor(quantile_cont(value, 0.50) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |       floor(quantile_cont(value, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS p75,
+        |       floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Tukey fences from the round6-lattice quartiles, same op sequence as
+    // the Spark side; strict comparisons, so boundary values are inliers
+    "profile_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type AS et,
+        |         floor(quantile_cont(value, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+        |         floor(quantile_cont(value, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS p75
+        |  FROM events GROUP BY event_type),
+        |b AS (SELECT et, p25 - 1.5 * (p75 - p25) AS lo, p75 + 1.5 * (p75 - p25) AS hi FROM f)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       floor(MIN(b.lo) * 1000000.0 + 0.5) / 1000000.0 AS fence_lo,
+        |       floor(MIN(b.hi) * 1000000.0 + 0.5) / 1000000.0 AS fence_hi
+        |FROM events e JOIN b ON e.event_type = b.et
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "profile_drift" -> operators.Profiling.driftOracleSql,
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "layout_zorder" -> operators.Layout.zorderOracleSql,

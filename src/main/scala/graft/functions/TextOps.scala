@@ -386,9 +386,17 @@ object TextOps {
     */
   def indexLookup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val idx = invertedIndex(spark, dir)
     val q = Bm25Terms.toDF("term")
-    val hits = idx.join(broadcast(q), "term")
+    scoreIndexHits(spark, dir, invertedIndex(spark, dir).join(broadcast(q), "term"))
+  }
+
+  /** bm25-idf scoring of `(term, df, postings)` index rows already
+    * restricted to the query terms — shared by the in-flight
+    * [[indexLookup]] and the persisted [[indexLookupPersisted]] read path.
+    */
+  private def scoreIndexHits(spark: SparkSession, dir: String,
+                             idxHits: DataFrame): DataFrame = {
+    val hits = idxHits
       .select(col("df"), explode(split(col("postings"), ",")).as("p"))
       .select(col("df"),
         split(col("p"), ":").getItem(0).cast("long").as("doc_id"),
@@ -403,6 +411,28 @@ object TextOps {
         count(lit(1)).cast("long").as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** The PERSISTED index read path — what "query the index" means at
+    * 100 TB, demonstrated rather than claimed: the index is WRITTEN once
+    * as parquet `partitionBy(shard)` (marker-gated staging), and the
+    * lookup reads it back with the term predicate as a literal IN filter
+    * so it reaches the parquet scan as a pushed filter — row groups whose
+    * term min/max excludes the query batch never decompress, and only the
+    * posting rows for the queried terms are ever materialized. Same
+    * scoring and same oracle as [[indexLookup]]; TextIndexSpec asserts
+    * `PushedFilters: [In(term, ...)]` on the scan, so the gate covers the
+    * round-trip and the spec pins the pruning plan.
+    */
+  def indexLookupPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.Staging.ensure(
+      graft.sources.Staging.dirFor(spark, "invidx", dir)) { out =>
+      invertedIndex(spark, dir)
+        .write.partitionBy("shard").parquet(s"$out/index")
+    }
+    val hits = spark.read.parquet(s"$base/index")
+      .filter(col("term").isin(Bm25Terms: _*))
+    scoreIndexHits(spark, dir, hits)
   }
 
   /** Per-document keyword extraction — the tf·idf family in its

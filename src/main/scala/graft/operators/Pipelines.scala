@@ -368,4 +368,35 @@ object Pipelines {
           * lit(budget.toDouble) / col("n_tokens").cast("double")).as("epochs"))
       .orderBy(col("source"))
   }
+
+  /** DATASET SNAPSHOT DIFF — "what changed between corpus version v1 and
+    * v2", the audit every training-data release cuts (and the input to
+    * incremental recomputation: only `added`/`changed` docs re-enter the
+    * dedup/quality pipeline). v1 is derived deterministically from the
+    * fixture (docs with `doc_id % 10 != 0`, text suffixed where
+    * `doc_id % 7 == 0` — a closed form the oracle replays), v2 is the
+    * documents table itself; the diff never compares text directly:
+    * each side reduces to `(doc_id, md5)` at the scan, a full outer join
+    * on the KEY classifies added / removed / changed / unchanged, and
+    * only ids+hashes shuffle — at 100 TB the payload never moves, which
+    * is what makes release auditing affordable.
+    */
+  def datasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("k1"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v1]")))
+          .otherwise(col("text"))).as("h1"))
+    val v2 = docs.select(col("doc_id").as("k2"), md5(col("text")).as("h2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("doc_id"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("status"))
+  }
 }

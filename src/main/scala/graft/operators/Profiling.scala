@@ -67,6 +67,63 @@ object Profiling {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Exact per-group quantiles — the distribution half of [[profileTable]]
+    * (min/max/nulls say nothing about shape; every dataset card and drift
+    * monitor wants the quartiles and the tail). Spark's builtin EXACT
+    * `percentile` aggregate (not `percentile_approx`): a partial/final
+    * aggregate whose state is the per-group value multiset — fine at
+    * per-group cardinalities that fit an executor, which is the profiling
+    * contract here (per event_type); at 100 TB per-key shape switches to
+    * a mergeable sketch and becomes a recall-style bound, not an oracle
+    * equality, so the exact form is the one that belongs in the gate.
+    *
+    * Oracle portability: both engines define the exact quantile as type-7
+    * linear interpolation at rank p·(n−1); interpolated results land on a
+    * ≤4-decimal lattice for the 2-decimal fixture values (interpolation
+    * fractions are multiples of 0.05), so [[graft.functions.TextOps
+    * .round6]] gives ~6 orders of magnitude of margin over the engines'
+    * 1-ulp formula differences.
+    */
+  def profileQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val r6 = graft.functions.TextOps.round6 _
+    def q(p: Double) = r6(expr(s"percentile(value, ${p}D)"))
+    Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        q(0.25).as("p25"), q(0.5).as("p50"),
+        q(0.75).as("p75"), q(0.95).as("p95"))
+      .orderBy(col("event_type"))
+  }
+
+  /** IQR outlier screen — the Tukey-fence flagging step curation
+    * pipelines run off the quantile profile: per group, values outside
+    * [p25 − 1.5·IQR, p75 + 1.5·IQR] are outliers. Two passes: the
+    * [[profileQuantiles]]-style exact quantiles (tiny frame, broadcast
+    * back), then one row-local flagging scan + count — the shape that
+    * holds at any corpus size because the second pass is embarrassingly
+    * parallel. Fences are computed FROM the round6-lattice quantiles with
+    * the same op sequence in both engines, so the strict < / >
+    * comparisons cannot straddle an engine-dependent boundary.
+    */
+  def profileOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val r6 = graft.functions.TextOps.round6 _
+    val ev = Tables.table(spark, dir, "events")
+    val fences = ev.groupBy(col("event_type").as("et"))
+      .agg(r6(expr("percentile(value, 0.25D)")).as("p25"),
+        r6(expr("percentile(value, 0.75D)")).as("p75"))
+      .select(col("et"), col("p25"), col("p75"),
+        (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("lo"),
+        (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("hi"))
+    ev.join(broadcast(fences), col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        graft.functions.TextOps.round6(first(col("lo"))).as("fence_lo"),
+        graft.functions.TextOps.round6(first(col("hi"))).as("fence_hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** The DuckDB oracle: one UNION ALL branch per profiled column, each
     * computing the same (nulls, exact distinct, formatted min/max). Kept
     * next to the profile definition so column list and formatting can
