@@ -30,6 +30,32 @@ class DedupPropertySpec extends SparkSpec {
   private def sampleDocs(i: Long): List[(Long, String)] =
     docsGen(Gen.Parameters.default, Seed(i)).get
 
+  test("edit-distance ASCII fold pins multibyte text to a single-unit alphabet") {
+    // The audit's cross-engine contract (ADVICE r5): every non-ASCII char
+    // folds to '_' BEFORE levenshtein, so zh/multibyte prefixes compare in
+    // a provably single-unit alphabet. Pin the fold's semantics on
+    // explicit BMP strings: equal-length zh runs fold to identical
+    // underscores (distance carried by the ASCII tail alone), and the
+    // fold is length-preserving for BMP input.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fold = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "[^\\x00-\\x7F]", "_")
+    val rows = Seq(
+      ("中文测试 abcd", "中文测验 abce", 1), // zh differs but folds equal; ASCII d→e = 1
+      ("中文 kitten", "中文 sitting", 3),    // classic pair behind an equal fold
+      ("中文字", "中文", 1),                 // pure-BMP length edit survives the fold
+      ("plain ascii", "plain ascii", 0)
+    ).toDF("a", "b", "want")
+    val got = rows.select(levenshtein(fold(col("a")), fold(col("b"))).as("d"),
+        col("want"), length(fold(col("a"))).as("fl"), length(col("a")).as("l"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"fold distance ${r.getInt(0)} != ${r.getInt(1)}")
+      assert(r.getInt(2) == r.getInt(3), "fold must be length-preserving for BMP text")
+    }
+  }
+
   test("repeated passages == sequential window counts on random tiny-vocab corpora") {
     import spark.implicits._
     val W = Dedup.PassageWindow
