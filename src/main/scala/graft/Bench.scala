@@ -3,7 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parsed once, fail-fast (ADVICE r6): a non-numeric value would both
+    // break master=local[...] and leak invalid JSON into the bench record
+    val cpus: Int = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      raw.trim.toIntOption.filter(_ > 0).getOrElse(
+        sys.error(s"SPARK_GRAFT_CPUS must be a positive int, got '$raw'"))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -21,6 +21,27 @@ object Temporal {
 
   private val us = unix_micros(col("ts"))
 
+  /** A CHILD session carrying [[graft.plans.RangeJoinBucketRule]] + its
+    * `auto` conf, so rule-spelled queries never mutate the caller's
+    * optimizer state (ADVICE r6: the old in-place registration leaked a
+    * sticky extraOptimizations entry + conf into every later query on the
+    * session). `newSession()` shares the SparkContext and catalog-shared
+    * state but starts fresh session state; explicitly-set parent SQL
+    * confs are copied so the child plans under the caller's settings
+    * (shuffle partitions, AQE toggles, test overrides).
+    */
+  private def ruleScopedSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    spark.sessionState.conf.getAllConfs.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) // skip static/non-settable entries
+    }
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketRule
+    s.conf.set(graft.plans.RangeJoinBucketRule.WidthConf,
+      graft.plans.RangeJoinBucketRule.Auto)
+    s
+  }
+
   /** AS-OF JOIN: for every purchase event, the latest view event of the
     * same user at-or-before the purchase (`v.ts <= p.ts`, max ts wins) —
     * the attribution join.
@@ -103,21 +124,17 @@ object Temporal {
     * BETWEEN join; the engine owns the scale path.
     *
     * The conf is set to `auto`, not a width (it must stay set on the
-    * session: plans read conf at OPTIMIZATION time, after this function
-    * returns its lazy frame). In auto mode the rule reads each join's
-    * width off its own condition (`c_us BETWEEN error_us − W AND
-    * error_us` ⇒ width W, ≤2 buckets per interval row) — so the sticky
-    * conf can never misconfigure a LATER range join in the same session
-    * with a width chosen for this one: every rewrite is self-scoped or
-    * doesn't happen.
+    * session the FRAME is bound to: plans read conf at OPTIMIZATION time,
+    * after this function returns its lazy frame). In auto mode the rule
+    * reads each join's width off its own condition (`c_us BETWEEN
+    * error_us − W AND error_us` ⇒ width W, ≤2 buckets per interval row).
+    * The rule + conf live on a CHILD session ([[ruleScopedSession]],
+    * ADVICE r6) so the caller's session keeps its optimizer untouched —
+    * no sticky extraOptimizations / conf leak into later queries.
     */
   def rangeJoinViaRule(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketRule
-    spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf,
-      graft.plans.RangeJoinBucketRule.Auto)
-    val ev = events(spark, dir)
+    val s = ruleScopedSession(spark)
+    val ev = events(s, dir)
     val errors = ev.filter(col("event_type") === "error")
       .select(us.as("error_us")).distinct()
     val clicks = ev.filter(col("event_type") === "click")
@@ -177,12 +194,8 @@ object Temporal {
     * 100 TB, extended from point-in-range to overlap.
     */
   def intervalOverlapViaRule(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketRule
-    spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf,
-      graft.plans.RangeJoinBucketRule.Auto)
-    val ev = events(spark, dir)
+    val s = ruleScopedSession(spark)
+    val ev = events(s, dir)
     val a = ev.filter(col("event_type") === "error")
       .select(us.as("e_us")).distinct()
     val b = ev.filter(col("event_type") === "click")

@@ -49,8 +49,16 @@ case class TopKPerGroupNode(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, ord, k, child) =>
-      val partial = TopKPerGroupExec(g, ord, k, partial = true, planLater(child))
-      TopKPerGroupExec(g, ord, k, partial = false, partial) :: Nil
+      // Group keys are normalized exactly as Aggregate planning normalizes
+      // its grouping keys (ADVICE r6): float/double -0.0 → 0.0 and NaN →
+      // canonical NaN, so byte equality (hash-heap map, sort-fallback
+      // boundary) agrees with ordering equality, and the exchange hashes
+      // ordering-equal keys to the same partition. Output rows keep their
+      // original bytes — normalization lives only in key space.
+      val ng = g.map(
+        org.apache.spark.sql.graftbridge.Bridge.normalizeFloatingNumbers)
+      val partial = TopKPerGroupExec(ng, ord, k, partial = true, planLater(child))
+      TopKPerGroupExec(ng, ord, k, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
@@ -70,8 +78,13 @@ case class TopKPerGroupExec(
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
+    // the partial node counts COMBINER groups per chunk — a group split
+    // across flushed chunks is counted once per chunk it appears in, like
+    // a hash aggregate's spill metrics (ADVICE r6: documented, not a
+    // distinct-group count); the final node's count is exact
     "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of groups"),
+      .createMetric(sparkContext,
+        if (partial) "combiner groups (per chunk)" else "number of groups"),
     "numSortFallbacks" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "partitions degraded to external sort"))
 
@@ -101,8 +114,18 @@ case class TopKPerGroupExec(
     // flushes its combiner map (correct: the final node re-reduces per
     // key), and the final node degrades to a spill-safe external sort +
     // streaming group-limit (exact: same answer, O(1) heap state).
-    val maxGroups = conf.getConfString(
-      "spark.graft.topk.maxGroupsInMemory", (1 << 18).toString).toInt
+    val maxGroups = {
+      val raw = conf.getConfString(
+        "spark.graft.topk.maxGroupsInMemory", (1 << 18).toString)
+      // validate eagerly (ADVICE r6): a value < 1 would make insert() fail
+      // even on an empty map and silently drop rows via the chunk loop
+      val v = scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.graft.topk.maxGroupsInMemory must be an int >= 1, got '$raw'"))
+      require(v >= 1,
+        s"spark.graft.topk.maxGroupsInMemory must be >= 1, got $v")
+      v
+    }
     val rowsMetric = longMetric("numOutputRows")
     val groupsMetric = longMetric("numGroups")
     val fallbackMetric = longMetric("numSortFallbacks")
@@ -249,6 +272,9 @@ object TopKPerGroupExec {
         while (nextRow == null && sorted.hasNext) {
           val r = sorted.next()
           val key = keyProj(r)
+          // byte equality is safe here because the strategy normalized the
+          // group keys (-0.0/NaN): ordering-equal keys are byte-equal, so
+          // boundaries agree with the sort comparator's adjacency
           if (curKey == null || key != curKey) {
             curKey = key.copy(); inGroup = 0; groupsMetric += 1
           }

@@ -16,4 +16,14 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Forwarder for the `private[sql]` float-key canonicalizer (-0.0 → 0.0,
+    * NaN → canonical NaN) that Aggregate/Join planning applies to its own
+    * keys — graft's top-k-per-group strategy needs the identical treatment
+    * for ITS group keys so byte equality matches ordering equality.
+    */
+  def normalizeFloatingNumbers(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

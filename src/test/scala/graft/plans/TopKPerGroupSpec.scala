@@ -125,6 +125,51 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
+  test("float group keys: -0.0/0.0 and NaN are one group on both code paths") {
+    // ADVICE r6: the strategy normalizes group keys exactly as Aggregate
+    // planning does (-0.0 → 0.0, NaN → canonical NaN), so the hash-heap
+    // map, the exchange, and the sort-fallback boundary all agree with
+    // ordering equality. Both -0.0 and 0.0 rows must land in ONE group
+    // (same as the window spelling, which Spark normalizes too).
+    import spark.implicits._
+    val nanA = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val rows = Seq((0.0, 1L), (-0.0, 2L), (-0.0, 3L),
+      (Double.NaN, 4L), (nanA, 5L), (1.5, 6L)).toDF("g", "id")
+    // compare by RAW key bits + id: Scala's == on boxed doubles says
+    // NaN != NaN, and we also want to assert output rows keep their
+    // ORIGINAL bytes (normalization lives only in key space)
+    def run(): Set[(Long, Long)] =
+      TopKPerGroup.topKPerGroup(rows, Seq("g"), Seq(("id", false)), 2)
+        .collect().map(r =>
+          (java.lang.Double.doubleToRawLongBits(r.getDouble(0)), r.getLong(1)))
+        .toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    val want = rows.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn").collect().map(r =>
+        (java.lang.Double.doubleToRawLongBits(r.getDouble(0)), r.getLong(1)))
+      .toSet
+    assert(run() == want, "hash-heap path must normalize float keys")
+    // ids kept: zero-group {1,2}, NaN-group {4,5}, lone 6 — five rows
+    assert(run().map(_._2) == Set(1L, 2L, 4L, 5L, 6L))
+    withSQLConf("spark.graft.topk.maxGroupsInMemory" -> "1") {
+      assert(run() == want, "sort-fallback path must agree")
+    }
+  }
+
+  test("misconfigured maxGroupsInMemory fails fast instead of dropping rows") {
+    withSQLConf("spark.graft.topk.maxGroupsInMemory" -> "0") {
+      val df = TopKPerGroup.topKPerGroup(orders, Seq("o_orderpriority"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 1)
+      val e = intercept[Exception] { df.collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        Option(t.getMessage).exists(_.contains("maxGroupsInMemory"))),
+        s"expected the conf-validation message, got: $e")
+    }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
