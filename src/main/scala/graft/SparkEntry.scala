@@ -169,8 +169,12 @@ object SparkEntry {
     "profile_outliers" -> (operators.Profiling.profileOutliers _),
     "profile_drift" -> (operators.Profiling.profileDrift _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
+    "profile_correlation" -> (operators.Profiling.profileCorrelation _),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
     "graph_pagerank" -> (operators.Graph.pageRank _),
+    "graph_triangle_count" -> (operators.Graph.triangleCount _),
+    "embed_kmeans" -> (operators.Clustering.kmeans _),
+    "text_collocations" -> (graft.functions.TextOps.collocations _),
     // --- embedding hygiene ---
     "embed_norms" -> (operators.Similarity.embedNorms _),
     "embed_quantize" -> (operators.Similarity.embedQuantize _),
@@ -1352,8 +1356,12 @@ object SparkEntry {
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "profile_drift" -> operators.Profiling.driftOracleSql,
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
+    "profile_correlation" -> operators.Profiling.correlationOracleSql,
     "layout_zorder" -> operators.Layout.zorderOracleSql,
     "graph_pagerank" -> operators.Graph.pageRankOracleSql,
+    "graph_triangle_count" -> operators.Graph.triangleCountOracleSql,
+    "embed_kmeans" -> operators.Clustering.kmeansOracleSql,
+    "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact
     // decimal sum over those rounded values, so group stats are
     // merge-order-independent on both engines

@@ -532,4 +532,74 @@ object TextOps {
           .otherwise(lit(0.0)).as("avg_known_df"))
       .orderBy(col("doc_id"))
   }
+
+  /** COLLOCATIONS — the top token pairs that co-occur adjacently far more
+    * than their unigram frequencies predict, ranked by pointwise mutual
+    * information. The phrase-mining primitive every tokenizer/vocab
+    * pipeline runs before merging multi-word units.
+    *
+    * Engine-exact ranking WITHOUT log (the round-4 midpoint lesson): PMI
+    * = log(N·c_xy / (c_x·c_y)) is monotone in the integer rational
+    * N·c_xy / (c_x·c_y), so the score is emitted as exact integer
+    * MILLIONTHS of that lift ratio (`N·c_xy·10⁶ DIV c_x·c_y`) and the
+    * ranking ties break on the bigram text — no float enters the plan.
+    * (Magnitudes: N ≤ ~10⁶ at bench SF keeps N·c_xy·10⁶ well under 2⁶³;
+    * the 100 TB spelling widens the numerator to decimal(38,0), same
+    * plan.)
+    *
+    * Scale shape: bigram and unigram counts are two map-side-combined
+    * hash aggregates over one tokenization scan; the scoring joins are
+    * vocab-sized (terms, not occurrences), broadcast at fixture scale and
+    * AQE shuffle joins at corpus scale; the final top-20 is
+    * TakeOrderedAndProject. Nothing driver-side, no window over a single
+    * partition.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"), tokens.as("w"))
+      .localCheckpoint() // unigram + bigram counts share one tokenize
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .select(when(size(col("w")) >= 2,
+        expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bg"))
+      .select(explode(col("bg")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5) // a collocation needs support
+    // N = ALL bigram positions (not just supported ones): recompute from
+    // the token lengths — one tiny aggregate over the shared scan
+    val nAll = toks.select(
+        when(size(col("w")) >= 2, size(col("w")) - 1).otherwise(0).as("m"))
+      .agg(sum(col("m")).cast("long").as("n_bigrams"))
+    pairs
+      .join(uni.select(col("t").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(nAll) // 1-row frame
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"), col("n_bigrams"),
+        expr("n_bigrams * c_xy * 1000000 DIV (c_x * c_y)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram")).limit(20)
+  }
+
+  /** DuckDB oracle for [[collocations]]: same counts, same integer lift. */
+  val collocationsOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |              FROM documents),
+      |bg AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+      |                      for i in range(1, len(w))]) AS b FROM toks),
+      |uni AS (SELECT t, count(*) AS c
+      |        FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+      |pairs AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_xy
+      |          FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+      |nall AS (SELECT CAST(sum(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END) AS BIGINT) AS n_bigrams
+      |         FROM toks)
+      |SELECT p.w1 || ' ' || p.w2 AS bigram,
+      |       p.c_xy, ux.c AS c_x, uy.c AS c_y, n.n_bigrams,
+      |       CAST(n.n_bigrams * p.c_xy * 1000000 // (ux.c * uy.c) AS BIGINT) AS lift_ppm
+      |FROM pairs p
+      |JOIN uni ux ON p.w1 = ux.t
+      |JOIN uni uy ON p.w2 = uy.t
+      |CROSS JOIN nall n
+      |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin
 }

@@ -108,4 +108,109 @@ object Graph {
        |                 r FROM r5)
        |SELECT id, r AS rank FROM named ORDER BY rank DESC, id LIMIT 20""".stripMargin
   }
+
+  /** TRIANGLE COUNT over the part co-purchase graph (parts are adjacent
+    * when some order contains both), with the global clustering
+    * coefficient — the second classic "can your engine do graphs" kernel
+    * beside [[pageRank]]'s fixed point: one-shot, join-only, and famously
+    * skew-bound (Suri & Vassilvitskii, "Counting Triangles and the Curse
+    * of the Last Reducer", WWW'11).
+    *
+    * Scale design — DEGREE-ORDERED ORIENTATION: every undirected edge is
+    * directed from its (degree, id)-smaller endpoint to its larger one.
+    * The orientation is acyclic, each triangle keeps exactly one "apex"
+    * node with both out-edges, and — the point — a node's OUT-degree is
+    * O(√m) even if its degree is huge (a higher-degree neighbor absorbs
+    * the edge). The wedge self-join (out-edges ⋈ out-edges on src) is
+    * therefore O(√m) even when degrees are huge (a higher-degree neighbor
+    * absorbs the edge) — no "curse of the last reducer".
+    *
+    * Counting is COMPACT-FORWARD (Latapy 2008), not wedge
+    * materialization: out-neighbor lists are grouped once per node
+    * (each list O(√m) by the orientation bound — bounded per-row state,
+    * no skew blowup), each oriented edge (u,v) joins its endpoints'
+    * lists, and `array_intersect` counts the closing nodes row-locally.
+    * The Σ outdeg² wedge stream — 42 M rows at bench SF, the whole
+    * shuffle at 100× — never exists; the joins move only the m edges and
+    * the n adjacency rows (measured 13.3 s → ~4 s at sf0.1). Every stage
+    * is an equi-join or hash aggregate; the per-order pair expansion is
+    * bounded by TPC-H's ≤7 lineitems per order.
+    *
+    * Determinism: counts are integers; the clustering coefficient is
+    * emitted as exact integer millionths (3·triangles·10⁶ DIV wedges),
+    * never a double.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    // undirected edge set {a < b}: parts co-occurring in an order, deduped
+    // across orders (the self-join is per-order, ≤ C(7,2) pairs each)
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      .localCheckpoint() // edges feed 4 consumers; compute the join once
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint under that order
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint() // adjacency build + two probe joins share it
+    // per-node out-neighbor list — O(√m) elements by the orientation bound
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    // each oriented edge (u,v) closes one triangle per w ∈ N⁺(u) ∩ N⁺(v):
+    // orientation makes u ≺ v ≺ w the unique representation, so the
+    // row-local intersection size sums to the exact triangle count
+    val tri = oriented
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
+        col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")),
+        col("dst") === col("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("t"))
+      .agg(sum(col("t")).as("n_triangles"))
+    // open-wedge denominator Σ d·(d−1)/2 over UNDIRECTED degrees
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(d) DIV 2").as("n_edges"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    stats.crossJoin(tri) // two 1-row frames
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("3 * n_triangles * 1000000 DIV n_wedges").as("global_cc_ppm"))
+  }
+
+  /** DuckDB oracle: same construction; the closure join enumerates each
+    * triangle once because the (degree, id) orientation is a total order.
+    */
+  val triangleCountOracleSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |edges AS (SELECT DISTINCT x.p AS a, y.p AS b
+      |          FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+      |deg AS (SELECT v, count(*) AS d FROM (
+      |          SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+      |        GROUP BY v),
+      |oriented AS (
+      |  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+      |         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
+      |         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dd
+      |  FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM oriented e1
+      |  JOIN oriented e2 ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+      |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |st AS (SELECT count(*) AS n_nodes,
+      |              CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+      |              CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      |       FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |       CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) AS global_cc_ppm
+      |FROM st, tri""".stripMargin
 }

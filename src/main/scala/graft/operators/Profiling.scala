@@ -274,4 +274,104 @@ object Profiling {
       |       floor(abs(CAST(n_train AS DOUBLE) / CAST(t_train AS DOUBLE)
       |                 - CAST(n_val AS DOUBLE) / CAST(t_val AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS abs_diff
       |FROM a, t ORDER BY bucket""".stripMargin
+
+  /** PAIRWISE CORRELATION profile — Pearson r between the numeric money
+    * columns per return-flag segment, the "which features move together"
+    * panel of a dataset card (and the input to feature-selection /
+    * redundancy pruning in a training pipeline).
+    *
+    * Exactness discipline: the five co-moments per pair (n, Σx, Σy, Σx²,
+    * Σy², Σxy) are aggregated as EXACT decimals (money cast to
+    * decimal(18,2) first — the repo-wide money rule) and exported as
+    * scaled BIGINTs, so the only doubles are the final closed-form r
+    * computed from identical integer inputs through an identical IEEE
+    * expression tree on both engines — every *, −, /, sqrt is
+    * correctly-rounded and therefore bit-identical, and the emitted value
+    * is integer millionths. Correlation is scale-invariant, so using the
+    * ×100/×10⁴ integer sums changes nothing.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate over one scan
+    * computes all nine sums for the three pairs; the per-pair stack runs
+    * on the k-row aggregate. (The ×10⁴ BIGINT export is fixture-scale
+    * honest — a 100 TB run widens the export to decimal(38,4), same
+    * plan.)
+    */
+  def profileCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables.table(spark, dir, "lineitem")
+    def m(c: String) = col(c).cast("decimal(18,2)")
+    def e4(c: Column) = (c * 10000).cast("long")
+    def e2(c: Column) = (c * 100).cast("long")
+    val sums = li.groupBy(col("l_returnflag").as("returnflag")).agg(
+      count(lit(1)).as("n"),
+      e2(sum(m("l_quantity"))).as("q_e2"),
+      e2(sum(m("l_extendedprice"))).as("p_e2"),
+      e2(sum(m("l_discount"))).as("d_e2"),
+      e4(sum(m("l_quantity") * m("l_quantity"))).as("qq_e4"),
+      e4(sum(m("l_extendedprice") * m("l_extendedprice"))).as("pp_e4"),
+      e4(sum(m("l_discount") * m("l_discount"))).as("dd_e4"),
+      e4(sum(m("l_quantity") * m("l_extendedprice"))).as("qp_e4"),
+      e4(sum(m("l_quantity") * m("l_discount"))).as("qd_e4"),
+      e4(sum(m("l_extendedprice") * m("l_discount"))).as("pd_e4"))
+    // identical IEEE expression shape to the oracle: int64 → double casts,
+    // then (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²)·√(n·Σy²−Σy²)), floored to ppm
+    def corr(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+      s"""CAST(floor((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+         |  - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+         |  / (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+         |          - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+         |     * sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+         |            - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))
+         |  * 1000000.0) AS BIGINT)""".stripMargin.replaceAll("\n", " ")
+    sums.selectExpr("returnflag", "n",
+        s"""stack(3,
+           |'quantity_x_extendedprice', q_e2, p_e2, qp_e4,
+           |  ${corr("q_e2", "p_e2", "qp_e4", "qq_e4", "pp_e4")},
+           |'quantity_x_discount', q_e2, d_e2, qd_e4,
+           |  ${corr("q_e2", "d_e2", "qd_e4", "qq_e4", "dd_e4")},
+           |'extendedprice_x_discount', p_e2, d_e2, pd_e4,
+           |  ${corr("p_e2", "d_e2", "pd_e4", "pp_e4", "dd_e4")})
+           |AS (pair, sum_x_e2, sum_y_e2, sum_xy_e4, corr_ppm)""".stripMargin)
+      .select(col("returnflag"), col("pair"), col("n"),
+        col("sum_x_e2"), col("sum_y_e2"), col("sum_xy_e4"), col("corr_ppm"))
+      .orderBy(col("returnflag"), col("pair"))
+  }
+
+  /** DuckDB oracle for [[profileCorrelation]] — same exact-decimal sums,
+    * same double expression tree.
+    */
+  val correlationOracleSql: String = {
+    def corr(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+      s"""CAST(floor((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+         | - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+         | / (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+         |         - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+         |    * sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+         |           - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))
+         | * 1000000.0) AS BIGINT)""".stripMargin.replaceAll("\n", " ")
+    s"""WITH s AS (
+       |  SELECT l_returnflag AS returnflag, count(*) AS n,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS q_e2,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS p_e2,
+       |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS d_e2,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS qq_e4,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS pp_e4,
+       |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS dd_e4,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS qp_e4,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS qd_e4,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS pd_e4
+       |  FROM lineitem GROUP BY 1)
+       |SELECT returnflag, pair, n, sum_x_e2, sum_y_e2, sum_xy_e4, corr_ppm FROM (
+       |  SELECT returnflag, n, 'quantity_x_extendedprice' AS pair,
+       |         q_e2 AS sum_x_e2, p_e2 AS sum_y_e2, qp_e4 AS sum_xy_e4,
+       |         ${corr("q_e2", "p_e2", "qp_e4", "qq_e4", "pp_e4")} AS corr_ppm FROM s
+       |  UNION ALL
+       |  SELECT returnflag, n, 'quantity_x_discount',
+       |         q_e2, d_e2, qd_e4,
+       |         ${corr("q_e2", "d_e2", "qd_e4", "qq_e4", "dd_e4")} FROM s
+       |  UNION ALL
+       |  SELECT returnflag, n, 'extendedprice_x_discount',
+       |         p_e2, d_e2, pd_e4,
+       |         ${corr("p_e2", "d_e2", "pd_e4", "pp_e4", "dd_e4")} FROM s)
+       |ORDER BY returnflag, pair""".stripMargin
+  }
 }

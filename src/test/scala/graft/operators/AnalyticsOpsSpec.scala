@@ -180,4 +180,132 @@ class AnalyticsOpsSpec extends SparkSpec {
         .cast("long") % 1000 < 800).count()
     assert(rows.map(_._2).sum == nTrain, "train slice total")
   }
+
+  test("triangle count: degree-oriented join count equals a naive local enumeration") {
+    val got = Graph.triangleCount(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // naive local replay over the same co-purchase edge set
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq
+    val nTri = edges.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b) // a < b < c counts each once
+    }.sum
+    val nWedges = nodes.map { v => val d = adj(v).size.toLong; d * (d - 1) / 2 }.sum
+    assert(r.getLong(0) == nodes.size.toLong, "n_nodes")
+    assert(r.getLong(1) == edges.size.toLong, "n_edges")
+    assert(r.getLong(2) == nWedges, "n_wedges")
+    assert(r.getLong(3) == nTri.toLong, "n_triangles")
+    assert(r.getLong(4) == 3L * nTri * 1000000L / nWedges, "global_cc_ppm")
+    assert(nTri > 0, "fixture must actually contain triangles")
+  }
+
+  test("kmeans: distributed integer Lloyd's equals an exact local replay") {
+    val got = Clustering.kmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.map(_._1) == got.map(_._1).sorted && got.nonEmpty)
+    // local replay: same quantization, same argmin tie-break, same
+    // truncating integer means, same carry-forward for empty clusters
+    val vecs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * Clustering.Scale).cast("long")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq)
+      .sortBy(_._1)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    var cents: Seq[(Long, Seq[Long])] =
+      vecs.filter(_._1 < Clustering.K).map { case (id, e) => id -> e }
+    def assign(e: Seq[Long]) = cents.map { case (cid, ce) => (d2(e, ce), cid) }.min
+    for (_ <- 1 to Clustering.Iters) {
+      val byC = vecs.map { case (_, e) => (assign(e)._2, e) }.groupBy(_._1)
+      cents = cents.map { case (cid, old) =>
+        cid -> byC.get(cid).fold(old) { g =>
+          val n = g.length
+          old.indices.map(i => g.map(_._2(i)).sum / n)
+        }
+      }
+    }
+    val want = vecs.map { case (id, e) => val (d, c) = assign(e); (c, id, d) }
+      .groupBy(_._1).toSeq.map { case (c, g) =>
+        (c, g.length.toLong, g.map(_._3).sum, g.map(_._2).sum, g.map(_._2).min)
+      }.sortBy(_._1)
+    assert(got == want, "distributed k-means must bit-match the local replay")
+    // the 8 clusters partition the corpus
+    assert(got.map(_._2).sum == vecs.length.toLong)
+  }
+
+  test("collocations: integer lift ranking equals a local replay, support floor holds") {
+    val got = graft.functions.TextOps.collocations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.length == 20 && got.forall(_._2 >= 5))
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val tok = docs.map(_.trim.split("\\s+").toSeq)
+    val uni = tok.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairs = tok.flatMap(w => w.lazyZip(w.drop(1)).map((a, b) => (a, b)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = tok.map(w => math.max(w.length - 1, 0).toLong).sum
+    val want = pairs.toSeq.filter(_._2 >= 5).map { case ((a, b), cxy) =>
+      (s"$a $b", cxy, uni(a), uni(b), n, n * cxy * 1000000L / (uni(a) * uni(b)))
+    }.sortBy { case (bg, _, _, _, _, lift) => (-lift, bg) }.take(20)
+    assert(got == want, "top-20 lift ranking must match the local replay")
+  }
+
+  test("correlation profile: co-moments reconcile and r is within [-1, 1]") {
+    val rows = Profiling.profileCorrelation(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    rows.foreach { case (_, pair, nn, _, _, _, ppm) =>
+      assert(nn > 0)
+      assert(ppm >= -1000000L && ppm <= 1000000L, s"$pair corr in range")
+    }
+    // exact local replay: same decimal-exact scaled-integer co-moments,
+    // same IEEE closed form (the fixture's columns are near-independent
+    // draws — correlations hover around 0 — so only a replay pins values)
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    def corrPpm(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long, syy: Long): Long =
+      math.floor((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble)
+        / (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+          * math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+        * 1000000.0).toLong
+    li.groupBy(_._1).foreach { case (flag, g) =>
+      val n = g.length.toLong
+      def e2(f: ((String, BigDecimal, BigDecimal, BigDecimal)) => BigDecimal) =
+        (g.map(f).sum * 100).toLongExact
+      def e4(f: ((String, BigDecimal, BigDecimal, BigDecimal)) => BigDecimal) =
+        (g.map(f).sum * 10000).toLongExact
+      val (q, p, d) = (e2(_._2), e2(_._3), e2(_._4))
+      val qq = e4(t => t._2 * t._2); val pp = e4(t => t._3 * t._3)
+      val dd = e4(t => t._4 * t._4); val qp2 = e4(t => t._2 * t._3)
+      val qd = e4(t => t._2 * t._4); val pd = e4(t => t._3 * t._4)
+      val want = Map(
+        "quantity_x_extendedprice" -> (q, p, qp2, corrPpm(n, q, p, qp2, qq, pp)),
+        "quantity_x_discount" -> (q, d, qd, corrPpm(n, q, d, qd, qq, dd)),
+        "extendedprice_x_discount" -> (p, d, pd, corrPpm(n, p, d, pd, pp, dd)))
+      rows.filter(_._1 == flag).foreach { case (_, pair, nn, sx, sy, sxy, ppm) =>
+        val (wx, wy, wxy, wppm) = want(pair)
+        assert(nn == n && sx == wx && sy == wy && sxy == wxy && ppm == wppm,
+          s"$flag/$pair must bit-match the local replay")
+      }
+    }
+  }
 }
