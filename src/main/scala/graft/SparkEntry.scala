@@ -103,6 +103,7 @@ object SparkEntry {
         graft.sources.Tables.table(s, d, "documents"))),
     "dedup_canonical" -> (Dedup.dedupCanonical _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
+    "dedup_span_rewrite" -> (Dedup.dedupSpanRewrite _),
     // --- similarity search ---
     "ann_brute_force" -> (Similarity.annBruteForce _),
     "ann_range_search" -> (Similarity.annRangeSearch _),
@@ -795,6 +796,7 @@ object SparkEntry {
     // repeat) and the verify stage recounts exactly — so the variant is
     // checked against the very same oracle as the exact form
     "dedup_substring_hashed" -> dedupSubstringOracle,
+    "dedup_span_rewrite" -> Dedup.spanRewriteOracleSql,
     // clusters (recursive reachability, as dedup_clusters) → keeper =
     // argmax(rounded quality, ties to smallest doc_id); singletons self-map
     "dedup_canonical" ->

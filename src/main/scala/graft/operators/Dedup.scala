@@ -678,4 +678,89 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("kept"))
       .orderBy("doc_id")
   }
+
+  /** SPAN-LEVEL CORPUS REWRITE — the C4/RefinedWeb "remove repeated
+    * passages, keep the document" operator, a different CLASS from every
+    * dedup above: those FIND duplicates (pairs, clusters, canonical ids);
+    * this one rewrites the corpus, dropping each globally-repeated span
+    * while the surrounding document survives. Boilerplate, licenses, and
+    * navigation chrome die; unique prose stays.
+    *
+    * Semantics: documents are cut into ALIGNED spans of [[SpanWords]]
+    * tokens (span i = tokens [8i, 8i+8)); a span is kept iff it is the
+    * corpus-wide FIRST occurrence of its text (ordered by (doc_id,
+    * span_idx)); each document's cleaned text is its kept spans rejoined
+    * in order. Alignment makes the pass one-shot and deterministic —
+    * the suffix-array generality of unaligned matching is
+    * [[repeatedPassages]]' job; the rewrite is this one's.
+    *
+    * Scale shape: spans are keyed by md5 (128-bit — deterministic in both
+    * engines, collision-free at any realistic corpus), so the
+    * first-occurrence groupBy and the keep-join move (hash, doc_id, idx)
+    * triples ONLY — span text never shuffles; the rebuild joins kept ids
+    * back to the span frame (one localCheckpoint, consumed twice) and
+    * reassembles per doc with an ordered-struct `array_sort` — a per-doc
+    * array op, not a window. min(struct) is map-side combinable, so the
+    * hot aggregate is one combine-heavy exchange of id triples.
+    */
+  val SpanWords = 8
+
+  def dedupSpanRewrite(spark: SparkSession, dir: String): DataFrame =
+    dedupSpanRewriteDocs(Tables.table(spark, dir, "documents"))
+
+  def dedupSpanRewriteDocs(docs: DataFrame): DataFrame = {
+    val w = SpanWords
+    val spans = docs
+      .select(col("doc_id"), graft.functions.TextOps.tokens.as("w"))
+      .select(col("doc_id"),
+        // empty-token guard: sequence(0, -1) would DESCEND in Spark
+        posexplode(expr(
+          s"CASE WHEN size(w) < 1 THEN array() ELSE " +
+            s"transform(sequence(0, (size(w) + ${w - 1}) DIV $w - 1), " +
+            s"i -> array_join(slice(w, i * $w + 1, $w), ' ')) END"))
+          .as(Seq("idx", "span")))
+      .localCheckpoint() // keyed pass + rebuild both read it
+    val keyed = spans.select(col("doc_id"), col("idx"), md5(col("span")).as("h"))
+    val first = keyed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fd"), col("f.idx").as("fi"))
+    val kept = keyed.join(first, "h")
+      .filter(col("doc_id") === col("fd") && col("idx") === col("fi"))
+      .select(col("doc_id"), col("idx"))
+    val rebuilt = kept.join(spans, Seq("doc_id", "idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(idx, span))), s -> s.span)"),
+          " ").as("text_clean"))
+    spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[dedupSpanRewrite]] — same aligned spans, same
+    * md5-keyed first-occurrence, same ordered reassembly.
+    */
+  val spanRewriteOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |              FROM documents),
+       |sp AS (SELECT doc_id, u.s.idx AS idx, u.s.span AS span FROM (
+       |  SELECT doc_id, unnest([{'idx': i,
+       |           'span': array_to_string(w[i * $SpanWords + 1 : i * $SpanWords + $SpanWords], ' ')}
+       |          for i in range(0, (len(w) + ${SpanWords - 1}) // $SpanWords)]) AS s
+       |  FROM toks) u),
+       |ranked AS (SELECT doc_id, idx, span,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(span) ORDER BY doc_id, idx) AS rn
+       |  FROM sp),
+       |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(span, ' ' ORDER BY idx) AS text_clean
+       |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_spans,
+       |       COALESCE(r.n_kept, 0) AS n_kept,
+       |       COALESCE(r.text_clean, '') AS text_clean
+       |FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 }

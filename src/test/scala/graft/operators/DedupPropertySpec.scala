@@ -56,6 +56,31 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("span rewrite == sequential first-occurrence replay on random tiny-vocab corpora") {
+    import spark.implicits._
+    // tiny vocab ⇒ dense aligned-span collisions within and across docs;
+    // the distributed rewrite must keep exactly the (doc_id, idx)-first
+    // copy of each span text and reassemble in order
+    for (seed <- 1L to 6L) {
+      val docs = sampleDocs(seed)
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.dedupSpanRewriteDocs(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toList
+      // sequential replay
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docs.map { case (id, text) =>
+        // split semantics match both engines: "".split("\\s+") == [""]
+        // (an empty doc has ONE empty token, hence one empty span)
+        val ws = text.trim.split("\\s+").toList
+        val spans = ws.grouped(Dedup.SpanWords).map(_.mkString(" ")).toList
+        val kept = spans.filter(s => seen.add(s))
+        (id, spans.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }
+      assert(got == want.sortBy(_._1), s"seed $seed")
+    }
+  }
+
   test("repeated passages == sequential window counts on random tiny-vocab corpora") {
     import spark.implicits._
     val W = Dedup.PassageWindow
