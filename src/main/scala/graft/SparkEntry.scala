@@ -176,6 +176,7 @@ object SparkEntry {
     "graph_triangle_count" -> (operators.Graph.triangleCount _),
     "embed_kmeans" -> (operators.Clustering.kmeans _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
+    "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
     // --- embedding hygiene ---
     "embed_norms" -> (operators.Similarity.embedNorms _),
     "embed_quantize" -> (operators.Similarity.embedQuantize _),
@@ -1364,6 +1365,7 @@ object SparkEntry {
     "graph_triangle_count" -> operators.Graph.triangleCountOracleSql,
     "embed_kmeans" -> operators.Clustering.kmeansOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
+    "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact
     // decimal sum over those rounded values, so group stats are
     // merge-order-independent on both engines

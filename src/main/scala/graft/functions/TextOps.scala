@@ -582,6 +582,87 @@ object TextOps {
       .orderBy(col("lift_ppm").desc, col("bigram")).limit(20)
   }
 
+  /** BPE MERGE TRAINING — learn the first [[BpeMerges]] byte-pair-encoding
+    * merges from the corpus, the tokenizer-construction step every LLM
+    * data pipeline runs before anything else tokenizes.
+    *
+    * The textbook algorithm, in its DISTRIBUTED shape: the corpus is
+    * touched ONCE (token explode → word-frequency dictionary); every
+    * merge iteration then runs over the DICTIONARY (distinct words ×
+    * weights — the classic trick that makes BPE training corpus-size-
+    * independent), as one map-side-combined pair-count aggregate plus an
+    * argmax. Driver state is one (pair, count) row per iteration — the
+    * learned merge itself, same bounded-contract as the k-means
+    * centroids.
+    *
+    * Determinism: integer weighted counts, argmax ties broken
+    * lexicographically on (left, right). Symbol sequences live as
+    * space-delimited strings with bookend spaces, and a merge applies as
+    * the plain `replace(repr, ' l r ', ' lr ')` — both engines scan
+    * left-to-right non-overlapping with identical semantics, including
+    * the boundary-consumption behavior on same-symbol runs of ≥ 3 (the
+    * run merges alternately in one step; deterministic and identical
+    * cross-engine, documented deviation from exhaustive per-step
+    * textbook merging).
+    */
+  val BpeMerges = 5
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val wf = docs(spark, dir)
+      .select(explode(tokens).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("wf"))
+    var words = wf.select(col("wf"),
+        concat(lit(" "), concat_ws(" ", split(col("t"), "")), lit(" ")).as("repr"))
+      .localCheckpoint() // vocab-sized; corpus never touched again
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (i <- 1 to BpeMerges) {
+      val prs = words
+        .select(col("wf"), split(trim(col("repr")), " ").as("s"))
+        .select(col("wf"), explode(expr(
+          "CASE WHEN size(s) < 2 THEN array() ELSE " +
+            "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS l, s[i] AS r)) END"))
+          .as("b"))
+        .groupBy(col("b.l").as("l"), col("b.r").as("r"))
+        .agg(sum(col("wf")).as("c"))
+      val best = prs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((i, l, r, l + r, c))
+      words = words.withColumn("repr",
+          expr(s"replace(repr, ' $l $r ', ' $l$r ')"))
+        .localCheckpoint() // keep the iteration plans shallow
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** DuckDB oracle for [[bpeTrain]] — the same [[BpeMerges]] iterations
+    * unrolled over the same dictionary, delimited-string merge, and
+    * (count DESC, l, r) argmax.
+    */
+  val bpeTrainOracleSql: String = {
+    val base =
+      """WITH wf AS (SELECT t, count(*) AS wf FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) u WHERE len(t) > 0 GROUP BY t),
+        |r0 AS (SELECT wf, ' ' || array_to_string(string_split(t, ''), ' ') || ' ' AS repr
+        |       FROM wf)""".stripMargin
+    val iters = (1 to BpeMerges).map { i =>
+      s"""p$i AS (SELECT b.l AS l, b.r AS r, CAST(sum(wf) AS BIGINT) AS c FROM (
+         |    SELECT wf, unnest([{'l': s[j], 'r': s[j+1]} for j in range(1, len(s))]) AS b
+         |    FROM (SELECT wf, string_split(trim(repr), ' ') AS s FROM r${i - 1}) t) u
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |r$i AS (SELECT wf, replace(repr, ' ' || m.l || ' ' || m.r || ' ',
+         |                           ' ' || m.l || m.r || ' ') AS repr
+         |        FROM r${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMerges).map { i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"$base,\n$iters\n$out\nORDER BY merge_rank"
+  }
+
   /** DuckDB oracle for [[collocations]]: same counts, same integer lift. */
   val collocationsOracleSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -109,4 +109,33 @@ class TextHygieneSpec extends SparkSpec {
       assert(frac == wantFrac && adf == wantAdf, s"doc $d score replay")
     }
   }
+
+  test("bpe training equals a sequential replay with the same merge semantics") {
+    val got = TextOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toList.sortBy(_._1)
+    assert(got.length == TextOps.BpeMerges)
+    // sequential replay over the word-frequency dictionary
+    val texts = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val wf = texts.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var reprs: Map[String, Long] = wf.map { case (w, f) =>
+      (" " + w.toCharArray.mkString(" ") + " ") -> f
+    } // distinct words have distinct reprs, so no key collisions
+    val want = (1 to TextOps.BpeMerges).map { i =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      reprs.foreach { case (repr, f) =>
+        val s = repr.trim.split(" ")
+        s.lazyZip(s.drop(1)).foreach { (a, b) =>
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        }
+      }
+      val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      reprs = reprs.groupBy { case (repr, _) =>
+        repr.replace(s" $l $r ", s" $l$r ") }.map { case (k, v) => k -> v.values.sum }
+      (i, l, r, l + r, c)
+    }.toList
+    assert(got == want, "distributed BPE must match the sequential replay")
+  }
 }
