@@ -172,8 +172,10 @@ object SparkEntry {
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "profile_correlation" -> (operators.Profiling.profileCorrelation _),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
+    "layout_compaction" -> (operators.Layout.compactionPlan _),
     "graph_pagerank" -> (operators.Graph.pageRank _),
     "graph_triangle_count" -> (operators.Graph.triangleCount _),
+    "graph_node_similarity" -> (operators.Graph.nodeSimilarity _),
     "embed_kmeans" -> (operators.Clustering.kmeans _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
@@ -1361,8 +1363,10 @@ object SparkEntry {
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "profile_correlation" -> operators.Profiling.correlationOracleSql,
     "layout_zorder" -> operators.Layout.zorderOracleSql,
+    "layout_compaction" -> operators.Layout.compactionOracleSql,
     "graph_pagerank" -> operators.Graph.pageRankOracleSql,
     "graph_triangle_count" -> operators.Graph.triangleCountOracleSql,
+    "graph_node_similarity" -> operators.Graph.nodeSimilarityOracleSql,
     "embed_kmeans" -> operators.Clustering.kmeansOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,

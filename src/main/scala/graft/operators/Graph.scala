@@ -186,6 +186,97 @@ object Graph {
         expr("3 * n_triangles * 1000000 DIV n_wedges").as("global_cc_ppm"))
   }
 
+  /** NODE-PAIR JACCARD SIMILARITY over the co-purchase graph — for every
+    * EDGE (a,b), |N(a) ∩ N(b)| / |N(a) ∪ N(b)| on the undirected
+    * neighborhoods: link-prediction / graph-sparsification's standard
+    * "edge embeddedness" score, and the third member of the graph family
+    * ([[pageRank]] iterates, [[triangleCount]] counts globally, this
+    * ranks pairs).
+    *
+    * NO adjacency arrays on undirected degrees (a celebrity node's full
+    * neighbor list is the skew trap): the common-neighbor count of edge
+    * (a,b) IS the number of triangles through it, so the compact-forward
+    * machinery enumerates each triangle once (bounded O(√m) oriented
+    * lists), explodes it into its 3 canonical edges, and one hash
+    * aggregate yields per-edge counts; |∪| falls out as deg(a)+deg(b)−cn
+    * with no set materialized. The score is exact integer millionths;
+    * top-20 by (jaccard DESC, a, b) is TakeOrderedAndProject.
+    */
+  def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      .localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    // one row per triangle (u, v, w): w ranges over N⁺(u) ∩ N⁺(v)
+    val tris = oriented
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), col("dst") === col("v"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    // 3 canonical (lo, hi) edges per triangle → per-edge triangle count
+    val cn = tris.select(explode(array(
+        struct(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b")),
+        struct(least(col("src"), col("w")).as("a"), greatest(col("src"), col("w")).as("b")),
+        struct(least(col("dst"), col("w")).as("a"), greatest(col("dst"), col("w")).as("b"))))
+        .as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    withDeg.join(cn, Seq("a", "b"), "left")
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        coalesce(col("cn"), lit(0L)).as("common"),
+        (col("da") + col("db") - coalesce(col("cn"), lit(0L))).as("union_size"),
+        expr("coalesce(cn, 0) * 1000000 DIV (da + db - coalesce(cn, 0))").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("part_a"), col("part_b")).limit(20)
+  }
+
+  /** DuckDB oracle for [[nodeSimilarity]] — wedge-join triangle
+    * enumeration, same canonical-edge explode, same integer score.
+    */
+  val nodeSimilarityOracleSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |edges AS (SELECT DISTINCT x.p AS a, y.p AS b
+      |          FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+      |deg AS (SELECT v, count(*) AS d FROM (
+      |          SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+      |        GROUP BY v),
+      |o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+      |             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
+      |             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dd
+      |      FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+      |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      |         FROM o e1
+      |         JOIN o e2 ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+      |         JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |ce AS (SELECT least(u, v) AS a, greatest(u, v) AS b FROM tris
+      |       UNION ALL SELECT least(u, w), greatest(u, w) FROM tris
+      |       UNION ALL SELECT least(v, w), greatest(v, w) FROM tris),
+      |cn AS (SELECT a, b, count(*) AS cn FROM ce GROUP BY a, b)
+      |SELECT e.a AS part_a, e.b AS part_b,
+      |       COALESCE(c.cn, 0) AS common,
+      |       da.d + db.d - COALESCE(c.cn, 0) AS union_size,
+      |       CAST(COALESCE(c.cn, 0) * 1000000 // (da.d + db.d - COALESCE(c.cn, 0)) AS BIGINT) AS jaccard_ppm
+      |FROM edges e
+      |JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+      |LEFT JOIN cn c ON e.a = c.a AND e.b = c.b
+      |ORDER BY jaccard_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
+
   /** DuckDB oracle: same construction; the closure join enumerates each
     * triangle once because the (degree, id) orientation is a total order.
     */

@@ -76,4 +76,51 @@ object Layout {
        |FROM lineitem
        |ORDER BY zval, l_orderkey, l_linenumber LIMIT 200""".stripMargin
   }
+
+  /** COMPACTION PLANNING — the lakehouse `OPTIMIZE` sibling of
+    * [[zorderShards]]: assign the corpus, in (source, doc_id) order, to
+    * fixed-size output files of [[CompactionTargetBytes]] target bytes (a
+    * document opens a new file when its first byte crosses a boundary).
+    * Small-file compaction is the other half of layout hygiene at 100 TB
+    * — pruning statistics are useless across a million 100 KB files.
+    *
+    * The global ordered byte offset is [[Ranked.runningSum]] — the
+    * scale-safe two-pass prefix sum (range-partition + per-partition
+    * totals to the driver, O(#partitions) longs) — NOT a
+    * `sum().over(Window.orderBy)` whose empty frame serializes the corpus
+    * through one task. File assignment and the per-file rollup are then
+    * row-local arithmetic and one hash aggregate.
+    */
+  val CompactionTargetBytes = 16384L
+
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val cum = graft.operators.Ranked.runningSum(
+      docs, Seq(col("source"), col("doc_id")), col("n_chars"), "cum")
+    cum.select(col("doc_id"), col("n_chars"),
+        expr(s"(cum - n_chars) DIV ${CompactionTargetBytes}L").as("file_id"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("doc_lo"),
+        max(col("doc_id")).as("doc_hi"))
+      .orderBy(col("file_id"))
+  }
+
+  /** DuckDB oracle for [[compactionPlan]] — the same assignment via a
+    * window prefix sum (fine at oracle scale; the engine's two-pass form
+    * exists precisely because this window does not distribute).
+    */
+  val compactionOracleSql: String =
+    s"""WITH c AS (SELECT doc_id, n_chars,
+       |    SUM(n_chars) OVER (ORDER BY source, doc_id
+       |                       ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM documents),
+       |f AS (SELECT doc_id, n_chars,
+       |    CAST((cum - n_chars) // $CompactionTargetBytes AS BIGINT) AS file_id
+       |  FROM c)
+       |SELECT file_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
+       |       min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+       |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
 }

@@ -208,6 +208,52 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(nTri > 0, "fixture must actually contain triangles")
   }
 
+  test("node similarity: per-edge jaccard equals a naive local replay") {
+    val got = Graph.nodeSimilarity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(got.length == 20)
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = edges.toSeq.map { case (a, b) =>
+      val cn = (adj(a) & adj(b)).size.toLong
+      val un = adj(a).size.toLong + adj(b).size.toLong - cn
+      (a, b, cn, un, cn * 1000000L / un)
+    }.sortBy { case (a, b, _, _, j) => (-j, a, b) }.take(20)
+    assert(got == want, "top-20 edge jaccard must match the local replay")
+    assert(got.head._5 > 0, "fixture must have similar pairs")
+  }
+
+  test("compaction plan: files partition the corpus at the byte-boundary rule") {
+    val got = Layout.compactionPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val assigned = docs.map { case (_, id, n) =>
+      val fid = cum / Layout.CompactionTargetBytes; cum += n; (fid, id, n)
+    }
+    val want = assigned.groupBy(_._1).toList.map { case (fid, g) =>
+      (fid, g.length.toLong, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max)
+    }.sortBy(_._1)
+    assert(got == want, "file assignment must match the sequential replay")
+    // every file except possibly the last holds at least the target
+    // OR ends exactly at a boundary-straddling doc — weaker sanity: the
+    // total reconciles and files are contiguous ids 0..k-1
+    assert(got.map(_._1) == got.indices.map(_.toLong).toList)
+    assert(got.map(_._3).sum == docs.map(_._3).sum)
+  }
+
   test("kmeans: distributed integer Lloyd's equals an exact local replay") {
     val got = Clustering.kmeans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
