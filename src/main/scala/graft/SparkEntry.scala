@@ -22,6 +22,8 @@ object SparkEntry {
     "q3_batch" -> (Relational.q3Batch _),
     "q3_sql" -> (Relational.q3ViaSql _),
     "q3_typed" -> (operators.Typed.q3Typed _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q10_returned" -> (Relational.q10Returned _),
     // --- §2.1 sources ---
     "source_csv_roundtrip" -> (Relational.sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (Relational.sourceJsonRoundtrip _),
@@ -245,6 +247,8 @@ object SparkEntry {
     "q3_batch" -> Relational.q3Sql,
     "q3_sql" -> Relational.q3Sql,
     "q3_typed" -> Relational.q3Sql,
+    "q5_local_supplier" -> Relational.q5OracleSql,
+    "q10_returned" -> Relational.q10OracleSql,
     "source_csv_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -99,6 +99,84 @@ object Relational {
     spark.sql(q3Sql)
   }
 
+  /** TPC-H Q5 shape — local-supplier revenue per nation: the SIX-WAY join
+    * (region → nation → {customer, supplier} → orders → lineitem with the
+    * c_nationkey = s_nationkey locality condition) the reference never
+    * attempts, and the classic join-reorder stress test. Declared flat;
+    * Catalyst + AQE pick the order and broadcast the three dimension
+    * tables (region/nation are KB-sized at any SF, supplier after the
+    * region filter is dimension-sized) so the only shuffles are the
+    * customer⋈orders⋈lineitem fact chain. Exact-decimal revenue, stable
+    * double at the edge, same money discipline as Q3.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_date(lit("1996-01-01")); val hi = to_date(lit("1997-01-01"))
+    t(spark, dir, "region").filter(col("r_name") === "ASIA")
+      .join(t(spark, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(t(spark, dir, "supplier"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "customer"), col("c_nationkey") === col("s_nationkey"))
+      .join(t(spark, dir, "orders"),
+        col("o_custkey") === col("c_custkey") &&
+          to_date(col("o_orderdate")) >= lo && to_date(col("o_orderdate")) < hi)
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") && col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5OracleSql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM region, nation, supplier, customer, orders, lineitem
+      |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+      |  AND s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+      |  AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q10 shape — top returned-item customers: the
+    * fact-chain-then-rank report (customer ⋈ orders ⋈ returned lineitem ⋈
+    * nation, one quarter, top 20 by lost revenue). Fact joins shuffle on
+    * their keys; the nation dim broadcasts; the top-20 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_date(lit("1996-01-01")); val hi = to_date(lit("1996-04-01"))
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "nation"), col("n_nationkey") === col("c_nationkey"))
+      .join(t(spark, dir, "orders"),
+        col("o_custkey") === col("c_custkey") &&
+          to_date(col("o_orderdate")) >= lo && to_date(col("o_orderdate")) < hi)
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") && col("l_returnflag") === "R")
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"),
+        count(lit(1)).as("n_returned"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10OracleSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_returned
+      |FROM customer, nation, orders, lineitem
+      |WHERE n_nationkey = c_nationkey AND o_custkey = c_custkey
+      |  AND l_orderkey = o_orderkey AND l_returnflag = 'R'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** §2.1 CSV/TBL source roundtrip: stage lineitem as pipe-delimited text
     * (the reference's input format) and aggregate from the CSV scan; the
     * oracle computes the same aggregate from parquet, so equality proves
