@@ -173,6 +173,8 @@ object SparkEntry {
     "profile_drift" -> (operators.Profiling.profileDrift _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "profile_correlation" -> (operators.Profiling.profileCorrelation _),
+    "stream_profile_incremental" ->
+      ((s: SparkSession, d: String) => streaming.StreamingProfile.streamCorrelation(s, d)),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
     "layout_compaction" -> (operators.Layout.compactionPlan _),
     "graph_pagerank" -> (operators.Graph.pageRank _),
@@ -1366,6 +1368,9 @@ object SparkEntry {
     "profile_drift" -> operators.Profiling.driftOracleSql,
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "profile_correlation" -> operators.Profiling.correlationOracleSql,
+    // the streaming accumulation must land on the BATCH answer exactly —
+    // same oracle, which is the batching-invariance contract
+    "stream_profile_incremental" -> operators.Profiling.correlationOracleSql,
     "layout_zorder" -> operators.Layout.zorderOracleSql,
     "layout_compaction" -> operators.Layout.compactionOracleSql,
     "graph_pagerank" -> operators.Graph.pageRankOracleSql,

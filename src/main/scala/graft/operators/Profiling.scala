@@ -296,12 +296,21 @@ object Profiling {
     * honest — a 100 TB run widens the export to decimal(38,4), same
     * plan.)
     */
-  def profileCorrelation(spark: SparkSession, dir: String): DataFrame = {
-    val li = graft.sources.Tables.table(spark, dir, "lineitem")
+  def profileCorrelation(spark: SparkSession, dir: String): DataFrame =
+    correlationFinish(
+      correlationSums(graft.sources.Tables.table(spark, dir, "lineitem")))
+
+  /** The nine decimal-exact co-moment sums per return flag, exported as
+    * scaled BIGINTs. Scaling is linear and the sums exact, so these
+    * partials are MERGEABLE by plain addition — which is what
+    * [[graft.streaming.StreamingProfile]] exploits to maintain the
+    * profile incrementally over a stream.
+    */
+  def correlationSums(li: DataFrame): DataFrame = {
     def m(c: String) = col(c).cast("decimal(18,2)")
     def e4(c: Column) = (c * 10000).cast("long")
     def e2(c: Column) = (c * 100).cast("long")
-    val sums = li.groupBy(col("l_returnflag").as("returnflag")).agg(
+    li.groupBy(col("l_returnflag").as("returnflag")).agg(
       count(lit(1)).as("n"),
       e2(sum(m("l_quantity"))).as("q_e2"),
       e2(sum(m("l_extendedprice"))).as("p_e2"),
@@ -312,6 +321,12 @@ object Profiling {
       e4(sum(m("l_quantity") * m("l_extendedprice"))).as("qp_e4"),
       e4(sum(m("l_quantity") * m("l_discount"))).as("qd_e4"),
       e4(sum(m("l_extendedprice") * m("l_discount"))).as("pd_e4"))
+  }
+
+  /** Closed-form Pearson r from a co-moment sums frame (any provenance —
+    * one batch aggregate or a streaming accumulation of partials).
+    */
+  def correlationFinish(sums: DataFrame): DataFrame = {
     // identical IEEE expression shape to the oracle: int64 → double casts,
     // then (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²)·√(n·Σy²−Σy²)), floored to ppm
     def corr(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
