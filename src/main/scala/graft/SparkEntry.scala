@@ -113,6 +113,7 @@ object SparkEntry {
     // default regimes have full recall, so they share brute-force's oracle.
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
+    "ann_mmr" -> (Similarity.annMmr _),
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
     "source_binary_files" -> (Multimodal.binaryFilesRoundtrip _),
@@ -861,6 +862,7 @@ object SparkEntry {
     // the approximate paths must reproduce the exact top-K bit-for-bit.
     "ann_lsh" -> annTopKOracle,
     "ann_ivf" -> annTopKOracle,
+    "ann_mmr" -> Similarity.annMmrOracleSql,
     // REAL-codec features (r6): bin-6 of the 16-bin histogram over DECODED
     // channel values covers values 96–111; the oracle recomputes the
     // closed-form pixels, so equality proves javax.imageio's decode fed

@@ -101,6 +101,126 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** MMR — MAXIMAL MARGINAL RELEVANCE diversified retrieval: from each
+    * query's top-[[MmrPool]] relevance pool, greedily select [[MmrK]]
+    * results maximizing `λ·rel(q, d) − (1−λ)·max_{s∈S} sim(d, s)` — the
+    * classic redundancy-killer a RAG pipeline runs AFTER ANN so the k
+    * retrieved passages aren't five copies of the same paragraph.
+    *
+    * Fully distributed, per-query data-parallel: the pool is the
+    * bounded-heap top-k operator over the scored scan; candidate↔candidate
+    * sims are a pool⋈pool self-join per query (k² pairs per query, k=20 —
+    * bounded by the CONTRACT, not the corpus); each of the 5 greedy steps
+    * is an anti-join (drop selected), one max-sim aggregate against the
+    * selected set, and a (score, id)-struct argmax — no driver state at
+    * all, every step a frame. Determinism: doubles flow through identical
+    * IEEE expression trees on both engines and every argmax tie-breaks on
+    * neighbor_id; rounding is display-only.
+    */
+  val MmrK = 5
+  val MmrPool = 20
+  private val MmrLambda = 0.5
+
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    val v = vectors(spark, dir).localCheckpoint()
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+    val pool = graft.plans.TopKPerGroup.topKPerGroup(
+        scored, Seq("query_id"), Seq(("c", true), ("neighbor_id", false)), MmrPool)
+      .localCheckpoint() // 5 greedy steps + sims all read it
+    val sims = pool.as("pa").join(pool.as("pb"),
+        col("pa.query_id") === col("pb.query_id") &&
+          col("pa.neighbor_id") =!= col("pb.neighbor_id"))
+      .select(col("pa.query_id").as("sq"),
+        col("pa.neighbor_id").as("a"), col("pb.neighbor_id").as("b"))
+      .join(v.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na")), "a")
+      .join(v.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")), "b")
+      .select(col("sq"), col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+      .localCheckpoint() // read once per step
+    def argmax(df: DataFrame, score: Column): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"), col("c"), score.as("score"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("score"), (-col("neighbor_id")).as("neg"))).as("m"))
+        .select(col("query_id"), (-col("m.neg")).cast("long").as("neighbor_id"),
+          col("m.score").as("score"))
+    var sel = argmax(pool, col("c")).withColumn("rank", lit(1))
+    for (t <- 2 to MmrK) {
+      val cand = pool.join(sel.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val withMax = cand
+        .join(sims, col("query_id") === col("sq") &&
+          col("neighbor_id") === col("a"))
+        .join(sel.select(col("query_id").as("pq"), col("neighbor_id").as("sb")),
+          col("b") === col("sb") && col("sq") === col("pq"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("c"))
+        .agg(max(col("s")).as("msim"))
+      sel = sel.unionByName(
+        argmax(withMax, lit(MmrLambda) * col("c") - lit(1 - MmrLambda) * col("msim"))
+          .withColumn("rank", lit(t)))
+    }
+    sel.select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[annMmr]] — same pool, same pairwise sims, same 5
+    * greedy steps unrolled with the identical score expression.
+    */
+  def annMmrOracleSql: String = {
+    val cos = (qe: String, ne: String) =>
+      s"""list_sum(list_transform(list_zip($qe, $ne), x -> x[1]*x[2]))
+         |/ (sqrt(list_sum(list_transform($qe, x -> x*x)))
+         |   * sqrt(list_sum(list_transform($ne, x -> x*x))))""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      s"""cand$t AS (SELECT p.* FROM pool p
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} s
+         |                    WHERE s.query_id = p.query_id
+         |                      AND s.neighbor_id = p.neighbor_id)),
+         |m$t AS (SELECT c.query_id, c.neighbor_id, c.c, max(si.s) AS msim
+         |  FROM cand$t c
+         |  JOIN sims si ON si.query_id = c.query_id AND si.a = c.neighbor_id
+         |  JOIN s${t - 1} sp ON sp.query_id = si.query_id AND sp.neighbor_id = si.b
+         |  GROUP BY 1, 2, 3),
+         |p$t AS (SELECT query_id, neighbor_id,
+         |               $MmrLambda * c - ${1 - MmrLambda} * msim AS score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY $MmrLambda * c - ${1 - MmrLambda} * msim DESC,
+         |                   neighbor_id) AS rn
+         |        FROM m$t) z WHERE rn = 1),
+         |s$t AS (SELECT query_id, neighbor_id, rank, score FROM s${t - 1}
+         |        UNION ALL
+         |        SELECT query_id, neighbor_id, $t AS rank, score FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         ${cos("q.e", "n.e")} AS c
+       |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < $NumQueries),
+       |pool AS (SELECT query_id, neighbor_id, c FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY c DESC, neighbor_id) AS rn FROM p) t
+       |  WHERE rn <= $MmrPool),
+       |sims AS (SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+       |                ${cos("va.e", "vb.e")} AS s
+       |  FROM pool a
+       |  JOIN pool b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+       |  JOIN v va ON va.vec_id = a.neighbor_id
+       |  JOIN v vb ON vb.vec_id = b.neighbor_id),
+       |s1 AS (SELECT query_id, neighbor_id, 1 AS rank, c AS score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY c DESC, neighbor_id) AS rn FROM pool) t
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |       round(score, 6) AS score
+       |FROM s$MmrK ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- random-hyperplane LSH ---------------------------------------------
 
   private val Dim = 64

@@ -254,6 +254,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum == docs.map(_._3).sum)
   }
 
+  test("mmr: five distinct picks per query, rank 1 is the pure-relevance argmax") {
+    val got = Similarity.annMmr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to Similarity.MmrK), s"query $q ranks")
+      assert(g.map(_._3).distinct.length == Similarity.MmrK, s"query $q distinct picks")
+      assert(g.forall(_._3 != q), s"query $q must not retrieve itself")
+    }
+    // rank 1 ignores diversity — it must equal brute-force top-1
+    val bf = Similarity.annBruteForce(spark, sfDir).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byQ.foreach { case (q, g) =>
+      assert(g.find(_._2 == 1).get._3 == bf(q), s"query $q rank-1 pick")
+    }
+  }
+
   test("kmeans: distributed integer Lloyd's equals an exact local replay") {
     val got = Clustering.kmeans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
