@@ -155,4 +155,31 @@ class RelationalSpec extends SparkSpec {
       "not|a|row\nx|y|z|p|q\n999999|ok|NOTANUMBER|1.0|SEG\n")
     assert(Csv.read(spark, tmp, "customer").collect().length == clean)
   }
+
+  test("q5: every dimension broadcasts and the filters reach the scans") {
+    val df = Relational.q5LocalSupplier(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no product joins:\n$plan")
+    // at fixture scale all five joins resolve to broadcast-hash; count
+    // STRUCTURALLY (the AQE toString prints initial + final plans, which
+    // would double a string count)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val bhj = allNodes(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj == 5, s"expected 5 broadcast joins, got $bhj:\n$plan")
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(_.contains("EqualTo(r_name,ASIA)")),
+      "region filter must be pushed to the region scan")
+    assert(scans.exists(s => s.contains("GreaterThanOrEqual(o_orderdate") &&
+      s.contains("LessThan(o_orderdate")),
+      "the order-date window must be pushed to the orders scan")
+  }
 }
