@@ -178,6 +178,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => streaming.StreamingProfile.streamCorrelation(s, d)),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
     "layout_compaction" -> (operators.Layout.compactionPlan _),
+    "layout_hilbert" -> (operators.Layout.hilbertKeys _),
     "graph_pagerank" -> (operators.Graph.pageRank _),
     "graph_triangle_count" -> (operators.Graph.triangleCount _),
     "graph_node_similarity" -> (operators.Graph.nodeSimilarity _),
@@ -1375,6 +1376,7 @@ object SparkEntry {
     "stream_profile_incremental" -> operators.Profiling.correlationOracleSql,
     "layout_zorder" -> operators.Layout.zorderOracleSql,
     "layout_compaction" -> operators.Layout.compactionOracleSql,
+    "layout_hilbert" -> operators.Layout.hilbertOracleSql,
     "graph_pagerank" -> operators.Graph.pageRankOracleSql,
     "graph_triangle_count" -> operators.Graph.triangleCountOracleSql,
     "graph_node_similarity" -> operators.Graph.nodeSimilarityOracleSql,

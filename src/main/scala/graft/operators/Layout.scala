@@ -51,6 +51,93 @@ object Layout {
       .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
       .limit(200)
 
+  /** HILBERT index of (x, y) on a 2^bits × 2^bits grid — the
+    * strictly-better space-filling curve next to [[morton16]]: Morton has
+    * locality "jumps" (cell 0b0111 → 0b1000 teleports across the space),
+    * while consecutive Hilbert cells are ALWAYS Manhattan-adjacent, so
+    * range-partitioned files cover even tighter rectangles. The cost is
+    * that the index is not a flat bit-interleave: the standard iterative
+    * rotate-and-reflect recurrence carries (x, y, d) state across the
+    * `bits` steps. Here the loop is UNROLLED at plan-build time into pure
+    * CASE/arithmetic columns — one whole-stage-codegen span, and the
+    * DuckDB oracle unrolls the identical steps from the same generator so
+    * the two cannot drift. (LayoutSpec proves curve-ness itself: over the
+    * full 8-bit grid, consecutive d values sit in adjacent cells.)
+    */
+  def withHilbert(df: DataFrame, x: Column, y: Column, bits: Int,
+                  out: String): DataFrame = {
+    // per-step NAMED columns, never one inlined expression: the recurrence
+    // references each intermediate several times, so full inlining grows
+    // the tree ~4× per step (4^16 nodes at 16 bits — driver OOM).
+    // Multi-use aliases also stop CollapseProject from re-inlining them.
+    var cur = df
+      .withColumn("__hx", x.cast("long"))
+      .withColumn("__hy", y.cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx", when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry", when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__hd", col("__hd") + lit(s * s) *
+          (when(col("__rx") === 1 && col("__ry") === 0, 3L)
+            .when(col("__rx") === 1 && col("__ry") === 1, 2L)
+            .when(col("__rx") === 0 && col("__ry") === 1, 1L).otherwise(0L)))
+        // reflect (when ry=0 ∧ rx=1), then swap (when ry=0)
+        .withColumn("__x1",
+          when(col("__ry") === 0 && col("__rx") === 1, lit(s - 1) - col("__hx"))
+            .otherwise(col("__hx")))
+        .withColumn("__y1",
+          when(col("__ry") === 0 && col("__rx") === 1, lit(s - 1) - col("__hy"))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", when(col("__ry") === 0, col("__y1")).otherwise(col("__x1")))
+        .withColumn("__hy", when(col("__ry") === 0, col("__x1")).otherwise(col("__y1")))
+    }
+    cur.withColumn(out, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__x1", "__y1")
+  }
+
+  /** Driver query: lineitem keyed by the Hilbert value of
+    * (l_partkey, l_suppkey), first 200 cells — [[zorderKeys]]' twin.
+    */
+  def hilbertKeys(spark: SparkSession, dir: String): DataFrame =
+    withHilbert(
+      Tables.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+      col("l_partkey"), col("l_suppkey"), 16, "hval")
+      .orderBy(col("hval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+
+  /** DuckDB oracle for [[hilbertKeys]] — the same 16 rotate-and-reflect
+    * steps unrolled as chained CTEs from the same constants.
+    */
+  def hilbertOracleSql: String = {
+    val steps = (15 to 0 by -1).zipWithIndex.map { case (i, n) =>
+      val s = 1L << i
+      s"""h${n + 1} AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CASE WHEN ry = 0 THEN y1 ELSE x1m END AS hx,
+         |  CASE WHEN ry = 0 THEN x1m ELSE y1 END AS hy,
+         |  hd + $s * $s * (CASE WHEN rx = 1 AND ry = 0 THEN 3
+         |                       WHEN rx = 1 AND ry = 1 THEN 2
+         |                       WHEN rx = 0 AND ry = 1 THEN 1 ELSE 0 END) AS hd
+         |  FROM (SELECT *,
+         |    CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - hx ELSE hx END AS x1m,
+         |    CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - hy ELSE hy END AS y1
+         |    FROM (SELECT *,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |      FROM h$n) a) b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CAST(l_partkey AS BIGINT) AS hx, CAST(l_suppkey AS BIGINT) AS hy,
+       |  CAST(0 AS BIGINT) AS hd FROM lineitem),
+       |$steps
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, hd AS hval
+       |FROM h16
+       |ORDER BY hval, l_orderkey, l_linenumber LIMIT 200""".stripMargin
+  }
+
   /** Cluster `df` into `n` Z-ordered shards: range-partition on the
     * Z-value (so shard boundaries adapt to the data distribution — the
     * same sampling-based partitioner a sorted write uses) and sort within

@@ -254,6 +254,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum == docs.map(_._3).sum)
   }
 
+  test("hilbert: a true space-filling curve on the full 8-bit grid") {
+    // complete proof of curve-ness at 8 bits (the 16-bit query uses the
+    // same generator): the map is a BIJECTION onto 0..65535 and every
+    // pair of consecutive indices sits in Manhattan-adjacent cells —
+    // Morton fails the adjacency property (quadrant jumps), Hilbert may not
+    val grid = spark.range(65536L)
+      .selectExpr("id % 256 AS x", "id DIV 256 AS y")
+    val got = Layout.withHilbert(grid, col("x"), col("y"), 8, "h")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 65536L), "bijection onto 0..2^16-1")
+    got.sliding(2).foreach {
+      case Array((d1, x1, y1), (_, x2, y2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"cells at d=$d1,${d1 + 1} must be adjacent: ($x1,$y1) -> ($x2,$y2)")
+      case _ => ()
+    }
+  }
+
   test("mmr: five distinct picks per query, rank 1 is the pure-relevance argmax") {
     val got = Similarity.annMmr(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
