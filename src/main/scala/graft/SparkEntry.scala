@@ -176,6 +176,8 @@ object SparkEntry {
     "profile_correlation" -> (operators.Profiling.profileCorrelation _),
     "stream_profile_incremental" ->
       ((s: SparkSession, d: String) => streaming.StreamingProfile.streamCorrelation(s, d)),
+    "stream_frequent_tokens" ->
+      ((s: SparkSession, d: String) => streaming.StreamingTokens.streamFrequentTokens(s, d)),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
     "layout_compaction" -> (operators.Layout.compactionPlan _),
     "layout_hilbert" -> (operators.Layout.hilbertKeys _),
@@ -609,6 +611,12 @@ object SparkEntry {
     // the Spark side is sketch-recall + exact-verify with a checked
     // completeness bound, so plain exact top-k is the equivalent oracle
     "text_frequent_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // streaming MG merge + exact verify must land on the identical top-20
+    "stream_frequent_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
         |      FROM documents)
