@@ -159,12 +159,14 @@ object SparkEntry {
     "temporal_range_join_rule" -> (operators.Temporal.rangeJoinViaRule _),
     "temporal_interval_overlap_rule" -> (operators.Temporal.intervalOverlapViaRule _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
+    "temporal_resample_ffill" -> (operators.Temporal.resampleFfill _),
     "window_lag_lead" -> (operators.Temporal.windowLagLead _),
     "window_ntile" -> (Relational.windowNtile _),
     "window_distribution" -> (Relational.windowDistribution _),
     "scalar_datetime" -> (Relational.scalarDatetime _),
     // --- sketches ---
     "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
+    "agg_kmv_setops" -> (operators.Sketches.kmvSetOps _),
     "agg_hll_distinct" -> (operators.Sketches.hllDistinct _),
     // --- profiling / layout / graph (beyond-parity: ingestion QA, scan
     // pruning, and iterative analytics over the same relational fixtures) ---
@@ -1294,6 +1296,7 @@ object SparkEntry {
         |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
         |  wcum AS (PARTITION BY user_id ORDER BY us
         |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "temporal_resample_ffill" -> operators.Temporal.resampleFfillOracleSql,
     "window_ntile" ->
       """SELECT decile, count(*) AS n,
         |       MIN(o_totalprice) AS min_price,
@@ -1350,6 +1353,7 @@ object SparkEntry {
     // operator definitions (same loops/constants as the engine side, so
     // the pair cannot drift) — see each object's *OracleSql.
     "agg_hll_distinct" -> operators.Sketches.hllOracleSql,
+    "agg_kmv_setops" -> operators.Sketches.kmvSetOpsOracleSql,
     "profile_table" -> operators.Profiling.oracleSql,
     // exact type-7 quantiles; round6 on both sides absorbs 1-ulp
     // interpolation-formula differences (results sit on a ≤4-decimal

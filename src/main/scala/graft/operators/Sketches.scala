@@ -125,4 +125,83 @@ object Sketches {
        |       $HllAlphaNum / CAST(s_present + ($m - nb) * (CAST(1 AS BIGINT) << $cap) AS DOUBLE) AS hll_estimate
        |FROM s""".stripMargin
   }
+
+  /** KMV SET ALGEBRA — the reason KMV beats HLL for a data pipeline:
+    * sketches of different sets COMPOSE. `S(A ∪ B)` is the k smallest of
+    * the combined hash sets, and the intersection estimate is the
+    * Beyer et al. (SIGMOD'07) ratio estimator — the fraction of the
+    * union-sketch members that belong to both sides, scaled by the union
+    * estimate. Here A and B are the part-key sets of returned vs
+    * unreturned lineitems; the sketch is tiny (k = 64 md5 strings), the
+    * membership flags are two broadcast joins of that 64-row frame
+    * against the distinct sides, and everything downstream of the exact
+    * [[kmvEstimate]] expression is the same in both engines, so even the
+    * APPROXIMATE numbers are oracle-checkable.
+    *
+    * Scale shape: the two distinct sides and their union are map-side-
+    * combined hash aggregates; the k-smallest is TakeOrderedAndProject
+    * (never a global sort); the exact demo counts ride the same frames.
+    */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val k = KmvSketch.DefaultK
+    val li = Tables.table(spark, dir, "lineitem")
+    def side(flag: String) = li.filter(col("l_returnflag") === flag)
+      .select(md5(col("l_partkey").cast("string")).as("h")).distinct()
+    val a = side("R").localCheckpoint()
+    val b = side("N").localCheckpoint()
+    val s = a.union(b).distinct().orderBy(col("h")).limit(k).localCheckpoint()
+    val flags = s
+      .join(a.withColumn("in_a", lit(1L)), Seq("h"), "left")
+      .join(b.withColumn("in_b", lit(1L)), Seq("h"), "left")
+    val sketchStats = flags.agg(
+      count(lit(1)).as("k_union"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("k_inter"),
+      max(col("h")).as("hk"))
+    val exact = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(a.join(b, "h").agg(count(lit(1)).as("n_inter_exact")))
+    sketchStats.crossJoin(exact) // 1-row frames
+      .withColumn("est_union",
+        when(col("k_union") < k, col("k_union").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (conv(substring(col("hk"), 1, 15), 16, 10)
+              .cast("long").cast("double") / lit(TwoPow60))))
+      .withColumn("est_inter",
+        col("k_inter").cast("double") / col("k_union").cast("double")
+          * col("est_union"))
+      .select(lit(k.toLong).as("kmv_k"), col("k_union"), col("k_inter"),
+        (col("n_a") + col("n_b") - col("n_inter_exact")).as("n_union_exact"),
+        col("n_inter_exact"), col("est_union"), col("est_inter"))
+  }
+
+  /** DuckDB oracle for [[kmvSetOps]] — same sketch, same ratio estimator. */
+  def kmvSetOpsOracleSql: String = {
+    val k = KmvSketch.DefaultK
+    s"""WITH a AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+       |           FROM lineitem WHERE l_returnflag = 'R'),
+       |b AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+       |      FROM lineitem WHERE l_returnflag = 'N'),
+       |s AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) u
+       |      ORDER BY h LIMIT $k),
+       |f AS (SELECT count(*) AS k_union,
+       |             CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM a WHERE a.h = s.h)
+       |                            AND EXISTS (SELECT 1 FROM b WHERE b.h = s.h)
+       |                      THEN 1 ELSE 0 END) AS BIGINT) AS k_inter,
+       |             max(h) AS hk FROM s),
+       |e AS (SELECT (SELECT count(*) FROM a) AS n_a,
+       |             (SELECT count(*) FROM b) AS n_b,
+       |             (SELECT count(*) FROM a JOIN b USING (h)) AS n_inter_exact)
+       |SELECT CAST($k AS BIGINT) AS kmv_k, k_union, k_inter,
+       |       n_a + n_b - n_inter_exact AS n_union_exact, n_inter_exact,
+       |       CASE WHEN k_union < $k THEN CAST(k_union AS DOUBLE)
+       |            ELSE ${(k - 1).toDouble} /
+       |                 (CAST(CAST(concat('0x', substr(hk, 1, 15)) AS BIGINT) AS DOUBLE)
+       |                  / $TwoPow60) END AS est_union,
+       |       CAST(k_inter AS DOUBLE) / CAST(k_union AS DOUBLE) *
+       |       (CASE WHEN k_union < $k THEN CAST(k_union AS DOUBLE)
+       |             ELSE ${(k - 1).toDouble} /
+       |                  (CAST(CAST(concat('0x', substr(hk, 1, 15)) AS BIGINT) AS DOUBLE)
+       |                   / $TwoPow60) END) AS est_inter
+       |FROM f, e""".stripMargin
+  }
 }

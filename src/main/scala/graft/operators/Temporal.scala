@@ -248,4 +248,63 @@ object Temporal {
         sum(col("v")).over(trailing).cast("double").as("sum_1h"),
         sum(col("v")).over(cumulative).cast("double").as("cum_sum"))
   }
+
+  /** RESAMPLE + FORWARD FILL — regularize each user's irregular event
+    * stream onto an hourly grid over that user's own [first, last] span,
+    * carrying the last observed value through gap hours: the time-series
+    * feature-engineering primitive (metrics alignment, state-as-of-hour
+    * panels) that joins and windows both need a regular grid for.
+    *
+    * Determinism: the "last observation in an hour" is an ordered-struct
+    * max over the TOTAL order (ts, event_type, value) — merge-order-free,
+    * engine-identical — and the carried value is passed through untouched
+    * (no arithmetic, so bytes match). The fill itself is
+    * `last(_, ignoreNulls) OVER (PARTITION BY user ORDER BY hour)` — a
+    * user-keyed window (≤ 720 rows per key at this span), never a global
+    * one. Grid generation is `sequence(lo, hi, 1 hour)` exploded per
+    * user — expansion bounded by span/granularity, the resample contract.
+    */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("ts"), col("event_type"), col("value"))).as("m"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("m.value"), ignoreNulls = true).over(w).as("value_ffill"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** DuckDB oracle for [[resampleFfill]] — same grid, same ordered-struct
+    * last-observation, same ignore-nulls fill.
+    */
+  val resampleFfillOracleSql: String =
+    """WITH u AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+      |                  date_trunc('hour', max(ts)) AS hi
+      |           FROM events GROUP BY 1),
+      |g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |      FROM u),
+      |hourly AS (SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+      |           max({'ts': ts, 'et': event_type, 'v': value}) AS m
+      |           FROM events GROUP BY 1, 2)
+      |SELECT g.user_id,
+      |       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |       COALESCE(hourly.n, 0) AS n_events,
+      |       last_value(hourly.m.v IGNORE NULLS)
+      |         OVER (PARTITION BY g.user_id ORDER BY g.h
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS value_ffill
+      |FROM g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+      |ORDER BY g.user_id, hour""".stripMargin
 }
