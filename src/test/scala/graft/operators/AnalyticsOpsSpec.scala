@@ -96,6 +96,14 @@ class AnalyticsOpsSpec extends SparkSpec {
     val linHit = hitShards(li.repartitionByRange(shards, col("l_orderkey")))
     assert(linHit == shards.toLong, "ingest-ordered layout prunes nothing")
     assert(zHit < linHit / 2, s"zorder must prune most shards (hit $zHit of $shards)")
+    // Hilbert clustering must prune at least as well as Morton on the same
+    // box (its consecutive cells are always adjacent, so shard rectangles
+    // are at least as tight)
+    val h = Layout.withHilbert(li, col("l_partkey"), col("l_suppkey"), 16, "hv")
+      .repartitionByRange(shards, col("hv")).sortWithinPartitions(col("hv"))
+    val hHit = hitShards(h)
+    assert(hHit <= zHit, s"hilbert (hit $hHit) must not lose to morton (hit $zHit)")
+    assert(hHit < shards.toLong / 2, s"hilbert must prune most shards (hit $hHit)")
   }
 
   test("pagerank: distributed fixed-point ranks equal an exact local replay") {
