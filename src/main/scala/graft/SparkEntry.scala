@@ -160,6 +160,7 @@ object SparkEntry {
     "temporal_interval_overlap_rule" -> (operators.Temporal.intervalOverlapViaRule _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
     "temporal_resample_ffill" -> (operators.Temporal.resampleFfill _),
+    "temporal_pattern_match" -> (operators.Temporal.patternMatch _),
     "window_lag_lead" -> (operators.Temporal.windowLagLead _),
     "window_ntile" -> (Relational.windowNtile _),
     "window_distribution" -> (Relational.windowDistribution _),
@@ -1297,6 +1298,7 @@ object SparkEntry {
         |  wcum AS (PARTITION BY user_id ORDER BY us
         |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "temporal_resample_ffill" -> operators.Temporal.resampleFfillOracleSql,
+    "temporal_pattern_match" -> operators.Temporal.patternMatchOracleSql,
     "window_ntile" ->
       """SELECT decile, count(*) AS n,
         |       MIN(o_totalprice) AS min_price,

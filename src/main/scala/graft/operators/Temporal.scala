@@ -286,6 +286,60 @@ object Temporal {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** SEQUENCE PATTERN MATCHING — MATCH_RECOGNIZE / Flink-CEP's core
+    * ability (detect ordered event patterns per key) in a set-oriented
+    * spelling: each user's event history becomes one ordered type-string
+    * (one char per event), and pattern occurrences are counted with pure
+    * string algebra — non-overlapping literal counts via
+    * `(len − len(replace(s, pat, ''))) DIV len(pat)` (exact: neither
+    * pattern can overlap itself), and the longest error burst as the max
+    * run of 'e' via a split on `[^e]`. Everything is engine-exact string
+    * arithmetic; no regex-dialect surface is touched.
+    *
+    * Scale shape: ONE user-keyed aggregate builds the sequence (the same
+    * ordered-struct `array_sort ∘ collect_list` reassembly the span
+    * rewrite uses — per-user array ops, no window); per-user state is the
+    * user's own history (the CEP contract). Detection is row-local on the
+    * k-sized per-user row. The total (us, char) sort key makes tie order
+    * deterministic and engine-identical.
+    */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val ch = expr(
+      """CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+        |WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'v' END""".stripMargin)
+    val seq = events(spark, dir)
+      .select(col("user_id"), us.as("us"), ch.as("ch"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(us, ch))), x -> x.ch)"),
+          "").as("s"))
+    seq.select(col("user_id"), col("n_events"),
+        expr("(length(s) - length(replace(s, 'vc', ''))) DIV 2").as("n_view_click"),
+        expr("(length(s) - length(replace(s, 'vcp', ''))) DIV 3").as("n_funnel_vcp"),
+        expr("coalesce(array_max(transform(split(s, '[^e]'), x -> length(x))), 0)")
+          .cast("long").as("max_error_run"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB oracle for [[patternMatch]] — same char map, same ordered
+    * aggregation, same string algebra.
+    */
+  val patternMatchOracleSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |  CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+      |       WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'v' END AS ch
+      |  FROM events),
+      |sq AS (SELECT user_id, count(*) AS n_events,
+      |              string_agg(ch, '' ORDER BY us, ch) AS s
+      |       FROM e GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  CAST((len(s) - len(replace(s, 'vc', ''))) // 2 AS BIGINT) AS n_view_click,
+      |  CAST((len(s) - len(replace(s, 'vcp', ''))) // 3 AS BIGINT) AS n_funnel_vcp,
+      |  CAST(COALESCE(list_max(list_transform(string_split_regex(s, '[^e]'),
+      |       x -> len(x))), 0) AS BIGINT) AS max_error_run
+      |FROM sq ORDER BY user_id""".stripMargin
+
   /** DuckDB oracle for [[resampleFfill]] — same grid, same ordered-struct
     * last-observation, same ignore-nulls fill.
     */

@@ -136,4 +136,27 @@ class TemporalSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(got.toSet == want.toSet && got.nonEmpty == want.nonEmpty)
   }
+
+  test("pattern match: counts equal a sequential string replay") {
+    val got = Temporal.patternMatch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def c(t: String) = t match {
+      case "click" => "c"; case "error" => "e"; case "purchase" => "p"
+      case "signup" => "s"; case _ => "v"
+    }
+    def countNonOverlap(s: String, pat: String): Long =
+      (s.length - s.replace(pat, "").length).toLong / pat.length
+    val want = ev.groupBy(_._1).toList.map { case (u, g) =>
+      val s = g.map(e => (e._2, c(e._3))).sorted.map(_._2).mkString
+      val maxRun = (s.split("[^e]", -1).map(_.length) :+ 0).max.toLong
+      (u, g.length.toLong, countNonOverlap(s, "vc"), countNonOverlap(s, "vcp"), maxRun)
+    }.sortBy(_._1)
+    assert(got == want, "pattern counts must match the replay")
+    assert(got.exists(_._3 > 0) && got.exists(_._5 > 1),
+      "fixture must exercise both pattern families")
+  }
 }
