@@ -161,6 +161,8 @@ object SparkEntry {
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
     "temporal_resample_ffill" -> (operators.Temporal.resampleFfill _),
     "temporal_pattern_match" -> (operators.Temporal.patternMatch _),
+    "stream_pattern_match" ->
+      ((s: SparkSession, d: String) => streaming.StreamingPattern.streamPatternMatch(s, d)),
     "window_lag_lead" -> (operators.Temporal.windowLagLead _),
     "window_ntile" -> (Relational.windowNtile _),
     "window_distribution" -> (Relational.windowDistribution _),
@@ -1299,6 +1301,8 @@ object SparkEntry {
         |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "temporal_resample_ffill" -> operators.Temporal.resampleFfillOracleSql,
     "temporal_pattern_match" -> operators.Temporal.patternMatchOracleSql,
+    // incremental CEP must land on the batch answer — same oracle
+    "stream_pattern_match" -> operators.Temporal.patternMatchOracleSql,
     "window_ntile" ->
       """SELECT decile, count(*) AS n,
         |       MIN(o_totalprice) AS min_price,
