@@ -189,6 +189,8 @@ object SparkEntry {
     "graph_pagerank" -> (operators.Graph.pageRank _),
     "graph_triangle_count" -> (operators.Graph.triangleCount _),
     "graph_node_similarity" -> (operators.Graph.nodeSimilarity _),
+    "graph_label_propagation" -> (operators.Graph.labelPropagation _),
+    "q1_pricing" -> (Relational.q1Pricing _),
     "embed_kmeans" -> (operators.Clustering.kmeans _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
@@ -1398,6 +1400,8 @@ object SparkEntry {
     "graph_pagerank" -> operators.Graph.pageRankOracleSql,
     "graph_triangle_count" -> operators.Graph.triangleCountOracleSql,
     "graph_node_similarity" -> operators.Graph.nodeSimilarityOracleSql,
+    "graph_label_propagation" -> operators.Graph.labelPropagationOracleSql,
+    "q1_pricing" -> Relational.q1OracleSql,
     "embed_kmeans" -> operators.Clustering.kmeansOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,

@@ -186,6 +186,71 @@ object Graph {
         expr("3 * n_triangles * 1000000 DIV n_wedges").as("global_cc_ppm"))
   }
 
+  /** SYNCHRONOUS MIN-LABEL PROPAGATION — 4 rounds of `label' =
+    * min(label, min over neighbors)` on the part co-purchase graph: the
+    * community/propagation kernel family's simplest member, and the
+    * OBSERVABLE-PARTIAL-CONVERGENCE counterpoint to
+    * [[graft.operators.Dedup.dedupClusters]]' pointer-jumping CC (which
+    * runs to a fixed point; here the 4-round frontier is the contract, so
+    * the result exposes propagation SPEED, not just the final partition).
+    * Labels are node ids — integer, deterministic, engine-exact.
+    *
+    * The graph is the SUPPORT-≥2 co-purchase graph (parts co-ordered at
+    * least twice): the full graph is so dense its diameter is ~2 and
+    * every node collapses to one label by round 2 — structurally true
+    * but uninformative; the sparsified graph has real community
+    * structure (93 components at sf0.01, 2 366 at sf0.1).
+    *
+    * Scale shape: each round is one shuffle — neighbor labels ride the
+    * symmetric edge list (`sym ⋈ labels` on src, grouped by dst with a
+    * map-side-combined min) unioned with the self label. Rounds =
+    * O(diameter) to converge; fixed 4 here. Same pinned `sym` frame as
+    * [[pageRank]]'s discipline.
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+      .select(col("a"), col("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to 4) {
+      labels = sym.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+        .union(labels)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("label")).limit(20)
+  }
+
+  /** DuckDB oracle: the same 4 rounds unrolled. */
+  val labelPropagationOracleSql: String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |edges AS (SELECT x.p AS a, y.p AS b
+        |          FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym)""".stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS (SELECT v, min(lbl) AS lbl FROM (
+         |  SELECT s.dst AS v, l.lbl FROM sym s JOIN l${i - 1} l ON s.src = l.v
+         |  UNION ALL SELECT v, lbl FROM l${i - 1}) u GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT lbl AS label, count(*) AS n_nodes
+       |FROM l4 GROUP BY lbl ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin
+  }
+
   /** NODE-PAIR JACCARD SIMILARITY over the co-purchase graph — for every
     * EDGE (a,b), |N(a) ∩ N(b)| / |N(a) ∪ N(b)| on the undirected
     * neighborhoods: link-prediction / graph-sparsification's standard

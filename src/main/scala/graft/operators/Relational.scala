@@ -99,6 +99,57 @@ object Relational {
     spark.sql(q3Sql)
   }
 
+  /** TPC-H Q1 proper — the pricing summary report, all eight aggregates
+    * over one scan: the canonical "how fast is your scan+agg" kernel. One
+    * map-side-combined hash aggregate on the two low-cardinality flags;
+    * every money aggregate is exact decimal (the chained
+    * `price·(1−disc)·(1+tax)` stays a decimal product), averages divide
+    * the exact sums at the edge — engine-identical closed forms.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_date(lit(Q3Date))
+    val li = t(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) <= cutoff)
+    val disc = lit(1) - d2(col("l_discount"))
+    val chrg = d2(col("l_extendedprice")) * disc * (lit(1) + d2(col("l_tax")))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(d2(col("l_extendedprice")) * disc).cast("double").as("sum_disc_price"),
+        sum(chrg).cast("double").as("sum_charge"),
+        // averages as DOUBLE division of the exact sums: decimal division
+        // scale rules differ between engines, IEEE double division doesn't
+        (sum(d2(col("l_quantity"))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(d2(col("l_extendedprice"))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_price"),
+        (sum(d2(col("l_discount"))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1OracleSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+       |           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avg_price,
+       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '$Q3Date'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** TPC-H Q5 shape — local-supplier revenue per nation: the SIX-WAY join
     * (region → nation → {customer, supplier} → orders → lineitem with the
     * c_nationkey = s_nationkey locality condition) the reference never
