@@ -191,6 +191,9 @@ object SparkEntry {
     "graph_node_similarity" -> (operators.Graph.nodeSimilarity _),
     "graph_label_propagation" -> (operators.Graph.labelPropagation _),
     "q1_pricing" -> (Relational.q1Pricing _),
+    "q4_priority_exists" -> (Relational.q4PriorityExists _),
+    "q17_small_quantity" -> (Relational.q17SmallQuantity _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
     "embed_kmeans" -> (operators.Clustering.kmeans _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
@@ -1402,6 +1405,11 @@ object SparkEntry {
     "graph_node_similarity" -> operators.Graph.nodeSimilarityOracleSql,
     "graph_label_propagation" -> operators.Graph.labelPropagationOracleSql,
     "q1_pricing" -> Relational.q1OracleSql,
+    // same ANSI text runs verbatim on both engines; the value here is the
+    // Catalyst decorrelation the specs pin (semi joins, no nested loop)
+    "q4_priority_exists" -> Relational.q4Sql,
+    "q17_small_quantity" -> Relational.q17Sql,
+    "q18_large_orders" -> Relational.q18Sql,
     "embed_kmeans" -> operators.Clustering.kmeansOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,

@@ -228,6 +228,94 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Subquery decorrelation family (TPC-H Q4/Q17/Q18 shapes)
+  // ---------------------------------------------------------------------
+  // The reference has no subquery support at all; these three pin the
+  // Catalyst rewrites a declarative engine gets for free — each is the
+  // scale-critical transformation (a correlated subquery executed naively
+  // is a per-row rescan; decorrelated it is one join):
+  //   EXISTS            → left semi join               (q4 shape)
+  //   IN (agg HAVING)   → aggregate + left semi join   (q18 shape)
+  //   correlated scalar → aggregate + equi-join        (q17 shape)
+  // Specs assert the physical plans contain the semi joins and never a
+  // nested-loop/cartesian fallback.
+
+  /** TPC-H Q4 shape — order-priority checking: orders in a quarter with at
+    * least one returned line item, counted per priority. Spelled with a
+    * correlated EXISTS; Catalyst plans it as one left semi join with the
+    * returnflag filter pushed below the shuffle. (The fixture lacks
+    * l_commitdate/l_receiptdate, so `l_returnflag = 'R'` plays Q4's
+    * late-delivery predicate.) Integer counts ⇒ engine-exact.
+    */
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q4Sql)
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: line items whose
+    * quantity is below 20% of their part's average, grouped by brand. The
+    * textbook spelling compares against `0.2 * avg(..)` from a correlated
+    * scalar subquery; an IEEE average flips `<` on summation order across
+    * engines, so the predicate is cross-multiplied into exact integers:
+    * `qty < 0.2 * sum/cnt  ⇔  5·qty·cnt < sum` with decimal qty sums —
+    * bit-stable on both engines while keeping TWO correlated scalar
+    * subqueries for Catalyst to decorrelate into one per-part aggregate
+    * joined back to the fact scan.
+    */
+  val q17Sql: String =
+    """SELECT p_brand,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       count(*) AS n_small
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND 5 * CAST(l_quantity AS DECIMAL(18,2))
+      |        * (SELECT count(*) FROM lineitem l2
+      |           WHERE l2.l_partkey = part.p_partkey)
+      |      < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+      |         WHERE l2.l_partkey = part.p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q17Sql)
+  }
+
+  /** TPC-H Q18 shape — large-volume customers: orders whose total quantity
+    * exceeds 300, with their customer, top 20 by quantity. The
+    * IN (GROUP BY … HAVING) subquery decorrelates to an aggregate + left
+    * semi join; the outer three-way join then re-aggregates only the
+    * surviving orders. Exact decimal quantity sums on both sides of the
+    * HAVING ⇒ engine-exact membership.
+    */
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+      |ORDER BY sum_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q18Sql)
+  }
+
   /** §2.1 CSV/TBL source roundtrip: stage lineitem as pipe-delimited text
     * (the reference's input format) and aggregate from the CSV scan; the
     * oracle computes the same aggregate from parquet, so equality proves
