@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_prefix_filter" -> (Dedup.dedupPrefixFilter _),
     "dedup_edit_distance" -> (Dedup.editDistancePairs _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding_cosine" -> (Dedup.dedupEmbeddingCosine _),
@@ -783,6 +784,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupJaccardOracle(0.8),
     "dedup_minhash_lsh" -> dedupJaccardOracle(0.8),
+    // prefix filtering is exact-recall by the prefix-filter theorem, so it
+    // shares the exact-Jaccard oracle with the inverted-index and MinHash
+    // spellings verbatim
+    "dedup_prefix_filter" -> dedupJaccardOracle(0.8),
     // Levenshtein audit over the same exact-Jaccard pair set (MinHash is
     // full-recall-verified ≡ exact pairs); both engines' levenshtein is
     // the classic unit-cost DP, prefix-bounded

@@ -118,6 +118,58 @@ object Dedup {
     jaccardFromCounts(inter, sizes, threshold)
   }
 
+  /** Prefix-filtering set-similarity join (All-Pairs/PPJoin family,
+    * Bayardo et al. WWW'07; Xiao et al. WWW'08) — the EXACT-recall scale
+    * path beside the probabilistic MinHash one. Under any common total
+    * token order, J(A,B) ≥ τ forces the globally-smallest COMMON shingle
+    * into both docs' prefixes of length |x| − ⌈τ|x|⌉ + 1 (each side has
+    * ≤ |x| − ⌈τ|x|⌉ non-common tokens, so the smallest common one sits at
+    * rank ≤ prefix length). Candidates therefore come from joining
+    * PREFIX tokens only — with the order chosen rarest-document-frequency-
+    * first, the join keys are the corpus's rare shingles, so bucket sizes
+    * are bounded where frequent-token buckets would explode. A 5·min ≥
+    * 4·max length filter (J ≥ 0.8 ⟹ min ≥ 0.8·max) prunes before the
+    * exact count-based verification that makes the result identical to
+    * [[exactJaccardPairs]] — same oracle as the MinHash family.
+    *
+    * τ is taken as the rational `tauNum/tauDen` so the prefix cut uses
+    * INTEGER ceil division: an IEEE `ceil(0.8 * 35)` evaluates 28.000…004
+    * → 29 and silently shortens the prefix below the recall bound.
+    */
+  def prefixFilterPairs(sh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("sz"))
+    // per-doc rank under the global (df asc, token asc) order; the window
+    // is partitioned by doc — state bounded by one doc's shingle set
+    val ranked = inv.join(dfreq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+    // prefix length |x| − ⌈τ|x|⌉ + 1 with exact integer ceil
+    val prefix = ranked.join(sizes, "doc_id")
+      .filter(col("rn") <=
+        col("sz") - floor((lit(tauNum) * col("sz") + tauDen - 1) / tauDen) + 1)
+      .select(col("doc_id"), col("g"), col("sz"))
+    val cand = prefix.toDF("doc_a", "g", "sza")
+      .join(prefix.toDF("doc_b", "g", "szb"), Seq("g"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("szb") * tauDen >= col("sza") * tauNum &&
+        col("sza") * tauDen >= col("szb") * tauNum)
+      .select("doc_a", "doc_b").distinct()
+    verifyCandidates(cand, sh, tauNum.toDouble / tauDen)
+  }
+
+  /** Driver query: exact J ≥ 0.8 near-dup pairs via prefix filtering —
+    * bit-identical output to `dedup_ngram_jaccard`/`dedup_minhash_lsh`
+    * (shared oracle), reached through deterministic exact-recall
+    * candidates instead of a full inverted-index self-join (only prefix
+    * tokens — the rarest ~20% — ever enter the pair-generating join).
+    */
+  def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame =
+    prefixFilterPairs(shingled(spark, dir).localCheckpoint(), 4, 5)
+      .orderBy("doc_a", "doc_b")
+
   private val NumHashes = 32
   private val Bands = 16 // 2 rows per band
 

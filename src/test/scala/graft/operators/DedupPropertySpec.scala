@@ -120,6 +120,32 @@ class DedupPropertySpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.substring.hashed")
   }
 
+  test("prefix filtering == exact Jaccard pairs on fixture and random corpora") {
+    import spark.implicits._
+    // fixture: the prefix-filter path must be bit-identical to the exact
+    // inverted-index self-join it replaces
+    val want = Dedup.dedupNgramJaccard(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val got = Dedup.dedupPrefixFilter(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"prefix-filter (${got.size}) != exact (${want.size})")
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    // adversarial tiny-vocab corpora: dense shingle collisions stress the
+    // prefix cut's integer ceil and the length filter at every set size
+    for (seed <- 1L to 4L) {
+      val docs = sampleDocs(seed)
+      if (docs.nonEmpty) {
+        val sh = Dedup.shingledDocs(docs.toDF("doc_id", "text").repartition(5))
+          .localCheckpoint()
+        val exact = Dedup.exactJaccardPairs(sh, 0.8)
+          .collect().map(_.toSeq).toSet
+        val pf = Dedup.prefixFilterPairs(sh, 4, 5)
+          .collect().map(_.toSeq).toSet
+        assert(pf == exact, s"seed $seed: prefix-filter diverges from exact")
+      }
+    }
+  }
+
   test("incremental dedup == full near-dup pairs restricted to base×delta") {
     // the delta side is the trailing tenth of the id space, so the
     // incremental answer must be EXACTLY the full pair set's cross-split

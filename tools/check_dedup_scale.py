@@ -56,6 +56,8 @@ ORACLES = {
         f"WITH {fast_pairs(0.8)} SELECT * FROM pairs ORDER BY doc_a, doc_b",
     "dedup_minhash_lsh":
         f"WITH {fast_pairs(0.8)} SELECT * FROM pairs ORDER BY doc_a, doc_b",
+    "dedup_prefix_filter":
+        f"WITH {fast_pairs(0.8)} SELECT * FROM pairs ORDER BY doc_a, doc_b",
     "dedup_simhash":
         f"WITH {fast_pairs(0.9)} SELECT * FROM pairs ORDER BY doc_a, doc_b",
     "dedup_clusters": f"""WITH RECURSIVE {fast_pairs(0.8)}, {CLUSTER_TAIL}
