@@ -178,6 +178,7 @@ object SparkEntry {
     "profile_quantiles" -> (operators.Profiling.profileQuantiles _),
     "profile_outliers" -> (operators.Profiling.profileOutliers _),
     "profile_drift" -> (operators.Profiling.profileDrift _),
+    "profile_constraints" -> (operators.Profiling.profileConstraints _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "profile_correlation" -> (operators.Profiling.profileCorrelation _),
     "stream_profile_incremental" ->
@@ -1397,6 +1398,7 @@ object SparkEntry {
         |FROM events e JOIN b ON e.event_type = b.et
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "profile_drift" -> operators.Profiling.driftOracleSql,
+    "profile_constraints" -> operators.Profiling.constraintsOracleSql,
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "profile_correlation" -> operators.Profiling.correlationOracleSql,
     // the streaming accumulation must land on the BATCH answer exactly —

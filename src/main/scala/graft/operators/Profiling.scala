@@ -389,4 +389,91 @@ object Profiling {
        |         ${corr("p_e2", "d_e2", "pd_e4", "pp_e4", "dd_e4")} FROM s)
        |ORDER BY returnflag, pair""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Constraint validation suite (Deequ-style data-quality gate)
+  // ---------------------------------------------------------------------
+
+  /** Declarative constraint report over explicit frames — completeness,
+    * uniqueness, referential integrity, range, and accepted-values checks
+    * in long format `(check_name, table_name, violations, total, passed)`,
+    * the admission gate a pipeline runs before a drop joins the corpus
+    * (the [[profileTable]] summary says what the data looks like; this
+    * says whether it may land).
+    *
+    * Scale shape: ALL checks on one table fold into ONE single-pass
+    * keyless aggregate (conditional sums + countDistinct), so the suite
+    * costs one scan per table regardless of how many checks it carries;
+    * the FK check is an ids-only LEFT ANTI join (orphan keys counted,
+    * payload never moves — AQE broadcasts the dim side when it fits).
+    * The per-table one-row frames cross-join (1×1 — free) and unpivot.
+    */
+  def constraintReport(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame): DataFrame = {
+    val custAgg = customer.agg(
+      count(lit(1)).as("c_total"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("c_null_name"))
+    val ordAgg = orders.agg(
+      count(lit(1)).as("o_total"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("o_dup_keys"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("o_neg_price"))
+    val liAgg = lineitem.agg(
+      count(lit(1)).as("l_total"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("l_bad_discount"),
+      sum(when(!col("l_returnflag").isin("R", "A", "N"), 1L)
+        .otherwise(0L)).as("l_bad_flag"))
+    val orphans = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("o_orphan_fk"))
+    val one = custAgg.crossJoin(ordAgg).crossJoin(liAgg).crossJoin(orphans)
+    one.selectExpr(
+        """stack(6,
+          |  'completeness_c_name',        'customer', c_null_name,   c_total,
+          |  'uniqueness_o_orderkey',      'orders',   o_dup_keys,    o_total,
+          |  'non_negative_o_totalprice',  'orders',   o_neg_price,   o_total,
+          |  'referential_o_custkey',      'orders',   o_orphan_fk,   o_total,
+          |  'range_l_discount',           'lineitem', l_bad_discount, l_total,
+          |  'accepted_values_l_returnflag','lineitem', l_bad_flag,    l_total
+          |) AS (check_name, table_name, violations, total)""".stripMargin)
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("check_name")
+  }
+
+  /** Driver query: the constraint suite over the fixture star schema. */
+  def profileConstraints(spark: SparkSession, dir: String): DataFrame =
+    constraintReport(
+      Tables.table(spark, dir, "customer"),
+      Tables.table(spark, dir, "orders"),
+      Tables.table(spark, dir, "lineitem"))
+
+  val constraintsOracleSql: String =
+    """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS total,
+      |                  CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol
+      |           FROM customer),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS total,
+      |             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+      |             CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price
+      |      FROM orders),
+      |fk AS (SELECT CAST(count(*) AS BIGINT) AS viol FROM orders
+      |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      |l AS (SELECT CAST(count(*) AS BIGINT) AS total,
+      |             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+      |             CAST(sum(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag
+      |      FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'completeness_c_name' AS check_name, 'customer' AS table_name,
+      |         viol AS violations, total, viol = 0 AS passed FROM c
+      |  UNION ALL
+      |  SELECT 'uniqueness_o_orderkey', 'orders', dup_keys, total, dup_keys = 0 FROM o
+      |  UNION ALL
+      |  SELECT 'non_negative_o_totalprice', 'orders', neg_price, total, neg_price = 0 FROM o
+      |  UNION ALL
+      |  SELECT 'referential_o_custkey', 'orders', fk.viol, o.total, fk.viol = 0 FROM fk, o
+      |  UNION ALL
+      |  SELECT 'range_l_discount', 'lineitem', bad_discount, total, bad_discount = 0 FROM l
+      |  UNION ALL
+      |  SELECT 'accepted_values_l_returnflag', 'lineitem', bad_flag, total, bad_flag = 0 FROM l)
+      |ORDER BY check_name""".stripMargin
 }

@@ -399,4 +399,29 @@ class AnalyticsOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("constraint suite: clean fixture passes; injected defects are counted exactly") {
+    import spark.implicits._
+    // fixture: six checks, all green, totals = table counts
+    val fixture = Profiling.profileConstraints(spark, sfDir).collect()
+    assert(fixture.length == 6)
+    assert(fixture.forall(_.getAs[Boolean]("passed")),
+      "driver fixtures are clean — every check must pass")
+    // corrupted frames: every check must fire with the exact count
+    val cust = Seq((1L, "alice"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
+      .toDF("c_custkey", "c_name")
+    val ord = Seq((10L, 1L, 5.0), (10L, 2L, -1.0), (11L, 99L, 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Seq((10L, 0.5, "R"), (10L, 1.5, "R"), (11L, -0.1, "X"))
+      .toDF("l_orderkey", "l_discount", "l_returnflag")
+    val got = Profiling.constraintReport(cust, ord, li).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got("completeness_c_name") == ((2L, 3L, false)))
+    assert(got("uniqueness_o_orderkey") == ((1L, 3L, false)))
+    assert(got("non_negative_o_totalprice") == ((1L, 3L, false)))
+    assert(got("referential_o_custkey") == ((1L, 3L, false)))
+    assert(got("range_l_discount") == ((2L, 3L, false)))
+    assert(got("accepted_values_l_returnflag") == ((1L, 3L, false)))
+  }
 }
