@@ -212,6 +212,39 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic per-stratum reservoir sample — EXACTLY k docs per
+    * source, chosen as the k smallest md5 ranks (min-k hashing: a uniform
+    * k-sample that is rerun-stable, scale-stable, and identical on any
+    * cluster topology, unlike an RNG reservoir). The rate-based
+    * [[stratifiedSample]] gives binomial-sized strata; training-data
+    * loaders that need exact quota per source use this form.
+    *
+    * Routed through the custom [[graft.plans.TopKPerGroup]] physical
+    * operator: partial bounded heaps per partition (k·|sources| state),
+    * one shuffle of k-per-group-per-partition survivors, final heaps —
+    * O(n log k) sort-free where the window spelling sorts each partition.
+    */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val ranked = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("reservoir:"), col("doc_id").cast("string"))).as("rk"))
+    graft.plans.TopKPerGroup.topKPerGroup(ranked,
+        Seq("source"), Seq(("rk", false), ("doc_id", false)), k)
+      .orderBy("source", "doc_id")
+  }
+
+  val reservoirOracleSql: String =
+    """SELECT source, doc_id, rk FROM (
+      |  SELECT source, doc_id,
+      |         md5('reservoir:' || CAST(doc_id AS VARCHAR)) AS rk,
+      |         row_number() OVER (
+      |           PARTITION BY source
+      |           ORDER BY md5('reservoir:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5
+      |ORDER BY source, doc_id""".stripMargin
+
   /** Document chunking — fixed token-window chunks with overlap (window 32,
     * stride 24), the context-window prep step of every RAG / pretraining
     * ingestion flow. Entirely row-local: tokenize once per doc, posexplode

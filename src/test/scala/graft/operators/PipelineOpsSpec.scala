@@ -489,4 +489,23 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach { case (_, _, n, size) => assert(n <= size) }
     assert(got.exists(_._2 > 0), "fixtures should span multiple active days")
   }
+
+  test("reservoir sample: exactly k per source, equals the window spelling") {
+    val got = Pipelines.reservoirSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val perSource = got.groupBy(_._1)
+    assert(perSource.nonEmpty && perSource.values.forall(_.size == 5),
+      "every stratum must yield exactly k=5 docs")
+    // the min-k-hash sample IS the window top-k under the same rank
+    import org.apache.spark.sql.expressions.Window
+    val want = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("reservoir:"), col("doc_id").cast("string"))).as("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want)
+  }
 }
