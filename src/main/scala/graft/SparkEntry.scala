@@ -172,6 +172,7 @@ object SparkEntry {
     // --- sketches ---
     "agg_kmv_distinct" -> (operators.Sketches.kmvDistinct _),
     "agg_kmv_setops" -> (operators.Sketches.kmvSetOps _),
+    "agg_kll_quantiles" -> (operators.Sketches.kllQuantileBound _),
     "agg_hll_distinct" -> (operators.Sketches.hllDistinct _),
     // --- profiling / layout / graph (beyond-parity: ingestion QA, scan
     // pruning, and iterative analytics over the same relational fixtures) ---
@@ -1373,6 +1374,7 @@ object SparkEntry {
     // the pair cannot drift) — see each object's *OracleSql.
     "agg_hll_distinct" -> operators.Sketches.hllOracleSql,
     "agg_kmv_setops" -> operators.Sketches.kmvSetOpsOracleSql,
+    "agg_kll_quantiles" -> operators.Sketches.kllOracleSql,
     "profile_table" -> operators.Profiling.oracleSql,
     // exact type-7 quantiles; round6 on both sides absorbs 1-ulp
     // interpolation-formula differences (results sit on a ≤4-decimal

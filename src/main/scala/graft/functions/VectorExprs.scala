@@ -99,6 +99,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv_sketch"),
       (exprs: Seq[Expression]) => KmvSketch(exprs.head, KmvSketch.DefaultK)))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllSketch].getName, "graft_kll_quantiles"),
+      (exprs: Seq[Expression]) =>
+        KllSketch(exprs.head, KllSketch.DefaultCapacity, KllSketch.DefaultPs)))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_agg"),
       (exprs: Seq[Expression]) => BloomBuildAgg(exprs.head)))

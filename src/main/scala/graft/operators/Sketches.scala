@@ -204,4 +204,59 @@ object Sketches {
        |                   / $TwoPow60) END) AS est_inter
        |FROM f, e""".stripMargin
   }
+
+  // ---- KLL quantile sketch, bound-checked ---------------------------------
+
+  /** Mergeable quantile sketch vs exact quantiles, per event type. The
+    * sketch estimate's TRUE rank must sit within ε = 2% of the target
+    * rank — checked in-engine with one extra conditional-sum pass, the
+    * same verified-bound contract as Misra–Gries in
+    * `text_frequent_tokens` (compactor sketches are merge-order-sensitive
+    * within their error bound, so the raw estimate is not an oracle
+    * value; the bound and the exact quantiles are). At 100 TB the exact
+    * side disappears and the sketch IS the profile: constant state per
+    * group, map-side combine, one shuffle of sketch bytes.
+    */
+  def kllQuantileBound(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.KllSketch.register(spark)
+    val r6 = graft.functions.TextOps.round6 _
+    val ps = graft.functions.KllSketch.DefaultPs
+    val ev = Tables.table(spark, dir, "events")
+    val agg = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      graft.functions.KllSketch(col("value")).as("est"),
+      array(ps.map(p => r6(expr(s"percentile(value, ${p}D)"))): _*).as("exact"))
+    val lattice = agg.select(col("event_type"), col("n"),
+        posexplode(arrays_zip(col("est"), col("exact"))).as(Seq("pi", "z")))
+      .select(col("event_type"), col("n"), col("pi"),
+        col("z.est").as("est_v"), col("z.exact").as("exact_value"),
+        element_at(array(ps.map(p => lit((p * 100).round)): _*),
+          col("pi") + 1).as("p_pct"))
+    ev.select(col("event_type"), col("value"))
+      .join(broadcast(lattice), "event_type")
+      .groupBy(col("event_type"), col("p_pct"))
+      .agg(first(col("n")).as("n"), first(col("exact_value")).as("exact_value"),
+        sum(when(col("value") <= col("est_v"), 1L).otherwise(0L)).as("est_rank"))
+      // |rank/n − p| ≤ 0.02 in integer cross-multiplication
+      .select(col("event_type"), col("p_pct"), col("n"), col("exact_value"),
+        (abs(lit(100) * col("est_rank") - col("p_pct") * col("n"))
+          <= lit(2) * col("n")).as("rank_within_2pct"))
+      .orderBy(col("event_type"), col("p_pct"))
+  }
+
+  /** The oracle recomputes n and the exact quantiles; the bound column is
+    * literal TRUE — the sketch's deterministic worst-case rank error at
+    * capacity 4096 is ≲0.4% of n, an order under the 2% gate.
+    */
+  def kllOracleSql: String = {
+    val ps = graft.functions.KllSketch.DefaultPs
+    val branches = ps.map { p =>
+      s"""SELECT event_type, CAST(${(p * 100).round} AS BIGINT) AS p_pct, count(*) AS n,
+         |  floor(quantile_cont(value, $p) * 1000000.0 + 0.5) / 1000000.0 AS exact_value,
+         |  TRUE AS rank_within_2pct
+         |FROM events GROUP BY event_type""".stripMargin
+    }
+    branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      ")\nORDER BY event_type, p_pct")
+  }
 }

@@ -51,10 +51,13 @@ class SketchesSpec extends SparkSpec {
       """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |       graft_simhash64(array('a', 'b')) AS s,
         |       (SELECT size(graft_kmv_sketch(md5(CAST(id AS STRING))))
-        |        FROM range(10)) AS k""".stripMargin).head()
+        |        FROM range(10)) AS k,
+        |       (SELECT graft_kll_quantiles(CAST(id AS DOUBLE))[2]
+        |        FROM range(1, 101)) AS q""".stripMargin).head()
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Long]("s") != 0L)
     assert(r.getAs[Int]("k") == 10)
+    assert(r.getAs[Double]("q") == 50.0) // exact p50 under capacity
   }
 
   test("kmv estimate lands within 40% of the true distinct count") {
@@ -81,5 +84,44 @@ class SketchesSpec extends SparkSpec {
     // relies on and a double-harmonic-sum HLL would not have
     val again = Sketches.hllDistinct(spark, sfDir).head()
     assert(row == again, "hll row must be bit-deterministic across runs")
+  }
+
+  test("kll buffer: exact under capacity, rank-bounded on adversarial sorted input") {
+    import graft.functions.KllSketch
+    // under capacity nothing compacts → quantiles are the exact
+    // smallest-value-reaching-ceil(p·n) order statistics
+    val small = new KllSketch.Buffer
+    (1 to 100).foreach(v => small.insert(v.toDouble, 4096))
+    assert(small.quantiles(Seq(0.5, 0.99)) == Seq(50.0, 99.0))
+    // serde roundtrip preserves the ladder bit-for-bit
+    val back = KllSketch.Buffer.fromBytes(small.toBytes)
+    assert(back.quantiles(Seq(0.5, 0.99)) == Seq(50.0, 99.0))
+    // 200k SORTED inserts (worst case for compactors: every compaction
+    // perturbs a contiguous rank range) through tree-merged partials,
+    // mimicking partial aggregation: 20 buffers of 10k merged pairwise
+    val capacity = 4096
+    val partials = (0 until 20).map { b =>
+      val buf = new KllSketch.Buffer
+      (0 until 10000).foreach(i => buf.insert((b * 10000 + i).toDouble, capacity))
+      buf
+    }
+    val merged = partials.reduce { (a, b) => a.mergeIn(b, capacity); a }
+    val n = 200000.0
+    for ((p, est) <- KllSketch.DefaultPs.zip(merged.quantiles(KllSketch.DefaultPs))) {
+      val trueRank = est / n // values are 0..n-1, so rank(v) = v + 1 ≈ v
+      assert(math.abs(trueRank - p) <= 0.02,
+        s"p=$p: estimate $est has rank error ${math.abs(trueRank - p)}")
+    }
+  }
+
+  test("kll driver query: every rank bound holds, exact quantiles monotone") {
+    val rows = Sketches.kllQuantileBound(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length % 6 == 0)
+    assert(rows.forall(_.getAs[Boolean]("rank_within_2pct")),
+      "every sketch estimate must sit within the 2% rank gate")
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val qs = g.sortBy(_.getAs[Long]("p_pct")).map(_.getAs[Double]("exact_value"))
+      assert(qs.sameElements(qs.sorted), "exact quantiles must be monotone in p")
+    }
   }
 }
