@@ -187,6 +187,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => streaming.StreamingProfile.streamCorrelation(s, d)),
     "stream_frequent_tokens" ->
       ((s: SparkSession, d: String) => streaming.StreamingTokens.streamFrequentTokens(s, d)),
+    "stream_kll_quantiles" ->
+      ((s: SparkSession, d: String) => streaming.StreamingQuantiles.streamKllQuantiles(s, d)),
     "layout_zorder" -> (operators.Layout.zorderKeys _),
     "layout_compaction" -> (operators.Layout.compactionPlan _),
     "layout_hilbert" -> (operators.Layout.hilbertKeys _),
@@ -1408,6 +1410,9 @@ object SparkEntry {
     // the streaming accumulation must land on the BATCH answer exactly —
     // same oracle, which is the batching-invariance contract
     "stream_profile_incremental" -> operators.Profiling.correlationOracleSql,
+    // true streaming fold of mergeable KLL partials; the audit emits the
+    // same (exact quantiles + checked bound) surface as the batch twin
+    "stream_kll_quantiles" -> operators.Sketches.kllOracleSql,
     "layout_zorder" -> operators.Layout.zorderOracleSql,
     "layout_compaction" -> operators.Layout.compactionOracleSql,
     "layout_hilbert" -> operators.Layout.hilbertOracleSql,

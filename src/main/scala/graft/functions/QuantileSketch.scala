@@ -39,12 +39,16 @@ case class KllSketch(
     child: Expression,
     capacity: Int,
     ps: Seq[Double],
+    emitState: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllSketch.Buffer] {
 
-  override def prettyName: String = "graft_kll_quantiles"
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String =
+    if (emitState) "graft_kll_state" else "graft_kll_quantiles"
+  override def dataType: DataType =
+    if (emitState) org.apache.spark.sql.types.BinaryType
+    else ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
 
@@ -61,7 +65,8 @@ case class KllSketch(
   }
 
   override def eval(buf: KllSketch.Buffer): Any =
-    new GenericArrayData(buf.quantiles(ps).map(v => v: Any).toArray)
+    if (emitState) buf.toBytes
+    else new GenericArrayData(buf.quantiles(ps).map(v => v: Any).toArray)
 
   override def serialize(buf: KllSketch.Buffer): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): KllSketch.Buffer =
@@ -186,8 +191,20 @@ object KllSketch {
   def apply(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_kll_quantiles", c)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** The serialized ladder itself — the mergeable partial a streaming
+    * fold accumulates across micro-batches ([[graft.streaming
+    * .StreamingQuantiles]]); fold with [[Buffer.fromBytes]]+`mergeIn`.
+    */
+  def state(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_kll_state", c)
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_quantiles",
       exprs => KllSketch(exprs.head, DefaultCapacity, DefaultPs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_state",
+      exprs => KllSketch(exprs.head, DefaultCapacity, DefaultPs,
+        emitState = true), "built-in")
+  }
 }

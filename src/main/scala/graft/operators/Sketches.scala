@@ -219,14 +219,25 @@ object Sketches {
     */
   def kllQuantileBound(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.KllSketch.register(spark)
+    val ev = Tables.table(spark, dir, "events")
+    val est = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      graft.functions.KllSketch(col("value")).as("est"))
+    kllFinish(ev, est)
+  }
+
+  /** Audit step shared by the batch query and the streaming fold
+    * ([[graft.streaming.StreamingQuantiles]]): given per-group sketch
+    * estimates `(event_type, n, est: array)`, compute the exact quantiles
+    * and each estimate's true rank, and emit the bound verdicts.
+    */
+  def kllFinish(ev: DataFrame, est: DataFrame): DataFrame = {
     val r6 = graft.functions.TextOps.round6 _
     val ps = graft.functions.KllSketch.DefaultPs
-    val ev = Tables.table(spark, dir, "events")
-    val agg = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"),
-      graft.functions.KllSketch(col("value")).as("est"),
+    val exact = ev.groupBy(col("event_type").as("et")).agg(
       array(ps.map(p => r6(expr(s"percentile(value, ${p}D)"))): _*).as("exact"))
-    val lattice = agg.select(col("event_type"), col("n"),
+    val lattice = est.join(broadcast(exact), col("event_type") === col("et"))
+      .select(col("event_type"), col("n"),
         posexplode(arrays_zip(col("est"), col("exact"))).as(Seq("pi", "z")))
       .select(col("event_type"), col("n"), col("pi"),
         col("z.est").as("est_v"), col("z.exact").as("exact_value"),
