@@ -131,6 +131,8 @@ object SparkEntry {
     "pipeline_split" -> (operators.Pipelines.trainValTestSplit _),
     "pipeline_sample" -> (operators.Pipelines.stratifiedSample _),
     "pipeline_reservoir" -> (operators.Pipelines.reservoirSample _),
+    "pipeline_negatives" -> (operators.Pipelines.negativePairs _),
+    "profile_winsorize" -> (operators.Profiling.profileWinsorize _),
     "pipeline_decontaminate" -> (operators.Pipelines.decontaminate _),
     "pipeline_pack" -> (operators.Pipelines.packSequences _),
     "pipeline_cdc_upsert" -> (operators.Pipelines.cdcUpsert _),
@@ -993,6 +995,8 @@ object SparkEntry {
         |       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1""".stripMargin,
     "pipeline_reservoir" -> operators.Pipelines.reservoirOracleSql,
+    "pipeline_negatives" -> operators.Pipelines.negativePairsOracleSql,
+    "profile_winsorize" -> operators.Profiling.winsorizeOracleSql,
     "pipeline_sample" ->
       """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
         |m AS (SELECT min(n_s) AS n_min FROM c),

@@ -212,6 +212,44 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Contrastive negative sampling — for each anchor doc, k=4
+    * deterministic negatives at ids `(anchor + j·173) mod N` (173 is
+    * coprime to any fixture N, so the probe sequence cycles the whole id
+    * space), keeping only cross-source pairs (an in-source "negative" is
+    * a false negative for contrastive training — the standard hygiene
+    * filter). Candidate generation is a row-local explode of pure id
+    * arithmetic — NO shuffle until the two ids-only hash joins that
+    * attach the sources; payload text never moves. Deterministic ⇒ the
+    * pair set is reproducible across epochs, machines, and cluster
+    * topologies, and a DuckDB oracle replays it verbatim.
+    */
+  def negativePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val cand = docs
+      .select(col("doc_id").as("anchor_id"), col("source").as("anchor_source"),
+        explode(sequence(lit(1), lit(4))).as("j"))
+      .crossJoin(broadcast(n))
+      .withColumn("neg_id", (col("anchor_id") + col("j") * 173) % col("n_docs"))
+    cand.join(docs.select(col("doc_id").as("neg_id"),
+        col("source").as("neg_source")), Seq("neg_id"))
+      .filter(col("neg_source") =!= col("anchor_source"))
+      .select(col("anchor_id"), col("j"), col("neg_id"),
+        col("anchor_source"), col("neg_source"))
+      .orderBy(col("anchor_id"), col("j"))
+  }
+
+  val negativePairsOracleSql: String =
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |c AS (SELECT d.doc_id AS anchor_id, d.source AS anchor_source, j.j,
+      |             (d.doc_id + j.j * 173) % n.n_docs AS neg_id
+      |      FROM documents d, (SELECT UNNEST([1, 2, 3, 4]) AS j) j, n)
+      |SELECT c.anchor_id, c.j, c.neg_id, c.anchor_source,
+      |       d2.source AS neg_source
+      |FROM c JOIN documents d2 ON d2.doc_id = c.neg_id
+      |WHERE d2.source <> c.anchor_source
+      |ORDER BY anchor_id, j""".stripMargin
+
   /** Deterministic per-stratum reservoir sample — EXACTLY k docs per
     * source, chosen as the k smallest md5 ranks (min-k hashing: a uniform
     * k-sample that is rerun-stable, scale-stable, and identical on any

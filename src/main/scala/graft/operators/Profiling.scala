@@ -390,6 +390,54 @@ object Profiling {
        |ORDER BY returnflag, pair""".stripMargin
   }
 
+  /** Winsorization — the robust-scaling cousin of [[profileOutliers]]:
+    * clip each group's values to its [p01, p99] fences and report the
+    * clip counts and the clipped mean, the standard way quality scores
+    * and reward-model outputs are tamed before a training mixture is
+    * weighted on them. Same two-pass shape as the outlier screen (tiny
+    * fence frame broadcast back, one row-local clipping scan). The mean
+    * is an exact decimal sum over round6-lattice clipped values (the
+    * [[Similarity.embedNorms]] portability discipline: round first, then
+    * sum exactly — a raw double mean is summation-order-dependent).
+    */
+  def profileWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val r6 = graft.functions.TextOps.round6 _
+    val ev = Tables.table(spark, dir, "events")
+    val fences = ev.groupBy(col("event_type").as("et"))
+      .agg(r6(expr("percentile(value, 0.01D)")).as("lo"),
+        r6(expr("percentile(value, 0.99D)")).as("hi"))
+    ev.join(broadcast(fences), col("event_type") === col("et"))
+      .withColumn("clipped",
+        r6(least(greatest(col("value"), col("lo")), col("hi"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        first(col("lo")).as("fence_lo"),
+        first(col("hi")).as("fence_hi"),
+        (sum(col("clipped").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)).cast("double")).as("clipped_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeOracleSql: String =
+    """WITH f AS (
+      |  SELECT event_type AS et,
+      |         floor(quantile_cont(value, 0.01) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+      |         floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS hi
+      |  FROM events GROUP BY event_type),
+      |c AS (SELECT e.event_type, e.value, f.lo, f.hi,
+      |             floor(least(greatest(e.value, f.lo), f.hi) * 1000000.0 + 0.5)
+      |               / 1000000.0 AS clipped
+      |      FROM events e JOIN f ON e.event_type = f.et)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      |       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+      |       MIN(lo) AS fence_lo,
+      |       MIN(hi) AS fence_hi,
+      |       CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS clipped_mean
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------------
   // Constraint validation suite (Deequ-style data-quality gate)
   // ---------------------------------------------------------------------

@@ -400,6 +400,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: fences bound the mean, clip counts stay in the 1% tails") {
+    val rows = Profiling.profileWinsorize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi, mean) = (r.getAs[Long]("n"), r.getAs[Double]("fence_lo"),
+        r.getAs[Double]("fence_hi"), r.getAs[Double]("clipped_mean"))
+      assert(lo <= hi && mean >= lo && mean <= hi,
+        "clipped mean must sit inside the fences")
+      // p01/p99 fences clip at most ~1% + lattice slack per tail
+      assert(r.getAs[Long]("n_clipped_lo") <= n / 100 + 1)
+      assert(r.getAs[Long]("n_clipped_hi") <= n / 100 + 1)
+    }
+  }
+
   test("constraint suite: clean fixture passes; injected defects are counted exactly") {
     import spark.implicits._
     // fixture: six checks, all green, totals = table counts

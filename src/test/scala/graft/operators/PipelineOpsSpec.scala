@@ -490,6 +490,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exists(_._2 > 0), "fixtures should span multiple active days")
   }
 
+  test("negative pairs: deterministic, cross-source, ≤4 per anchor") {
+    val rows = Pipelines.negativePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, j, neg, as, ns) =>
+      assert(j >= 1 && j <= 4 && as != ns && a != neg)
+    }
+    val perAnchor = rows.groupBy(_._1)
+    assert(perAnchor.values.forall(_.size <= 4))
+    // rerun is bit-identical (the reproducible-epoch contract)
+    val again = Pipelines.negativePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("reservoir sample: exactly k per source, equals the window spelling") {
     val got = Pipelines.reservoirSample(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
