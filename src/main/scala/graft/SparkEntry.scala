@@ -157,6 +157,7 @@ object SparkEntry {
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
+    "temporal_asof_exec" -> (operators.Temporal.asofJoinViaExec _),
     "temporal_asof_tolerance" -> (operators.Temporal.asofJoinTolerance _),
     "temporal_range_join" -> (operators.Temporal.rangeJoin _),
     "temporal_interval_overlap" -> (operators.Temporal.intervalOverlapJoin _),
@@ -1236,6 +1237,15 @@ object SparkEntry {
     // independent realization of the semantics (greatest v.us <= p.us per
     // purchase), not a re-transcription of our running-max plan.
     "temporal_asof_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |p AS (SELECT DISTINCT user_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT DISTINCT user_id, us FROM e WHERE event_type = 'view')
+        |SELECT p.user_id, p.us AS purchase_us, v.us AS last_view_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.us <= p.us""".stripMargin,
+    // the custom sort-merge as-of EXEC realizes the same contract as the
+    // window spelling — DuckDB's native ASOF JOIN stays the oracle
+    "temporal_asof_exec" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
         |p AS (SELECT DISTINCT user_id, us FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT DISTINCT user_id, us FROM e WHERE event_type = 'view')

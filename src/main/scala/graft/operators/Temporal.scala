@@ -84,6 +84,25 @@ object Temporal {
       .withColumn("attributed", col("attributed_view_us").isNotNull)
   }
 
+  /** The same attribution as [[asofJoin]] through the CUSTOM PHYSICAL
+    * OPERATOR ([[graft.plans.AsofJoin]]): distinct purchases as-of-join
+    * distinct views on user with `view.us <= purchase.us`. Same oracle
+    * as the window spelling — two realizations, one contract — but the
+    * plan is two clustered+sorted children and a streaming O(1)-state
+    * merge, no union materialization and no window-frame machinery
+    * (TemporalSpec pins both the equality and the plan shape).
+    */
+  def asofJoinViaExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us.as("purchase_us")).distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), us.as("last_view_us")).distinct()
+    graft.plans.AsofJoin.asofJoin(p, v,
+        Seq("user_id"), Seq("v_user"), "purchase_us", "last_view_us")
+      .select(col("user_id"), col("purchase_us"), col("last_view_us"))
+  }
+
   private val RangeWindowUs = 300000000L // 5 minutes
 
   /** Bounded RANGE JOIN: for every distinct error event, how many clicks

@@ -1,0 +1,195 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** AS-OF JOIN as a first-class physical operator — the temporal join
+  * Spark lacks natively (DuckDB `ASOF JOIN`, kdb `aj`, pandas
+  * `merge_asof`): for every left row, the single most recent right row
+  * of the same key with `r.time <= l.time` (optionally within a
+  * tolerance). The (c)-tier sibling of [[TopKPerGroupNode]] on the
+  * extension ladder: logical node + strategy + exec with DECLARED
+  * distribution and ordering requirements.
+  *
+  * Why a physical operator: the composable spelling
+  * ([[graft.operators.Temporal.asofJoin]] — union both sides, running
+  * `max(when(is_right, time))` window, filter back to left rows) is
+  * one shuffle but materializes the union and runs full per-partition
+  * sorts inside WindowExec, carrying every right row through the window
+  * frame machinery. This exec declares
+  * `ClusteredDistribution(keys)` + per-key `(key, time)` ordering on
+  * both children — EnsureRequirements co-partitions and sorts, exactly
+  * as for a sort-merge join — then streams ONE forward merge per
+  * partition with O(1) state (the current candidate row), no
+  * materialized union, no window frames. At 100 TB both spellings
+  * shuffle the same bytes; the merge replaces the window's sort-heavy
+  * inner loop with a linear scan.
+  *
+  * Semantics bound to the oracle's: ties match (`<=`), the LATEST
+  * qualifying right row wins (multiple right rows at one (key, time):
+  * last in sort order), unmatched left rows emit nulls (LEFT OUTER).
+  * Keys and times must be non-null (filter upstream); times are
+  * LongType (epoch micros — cast at the API).
+  */
+case class AsofJoinNode(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long],
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs at least one equi-key per side")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(lk, rk, lt, rt, tol, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with an as-of match"))
+
+  // both children clustered on their keys; EnsureRequirements makes the
+  // two hash partitionings compatible (same as sort-merge join planning)
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  // per-partition merge order: (keys…, time) ascending on each side
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // the merge streams the left side in order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val tol = toleranceUs
+    val lSchema = left.output; val rSchema = right.output
+    val rowsMetric = longMetric("numOutputRows")
+    val matchedMetric = longMetric("numMatched")
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lSchema)
+      val rKeyProj = UnsafeProjection.create(rk, rSchema)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lSchema)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rSchema)
+      val keyOrd = RowOrdering
+        .createNaturalAscendingOrdering(lk.map(_.dataType))
+      val nullRight = new GenericInternalRow(rSchema.length)
+      val joined = new JoinedRow
+      // candidate = most recent consumed right row; its key is COPIED
+      // (projections reuse buffers), the row itself copied on retention
+      var candKey: UnsafeRow = null
+      var candTime = 0L
+      var candRow: InternalRow = null
+      var rRow: InternalRow = null
+      var rKey: UnsafeRow = null
+      var rTime = 0L
+      var rHas = false
+      def advanceRight(): Unit = {
+        if (rIter.hasNext) {
+          rRow = rIter.next()
+          rKey = rKeyProj(rRow)
+          rTime = rTimeProj(rRow).getLong(0)
+          rHas = true
+        } else rHas = false
+      }
+      advanceRight()
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTime = lTimeProj(lRow).getLong(0)
+        // consume every right row at an earlier key, or same key with
+        // time <= lTime; the last same-key one becomes the candidate
+        var more = rHas
+        while (more) {
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0 || (c == 0 && rTime <= lTime)) {
+            if (c == 0) {
+              candKey = rKey.copy(); candTime = rTime; candRow = rRow.copy()
+            }
+            advanceRight()
+            more = rHas
+          } else more = false
+        }
+        rowsMetric += 1
+        val hit = candRow != null && keyOrd.compare(candKey, lKey) == 0 &&
+          candTime <= lTime && tol.forall(t => lTime - candTime <= t)
+        if (hit) { matchedMetric += 1; joined(lRow, candRow) }
+        else joined(lRow, nullRight)
+      }
+    }
+  }
+}
+
+object AsofJoin {
+
+  /** Public API: as-of LEFT join `left ⟕asof right` on positionally
+    * paired key columns with `right.time <= left.time` (and optional
+    * tolerance in the time column's own units). Name right-side columns
+    * distinctly — the output carries both sides' columns. Times are cast
+    * to long. Self-registers the strategy on the session, like
+    * [[TopKPerGroup.topKPerGroup]].
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+               leftTimeCol: String, rightTimeCol: String,
+               tolerance: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    AsofJoin.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(AsofJoinStrategy) &&
+          !spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute = plan.output
+      .find(a => spark.sessionState.conf.resolver(a.name, name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    def asLong(e: Expression): Expression =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+      AsofJoinNode(
+        leftKeyCols.map(attr(lp, _)), rightKeyCols.map(attr(rp, _)),
+        asLong(attr(lp, leftTimeCol)), asLong(attr(rp, rightTimeCol)),
+        tolerance, lp, rp))
+  }
+}

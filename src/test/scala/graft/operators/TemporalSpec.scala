@@ -159,4 +159,42 @@ class TemporalSpec extends SparkSpec {
     assert(got.exists(_._3 > 0) && got.exists(_._5 > 1),
       "fixture must exercise both pattern families")
   }
+
+  test("asof exec: equals the window spelling; plan is merge, not window") {
+    val df = Temporal.asofJoinViaExec(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).sortBy(x => (x._1, x._2))
+    val want = Temporal.asofJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec must plan:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"no window machinery in the exec spelling:\n$plan")
+  }
+
+  test("asof exec: tolerance + adversarial random streams equal a replay") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // dense key space + duplicate times force every merge edge case:
+    // repeated left keys, right runs between left keys, ties at equal us
+    val lefts = Seq.fill(400)((rng.nextInt(12).toLong, rng.nextInt(50).toLong))
+      .distinct
+    val rights = Seq.fill(300)((rng.nextInt(12).toLong, rng.nextInt(50).toLong))
+      .distinct
+    val l = lefts.toDF("k", "lt").repartition(7)
+    val r = rights.toDF("rk", "rt").repartition(5)
+    for (tol <- Seq(None, Some(5L))) {
+      val got = graft.plans.AsofJoin.asofJoin(l, r,
+          Seq("k"), Seq("rk"), "lt", "rt", tol)
+        .select(col("k"), col("lt"), col("rt")).collect()
+        .map(x => (x.getLong(0), x.getLong(1), Option(x.get(2)))).sortBy(x => (x._1, x._2))
+      val want = lefts.map { case (k, t) =>
+        val cand = rights.filter(p => p._1 == k && p._2 <= t &&
+          tol.forall(w => t - p._2 <= w))
+        (k, t, if (cand.isEmpty) None else Some(cand.map(_._2).max: Any))
+      }.sortBy(x => (x._1, x._2))
+      assert(got.toSeq == want.toSeq, s"tol=$tol merge must equal the replay")
+    }
+  }
 }
