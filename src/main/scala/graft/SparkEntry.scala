@@ -201,8 +201,14 @@ object SparkEntry {
     "graph_label_propagation" -> (operators.Graph.labelPropagation _),
     "q1_pricing" -> (Relational.q1Pricing _),
     "q4_priority_exists" -> (Relational.q4PriorityExists _),
+    "q7_nation_volume" -> (Relational.q7NationVolume _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q16_supplier_count" -> (Relational.q16SupplierCount _),
     "q17_small_quantity" -> (Relational.q17SmallQuantity _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "q19_disjunctive" -> (Relational.q19Disjunctive _),
+    "q21_waiting_supplier" -> (Relational.q21WaitingSupplier _),
+    "q22_global_sales" -> (Relational.q22GlobalSales _),
     "embed_kmeans" -> (operators.Clustering.kmeans _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
@@ -1438,8 +1444,14 @@ object SparkEntry {
     // same ANSI text runs verbatim on both engines; the value here is the
     // Catalyst decorrelation the specs pin (semi joins, no nested loop)
     "q4_priority_exists" -> Relational.q4Sql,
+    "q7_nation_volume" -> Relational.q7Sql,
+    "q14_promo_revenue" -> Relational.q14Sql,
+    "q16_supplier_count" -> Relational.q16Sql,
     "q17_small_quantity" -> Relational.q17Sql,
     "q18_large_orders" -> Relational.q18Sql,
+    "q19_disjunctive" -> Relational.q19Sql,
+    "q21_waiting_supplier" -> Relational.q21Sql,
+    "q22_global_sales" -> Relational.q22Sql,
     "embed_kmeans" -> operators.Clustering.kmeansOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,

@@ -316,6 +316,192 @@ object Relational {
     spark.sql(q18Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // TPC-H plan-shape completions (r7 wave 4). Six more canonical report
+  // shapes, each exercising a DISTINCT Catalyst capability the suite did
+  // not yet pin: a dual-role dimension (Q7), a conditional-aggregate ratio
+  // (Q14), a null-aware anti join from NOT IN (Q16), disjunctive
+  // predicate extraction (Q19), semi+anti self-joins from EXISTS/NOT
+  // EXISTS over the same table (Q21), and uncorrelated scalar subqueries
+  // feeding an anti join (Q22). All are identical SQL text on Spark and
+  // DuckDB; money/quantity aggregates follow the exact-decimal convention
+  // ([[d2]]) so both engines compute bit-identical values.
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q7 shape — volume shipping between two nations: the nation
+    * dimension participates TWICE (supplier's and customer's nation), so
+    * Catalyst must broadcast it on both legs and extract the symmetric
+    * pair predicate. Five-way join, grouped by (supp_nation, cust_nation,
+    * year). The year is cast to INT explicitly — DuckDB's EXTRACT yields
+    * BIGINT, Spark's INT.
+    */
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+      |         CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey
+      |    AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey
+      |    AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q7Sql)
+  }
+
+  /** TPC-H Q14 shape — promotion-effect ratio by ship month over one year:
+    * a conditional aggregate (CASE inside SUM, no ELSE so non-promo rows
+    * contribute NULL) divided by the total. Both sums are exact decimals
+    * cast to double BEFORE the division, so the ratio is one IEEE divide
+    * of bit-identical operands — engine-exact without rounding.
+    */
+  val q14Sql: String =
+    """SELECT CAST(EXTRACT(MONTH FROM CAST(l_shipdate AS DATE)) AS INT) AS ship_month,
+      |       CAST(100.0 AS DOUBLE)
+      |         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |                              * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+      |         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+      |GROUP BY ship_month
+      |ORDER BY ship_month""".stripMargin
+
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q14Sql)
+  }
+
+  /** TPC-H Q16 shape — parts/supplier relationship count: distinct
+    * suppliers per (brand, type, size) bucket, excluding a supplier
+    * denylist via NOT IN (subquery). The fixture has no partsupp table, so
+    * lineitem plays the part↔supplier association. `l_suppkey NOT IN
+    * (SELECT s_suppkey …)` is the canonical null-aware anti join shape —
+    * the spec asserts the plan carries a LeftAnti (and, since s_suppkey is
+    * small, a broadcast one) rather than a nested loop.
+    */
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part, lineitem
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#1'
+      |  AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q16Sql)
+  }
+
+  /** TPC-H Q19 shape — discounted revenue under three OR'd brand/size/
+    * quantity envelopes. The equi-key `p_partkey = l_partkey` is repeated
+    * inside every disjunct exactly as the TPC-H text spells it: Catalyst
+    * must EXTRACT the common conjunct to plan a hash join, then push the
+    * per-side residues (brand/size → part scan, quantity/flag → lineitem
+    * scan) below the join. The spec asserts no product join survives.
+    */
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |       AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity >= 1 AND l_quantity <= 20 AND l_returnflag = 'N')
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+      |       AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity >= 10 AND l_quantity <= 30 AND l_returnflag = 'N')
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+      |       AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity >= 20 AND l_quantity <= 40 AND l_returnflag = 'N')""".stripMargin
+
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q19Sql)
+  }
+
+  /** TPC-H Q21 shape — suppliers who alone returned goods on a shared
+    * order: EXISTS (another supplier touched the order) AND NOT EXISTS
+    * (another supplier also returned) — a semi join AND an anti join over
+    * the SAME fact table with a non-equi residual (`l_suppkey <>`), the
+    * multi-subquery decorrelation stress case. (The fixture lacks
+    * commit/receipt dates, so `l_returnflag = 'R'` plays Q21's
+    * late-delivery predicate, as in Q4.)
+    */
+  val q21Sql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q21Sql)
+  }
+
+  /** TPC-H Q22 shape — global sales opportunity: customers above the
+    * average positive balance with no RECENT order (every fixture customer
+    * has some order, so Q22's "never ordered" is spelled as dormant-since-
+    * 1999 — same anti-join shape, non-degenerate result), bucketed by
+    * nation. The average-balance threshold uses the cross-multiplied exact
+    * form (`bal · cnt > sum` in decimals — an IEEE AVG flips `>` on
+    * summation order across engines); the two uncorrelated scalar
+    * subqueries become broadcast scalars, and NOT EXISTS becomes a left
+    * anti join against the date-filtered orders scan.
+    */
+  val q22Sql: String =
+    """SELECT CAST(c_nationkey AS INT) AS cntrycode,
+      |       CAST(count(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      |        * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |         FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+      |GROUP BY c_nationkey
+      |ORDER BY cntrycode""".stripMargin
+
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q22Sql)
+  }
+
   /** §2.1 CSV/TBL source roundtrip: stage lineitem as pipe-delimited text
     * (the reference's input format) and aggregate from the CSV scan; the
     * oracle computes the same aggregate from parquet, so equality proves

@@ -232,4 +232,65 @@ class RelationalSpec extends SparkSpec {
     val qs = rows.map(_.getAs[Double]("sum_qty"))
     assert(qs.forall(_ > 300.0) && qs.sameElements(qs.sortBy(-(_: Double))))
   }
+
+  test("q7: dual-role nation dim broadcasts on both legs, no product join") {
+    val df = Relational.q7NationVolume(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no product joins:\n$plan")
+    // nation appears twice (supplier leg + customer leg): both scans must
+    // survive as separate broadcast builds
+    assert("Scan parquet".r.findAllIn(plan).size >= 2)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"five-way join must be all-broadcast at fixture scale:\n$plan")
+  }
+
+  test("q14: conditional-aggregate ratio is finite and bounded") {
+    val rows = Relational.q14PromoRevenue(spark, sfDir).collect()
+    assert(rows.length == 12)
+    val pct = rows.map(_.getAs[Double]("promo_pct"))
+    assert(pct.forall(p => p >= 0.0 && p <= 100.0 && !p.isNaN))
+  }
+
+  test("q16: NOT IN plans as an anti join, never a nested loop over supplier") {
+    val df = Relational.q16SupplierCount(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(plan.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("supplier_cnt") > 0))
+  }
+
+  test("q19: disjunctive predicate extracts the common equi-key (hash join)") {
+    val df = Relational.q19Disjunctive(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"OR'd conjuncts must still hash-join on p_partkey = l_partkey:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n_lines") > 0)
+  }
+
+  test("q21: EXISTS + NOT EXISTS over the same table plan semi AND anti joins") {
+    val df = Relational.q21WaitingSupplier(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("numwait") > 0))
+  }
+
+  test("q22: scalar subqueries + NOT EXISTS anti join; dormant-rich buckets") {
+    val df = Relational.q22GlobalSales(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no product joins:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Double]("totacctbal") > 0 &&
+      r.getAs[Long]("numcust") > 0))
+  }
 }
