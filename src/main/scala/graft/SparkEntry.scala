@@ -151,6 +151,7 @@ object SparkEntry {
     "stream_windows_sliding" -> (streaming.StreamingWindows.streamSliding _),
     "stream_dedup" -> (streaming.StreamingWindows.streamDedup _),
     "stream_enrich_static" -> (streaming.StreamingWindows.streamEnrichStatic _),
+    "stream_scd_enrich" -> (streaming.StreamingWindows.streamScdEnrich _),
     "stream_join_interval" -> (streaming.StreamingWindows.streamJoinInterval _),
     "stream_cdc_upsert" -> (streaming.StreamingWindows.streamCdcUpsert _),
     "stream_dedup_incremental" -> (streaming.StreamingDedup.streamIncrementalDedup _),
@@ -1228,6 +1229,28 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type""".stripMargin,
+    // stateless stream-static interval join ⇒ converged ≡ the batch
+    // point-in-interval join against the same SCD2 collapse (valid_from
+    // inclusive, valid_to exclusive, open current interval)
+    "stream_scd_enrich" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, state
+        |      FROM d WHERE prev IS NULL OR prev <> state),
+        |v AS (SELECT user_id, state, ts AS valid_from,
+        |             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |      FROM c),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT v.state,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM p JOIN v ON p.user_id = v.user_id AND p.ts >= v.valid_from
+        |     AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+        |GROUP BY v.state
+        |ORDER BY v.state""".stripMargin,
     // inner stream-stream matches all emit by convergence ⇒ ≡ batch
     // interval join (the watermark only bounds state, never the output)
     "stream_join_interval" ->

@@ -215,6 +215,62 @@ object StreamingWindows {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
   }
 
+  /** Stream–SCD2 temporal enrichment: the streamed purchase events join
+    * the user's STATE HISTORY (an SCD Type-2 dimension of validity
+    * intervals, built from each user's non-purchase activity with the
+    * same collapse rule as [[graft.operators.Pipelines.scd2Build]]) on
+    * `user = key AND valid_from <= ts < valid_to` — so each purchase is
+    * tagged with the dimension VERSION that was live at its event time,
+    * not the latest one. This is the production join for applying a
+    * slowly-changing dimension to a stream (price books, account tiers,
+    * consent flags).
+    *
+    * Scale shape: the dimension broadcasts (stream–static joins permit
+    * arbitrary residual conditions because the static side is bounded);
+    * Catalyst extracts the `user_id = d_user` equi-conjunct for the
+    * broadcast hash join and evaluates the interval bound as a row-local
+    * residual, so the stream side never shuffles and the join is
+    * stateless — no watermark, append mode, each enriched purchase emits
+    * exactly once. Each purchase matches AT MOST one interval (intervals
+    * partition the user's timeline from first activity), so the converged
+    * sink aggregates to exactly the batch interval join — the DuckDB
+    * oracle.
+    */
+  def streamScdEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("d_user")).orderBy(col("d_ts"), col("event_id"))
+    val dim = Tables.table(spark, dir, "events")
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("d_user"), col("ts").as("d_ts"),
+        col("event_id"), col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to", lead(col("d_ts"), 1).over(w))
+      .select(col("d_user"), col("state"),
+        col("d_ts").as("valid_from"), col("valid_to"))
+    val staged = stagedEvents(spark, dir)
+    val sink = s"graft_stream_scd_${sinkCounter.incrementAndGet()}"
+    val q = spark.readStream
+      .schema("ts timestamp, user_id bigint, event_type string, value double")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(dim),
+        col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select("state", "user_id", "value")
+      .writeStream.queryName(sink).format("memory")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy(col("state"))
+  }
+
   /** Stream–stream event-time interval join: clicks attributed to the
     * view they followed within one hour, per user — the attribution
     * join every product-analytics pipeline runs, and the one streaming

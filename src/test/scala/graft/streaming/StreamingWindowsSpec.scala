@@ -179,6 +179,36 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(agg.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
   }
 
+  test("stream-SCD2 enrichment tags each purchase with the interval live at its ts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val agg = StreamingWindows.streamScdEnrich(spark, sfDir)
+    val rows = agg.collect()
+    assert(rows.nonEmpty, "some purchases must fall inside a state interval")
+    // batch twin: the same SCD2 collapse + point-in-interval join
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+    val w = Window.partitionBy(col("d_user")).orderBy(col("d_ts"), col("event_id"))
+    val dim = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("d_user"), col("ts").as("d_ts"),
+        col("event_id"), col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to", lead(col("d_ts"), 1).over(w))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts") >= col("d_ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+    assert(rows.map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
+    // intervals partition each user's timeline: no purchase can match twice,
+    // so the enriched count never exceeds the purchase count
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n")).sum <= purchases)
+  }
+
   test("stream-stream interval join matches batch and EVICTS watermark-expired state") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft-events-j").toString
