@@ -211,6 +211,8 @@ object SparkEntry {
     "q21_waiting_supplier" -> (Relational.q21WaitingSupplier _),
     "q22_global_sales" -> (Relational.q22GlobalSales _),
     "embed_kmeans" -> (operators.Clustering.kmeans _),
+    "embed_pq" -> (operators.ProductQuant.pqProfile _),
+    "ann_pq_adc" -> (operators.ProductQuant.adcTop1 _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
     // --- embedding hygiene ---
@@ -1476,6 +1478,10 @@ object SparkEntry {
     "q21_waiting_supplier" -> Relational.q21Sql,
     "q22_global_sales" -> Relational.q22Sql,
     "embed_kmeans" -> operators.Clustering.kmeansOracleSql,
+    // per-subspace fixed-point Lloyd + encode + ADC, unrolled as CTEs —
+    // codes, quantization errors, and ADC distances are all exact int64
+    "embed_pq" -> operators.ProductQuant.pqOracleSql,
+    "ann_pq_adc" -> operators.ProductQuant.adcOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact

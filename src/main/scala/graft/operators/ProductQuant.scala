@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** PRODUCT QUANTIZATION (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the storage/compute path a
+  * billion-vector ANN index actually runs: split each d-dim vector into M
+  * subvectors, train a small codebook per subspace, store each vector as M
+  * one-byte codes (here 64 dims × 4 B floats = 256 B → 4 codes), and
+  * answer queries with ASYMMETRIC DISTANCE COMPUTATION (ADC): the query
+  * precomputes its M×K table of subspace distances once, then every
+  * database vector's approximate distance is M table lookups — no float
+  * math per pair.
+  *
+  * Engine-exact by construction, like [[Clustering]]: embeddings quantize
+  * once to integer millionths, per-subspace codebooks train with the same
+  * fixed-point Lloyd contract (seeds = `vec_id` 0..K−1's subvectors,
+  * truncating-division means, carry-forward on empty codes, (dist, cid)
+  * tie-break), so codes, quantization errors, and ADC distances are all
+  * exact int64 — the DuckDB oracle unrolls the identical computation.
+  *
+  * Scale shape: training is M small hash aggregates per round (K·subdim
+  * groups each); encoding is a row-local argmin projection (codebooks ride
+  * as literals into whole-stage codegen — zero shuffle); the ADC scan is
+  * the documented brute-force form over `NumQueries` query rows — at
+  * production scale the same scan runs inside IVF cells
+  * ([[Similarity]] provides the cell pruning; IVF-PQ composes the two).
+  */
+object ProductQuant {
+
+  val M = 4            // subspaces
+  val SubDim = 16      // dims per subspace (4 × 16 = the 64-dim fixture)
+  val Codes = 8        // codebook entries per subspace (3-bit codes here)
+  val Iters = 2        // Lloyd rounds per subspace
+  val Scale = 1000000L // float → integer millionths (exact in double)
+  val NumQueries = 100
+
+  private def quantized: Column =
+    transform(col("embedding"),
+      x => floor(x.cast("double") * Scale).cast("long"))
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), quantized.as("e"))
+
+  /** Subspace m's slice of the full quantized vector (1-based, codegen). */
+  private def sub(m: Int): Column = slice(col("e"), m * SubDim + 1, SubDim)
+
+  /** Exact int64 squared L2 between a row subvector and a centroid
+    * literal (|q| ≤ 10⁶ ⇒ per-dim square ≤ 4·10¹², ×16 dims ≪ 2⁶³).
+    */
+  private def dist2(ce: Seq[Long], v: Column): Column =
+    aggregate(zip_with(v, typedlit(ce), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** argmin over the codebook as `array_min` of (dist, cid) structs —
+    * lexicographic struct ordering IS the tie-break-by-cid contract.
+    */
+  private def assign(cb: Seq[(Long, Seq[Long])], v: Column): Column =
+    array_min(array(cb.map { case (cid, ce) =>
+      struct(dist2(ce, v).as("dist"), lit(cid).as("cid"))
+    }: _*))
+
+  /** One Lloyd round over `(vec_id, se)`: K·SubDim integer sums/counts,
+    * merged driver-side into the next codebook (O(K·SubDim) driver state
+    * — the data never moves to the driver).
+    */
+  private def updated(q: DataFrame, cb: Seq[(Long, Seq[Long])])
+      : Seq[(Long, Seq[Long])] = {
+    val rows = q.select(assign(cb, col("se")).getField("cid").as("cid"), col("se"))
+      .select(col("cid"), posexplode(col("se")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .collect()
+    val byCid = rows.groupBy(_.getLong(0))
+    cb.map { case (cid, old) =>
+      cid -> byCid.get(cid).fold(old) { rs =>
+        val means = rs.map(r => r.getInt(1) -> (r.getLong(2) / r.getLong(3))).toMap
+        old.indices.map(i => means(i))
+      }
+    }
+  }
+
+  /** Train subspace m's codebook on the pinned quantized frame. */
+  private def trainSub(q: DataFrame, m: Int): Seq[(Long, Seq[Long])] = {
+    val qm = q.select(col("vec_id"), sub(m).as("se"))
+    val init = qm.filter(col("vec_id") < Codes).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq)
+      .sortBy(_._1).toSeq
+    var cb: Seq[(Long, Seq[Long])] = init
+    for (_ <- 1 to Iters) cb = updated(qm, cb)
+    cb
+  }
+
+  /** All M codebooks off ONE pinned scan (M × Iters small aggregates). */
+  private def codebooks(q: DataFrame): Seq[Seq[(Long, Seq[Long])]] =
+    (0 until M).map(m => trainSub(q, m))
+
+  /** `embed_pq` — the PQ ENCODE profile: every vector encoded to its M
+    * codes; per (subspace, code): occupancy, total quantization error
+    * (exact int64 — the ADC error budget), and membership checksums. One
+    * union of M row-local assignment projections over the pinned scan.
+    */
+  def pqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir).localCheckpoint()
+    val cbs = codebooks(q)
+    (0 until M).map { m =>
+      q.select(lit(m).as("subspace"), col("vec_id"),
+        assign(cbs(m), sub(m)).as("a"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("subspace"), col("a.cid").as("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("a.dist")).as("sq_err"),
+        sum(col("vec_id")).as("sum_vec_ids"),
+        min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
+  /** `ann_pq_adc` — asymmetric-distance top-1 search: queries (`vec_id <
+    * NumQueries`) precompute their M×K distance tables as row-local
+    * arrays (`dt_m[c]` = exact d² from the query's subvector to codebook
+    * entry c), the database side carries only its M codes, and each
+    * query×candidate pair costs M `element_at` lookups + 3 adds — the PQ
+    * ADC contract. Top-1 per query is one hash aggregate
+    * (min-of-struct), tie-broken by candidate id.
+    */
+  def adcTop1(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir).localCheckpoint()
+    val cbs = codebooks(q)
+    // database: vec_id + M codes (row-local argmin projections)
+    val encoded = q.select(
+      (col("vec_id").as("n_id") +:
+        (0 until M).map(m => assign(cbs(m), sub(m)).getField("cid").as(s"c$m"))): _*)
+    // queries: vec_id + M distance tables (arrays indexed by code, which
+    // is the SEED vec_id 0..K-1, stable across rounds by carry-forward)
+    val queries = q.filter(col("vec_id") < NumQueries).select(
+      (col("vec_id").as("q_id") +:
+        (0 until M).map { m =>
+          array(cbs(m).sortBy(_._1).map { case (_, ce) => dist2(ce, sub(m)) }: _*)
+            .as(s"dt$m")
+        }): _*)
+    val adc = (0 until M).map(m =>
+      element_at(col(s"dt$m"), (col(s"c$m") + 1).cast("int"))).reduce(_ + _)
+    queries.crossJoin(encoded)
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), struct(adc.as("adc"), col("n_id").as("nn_id")).as("p"))
+      .groupBy(col("q_id"))
+      .agg(min(col("p")).as("m"))
+      .select(col("q_id"), col("m.nn_id").as("nn_id"), col("m.adc").as("adc_dist"))
+      .orderBy(col("q_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles: the identical fixed-point computation unrolled as
+  // chained CTEs (same quantization, slices, seeds, truncating means,
+  // carry-forward, and tie-breaks).
+  // ---------------------------------------------------------------------
+
+  private def baseCte: String =
+    s"""WITH q AS (SELECT vec_id,
+       |      list_transform(CAST(embedding AS DOUBLE[]),
+       |        x -> CAST(floor(x * $Scale) AS BIGINT)) AS e
+       |    FROM embeddings)""".stripMargin
+
+  /** Per-subspace training CTEs: sm{m} (slice), m{m}c0..c$Iters. */
+  private def trainCtes(m: Int): String = {
+    val lo = m * SubDim + 1
+    val hi = (m + 1) * SubDim
+    def assignCte(a: String, c: String) =
+      s"""$a AS (
+         |  SELECT vec_id, se, cid, dist FROM (
+         |    SELECT s.vec_id, s.se, c.cid,
+         |      CAST(list_sum(list_transform(list_zip(s.se, c.ce),
+         |        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(s.se, c.ce),
+         |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), c.cid) AS rn
+         |    FROM sm$m s, $c c) t WHERE rn = 1)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""${assignCte(s"m${m}a$i", s"m${m}c${i - 1}")},
+         |m${m}u$i AS (
+         |  SELECT cid, list(mu ORDER BY dim) AS ce FROM (
+         |    SELECT a.cid, t.i AS dim,
+         |      CAST(sum(a.se[t.i + 1]) AS BIGINT) // count(*) AS mu
+         |    FROM m${m}a$i a, range($SubDim) t(i)
+         |    GROUP BY a.cid, t.i) s
+         |  GROUP BY cid),
+         |m${m}c$i AS (SELECT cid, ce FROM m${m}u$i
+         |        UNION ALL
+         |        SELECT p.cid, p.ce FROM m${m}c${i - 1} p
+         |        WHERE p.cid NOT IN (SELECT cid FROM m${m}u$i))""".stripMargin
+    }.mkString(",\n")
+    s"""sm$m AS (SELECT vec_id, e[$lo:$hi] AS se FROM q),
+       |m${m}c0 AS (SELECT vec_id AS cid, se AS ce FROM sm$m WHERE vec_id < $Codes),
+       |$iters,
+       |${assignCte(s"m${m}fin", s"m${m}c$Iters")}""".stripMargin
+  }
+
+  val pqOracleSql: String = {
+    val subs = (0 until M).map(trainCtes).mkString(",\n")
+    val branches = (0 until M).map { m =>
+      s"""SELECT $m AS subspace, cid AS code, count(*) AS n_vecs,
+         |       CAST(sum(dist) AS BIGINT) AS sq_err,
+         |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
+         |       min(vec_id) AS min_vec_id
+         |FROM m${m}fin GROUP BY cid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$baseCte,
+       |$subs
+       |$branches
+       |ORDER BY subspace, code""".stripMargin
+  }
+
+  val adcOracleSql: String = {
+    val subs = (0 until M).map(trainCtes).mkString(",\n")
+    // per-subspace pair distance: query subvector → the CODEBOOK ENTRY of
+    // the candidate's code (asymmetric: database side is its centroid)
+    val dCtes = (0 until M).map { m =>
+      s"""d$m AS (
+         |  SELECT s.vec_id AS q_id, en.vec_id AS n_id,
+         |    CAST(list_sum(list_transform(list_zip(s.se, cb.ce),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+         |  FROM sm$m s
+         |  JOIN m${m}fin en ON en.vec_id <> s.vec_id
+         |  JOIN m${m}c$Iters cb ON cb.cid = en.cid
+         |  WHERE s.vec_id < $NumQueries)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until M).map(m =>
+      s"JOIN d$m ON d$m.q_id = d0.q_id AND d$m.n_id = d0.n_id").mkString("\n")
+    val total = (0 until M).map(m => s"d$m.d").mkString(" + ")
+    s"""$baseCte,
+       |$subs,
+       |$dCtes,
+       |adc AS (
+       |  SELECT d0.q_id, d0.n_id, CAST($total AS BIGINT) AS adc_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY d0.q_id
+       |      ORDER BY CAST($total AS BIGINT), d0.n_id) AS rn
+       |  FROM d0
+       |  $joins)
+       |SELECT q_id, n_id AS nn_id, adc_dist FROM adc WHERE rn = 1
+       |ORDER BY q_id""".stripMargin
+  }
+}

@@ -335,6 +335,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == vecs.length.toLong)
   }
 
+  test("product quantization: codes, errors, and ADC top-1 equal an exact local replay") {
+    val vecs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * ProductQuant.Scale).cast("long")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq)
+      .sortBy(_._1)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    import ProductQuant.{M, SubDim, Codes, Iters, NumQueries}
+    // local replay: per-subspace Lloyd with the shared fixed-point contract
+    val cbs = (0 until M).map { m =>
+      val sub = vecs.map { case (id, e) => id -> e.slice(m * SubDim, (m + 1) * SubDim) }
+      var cents: Seq[(Long, IndexedSeq[Long])] =
+        sub.filter(_._1 < Codes).map { case (id, e) => id -> e }
+      def assign(e: Seq[Long]) = cents.map { case (cid, ce) => (d2(e, ce), cid) }.min
+      for (_ <- 1 to Iters) {
+        val byC = sub.map { case (_, e) => (assign(e)._2, e) }.groupBy(_._1)
+        cents = cents.map { case (cid, old) =>
+          cid -> byC.get(cid).fold(old) { g =>
+            val n = g.length
+            old.indices.map(i => g.map(_._2(i)).sum / n).toIndexedSeq
+          }
+        }
+      }
+      cents.sortBy(_._1)
+    }
+    def enc(m: Int, e: IndexedSeq[Long]): (Long, Long) = {
+      val se = e.slice(m * SubDim, (m + 1) * SubDim)
+      cbs(m).map { case (cid, ce) => (d2(se, ce), cid) }.min.swap
+    }
+    // profile replay
+    val wantProfile = (0 until M).flatMap { m =>
+      vecs.map { case (id, e) => val (c, d) = enc(m, e); (m, c, id, d) }
+        .groupBy(_._2).toSeq.map { case (c, g) =>
+          (m, c, g.length.toLong, g.map(_._4).sum, g.map(_._3).sum, g.map(_._3).min)
+        }
+    }.sortBy(t => (t._1, t._2))
+    val gotProfile = ProductQuant.pqProfile(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(gotProfile == wantProfile, "PQ profile must bit-match the local replay")
+    // every subspace partitions the corpus
+    assert(gotProfile.groupBy(_._1).values.forall(_.map(_._3).sum == vecs.length))
+    // ADC replay: query distance tables → M lookups per candidate
+    val codes = vecs.map { case (id, e) => id -> (0 until M).map(m => enc(m, e)._1) }.toMap
+    val wantAdc = vecs.filter(_._1 < NumQueries).map { case (qid, qe) =>
+      val best = vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val adc = (0 until M).map { m =>
+          val qs = qe.slice(m * SubDim, (m + 1) * SubDim)
+          d2(qs, cbs(m)(codes(nid)(m).toInt)._2)
+        }.sum
+        (adc, nid)
+      }.min
+      (qid, best._2, best._1)
+    }.toSeq
+    val gotAdc = ProductQuant.adcTop1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotAdc == wantAdc, "ADC top-1 must bit-match the local replay")
+  }
+
   test("collocations: integer lift ranking equals a local replay, support floor holds") {
     val got = graft.functions.TextOps.collocations(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
