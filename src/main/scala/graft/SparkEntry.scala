@@ -203,11 +203,15 @@ object SparkEntry {
     "q1_pricing" -> (Relational.q1Pricing _),
     "q4_priority_exists" -> (Relational.q4PriorityExists _),
     "q7_nation_volume" -> (Relational.q7NationVolume _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q13_order_distribution" -> (Relational.q13OrderDistribution _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
     "q16_supplier_count" -> (Relational.q16SupplierCount _),
     "q17_small_quantity" -> (Relational.q17SmallQuantity _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
+    "q20_promo_suppliers" -> (Relational.q20PromoSuppliers _),
     "q21_waiting_supplier" -> (Relational.q21WaitingSupplier _),
     "q22_global_sales" -> (Relational.q22GlobalSales _),
     "embed_kmeans" -> (operators.Clustering.kmeans _),
@@ -1470,11 +1474,15 @@ object SparkEntry {
     // Catalyst decorrelation the specs pin (semi joins, no nested loop)
     "q4_priority_exists" -> Relational.q4Sql,
     "q7_nation_volume" -> Relational.q7Sql,
+    "q8_market_share" -> Relational.q8Sql,
+    "q13_order_distribution" -> Relational.q13Sql,
     "q14_promo_revenue" -> Relational.q14Sql,
+    "q15_top_supplier" -> Relational.q15Sql,
     "q16_supplier_count" -> Relational.q16Sql,
     "q17_small_quantity" -> Relational.q17Sql,
     "q18_large_orders" -> Relational.q18Sql,
     "q19_disjunctive" -> Relational.q19Sql,
+    "q20_promo_suppliers" -> Relational.q20Sql,
     "q21_waiting_supplier" -> Relational.q21Sql,
     "q22_global_sales" -> Relational.q22Sql,
     "embed_kmeans" -> operators.Clustering.kmeansOracleSql,

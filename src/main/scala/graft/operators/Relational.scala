@@ -502,6 +502,115 @@ object Relational {
     spark.sql(q22Sql)
   }
 
+  /** TPC-H Q8 shape — national market share: the fraction of ASIA-market
+    * ECONOMY-part revenue supplied by NATION_3, per order year. An
+    * eight-way join where nation again plays two roles (the customer's
+    * region membership and the supplier's nationality), and the share is
+    * a conditional aggregate over the SAME grouped rows as its
+    * denominator — one aggregate, two exact-decimal sums, one IEEE
+    * divide (the Q14 discipline; COALESCE(…, 0) covers years where the
+    * focal nation sold nothing, keeping the ratio non-NULL).
+    */
+  val q8Sql: String =
+    """SELECT o_year,
+      |       COALESCE(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE), 0.0)
+      |         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+      |       CAST(SUM(volume) AS DOUBLE) AS total_volume
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |         CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |         n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey
+      |    AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA'
+      |    AND s_nationkey = n2.n_nationkey
+      |    AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q8Sql)
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
+    * join with a predicate ON THE JOIN CONDITION (not a WHERE — customers
+    * whose orders all fail the filter must survive with count 0), then a
+    * histogram of the per-customer counts: aggregate-of-aggregate, the
+    * one TPC-H shape exercising outer-join semantics under grouping.
+    * Integer counts ⇒ engine-exact.
+    */
+  val q13Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q13Sql)
+  }
+
+  /** TPC-H Q15 shape — top supplier by quarterly revenue: an aggregated
+    * CTE (the reference view) consumed TWICE — once as the join input and
+    * once under a scalar MAX subquery — with the top filter comparing the
+    * two. The revenue stays an exact decimal through the MAX and the
+    * equality (a double here could tie-break differently per engine),
+    * cast to double only in the output projection.
+    */
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q15Sql)
+  }
+
+  /** TPC-H Q20 shape — suppliers with significant PROMO-part volume:
+    * CHAINED membership subqueries (an IN whose inner query itself
+    * filters by another IN and aggregates under HAVING) — two stacked
+    * semi joins with an aggregate between them, the nesting depth Q18
+    * doesn't reach. Exact-decimal quantity sum under the HAVING.
+    */
+  val q20Sql: String =
+    """SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 2600)
+      |ORDER BY s_name""".stripMargin
+
+  def q20PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q20Sql)
+  }
+
   /** §2.1 CSV/TBL source roundtrip: stage lineitem as pipe-delimited text
     * (the reference's input format) and aggregate from the CSV scan; the
     * oracle computes the same aggregate from parquet, so equality proves

@@ -282,6 +282,50 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("numwait") > 0))
   }
 
+  test("q8: market share is a bounded ratio over the eight-way join") {
+    val df = Relational.q8MarketShare(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no product joins:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("mkt_share")
+      s >= 0.0 && s <= 1.0 && r.getAs[Double]("total_volume") > 0.0
+    })
+  }
+
+  test("q13: outer-join count histogram preserves zero-order customers") {
+    val df = Relational.q13OrderDistribution(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the histogram masses sum to the customer count (outer join keeps all)
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    val customers = graft.sources.Tables.table(spark, sfDir, "customer").count()
+    assert(total == customers, s"histogram mass $total != customers $customers")
+  }
+
+  test("q15: scalar MAX over the revenue CTE selects exactly the argmax rows") {
+    val df = Relational.q15TopSupplier(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no product joins:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue"))
+    assert(revs.distinct.length == 1, "all returned rows must share the max revenue")
+  }
+
+  test("q20: chained IN subqueries plan as stacked semi joins") {
+    val df = Relational.q20PromoSuppliers(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      s"both IN levels must plan as semi joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no product joins:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("q22: scalar subqueries + NOT EXISTS anti join; dormant-rich buckets") {
     val df = Relational.q22GlobalSales(spark, sfDir)
     val plan = finalizedPlan(df)
