@@ -214,6 +214,11 @@ object SparkEntry {
     "q20_promo_suppliers" -> (Relational.q20PromoSuppliers _),
     "q21_waiting_supplier" -> (Relational.q21WaitingSupplier _),
     "q22_global_sales" -> (Relational.q22GlobalSales _),
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q11_important_parts" -> (Relational.q11ImportantParts _),
+    "q12_ship_priority" -> (Relational.q12ShipPriority _),
     "embed_kmeans" -> (operators.Clustering.kmeans _),
     "embed_pq" -> (operators.ProductQuant.pqProfile _),
     "ann_pq_adc" -> (operators.ProductQuant.adcTop1 _),
@@ -1485,6 +1490,11 @@ object SparkEntry {
     "q20_promo_suppliers" -> Relational.q20Sql,
     "q21_waiting_supplier" -> Relational.q21Sql,
     "q22_global_sales" -> Relational.q22Sql,
+    "q2_min_cost_supplier" -> Relational.q2Sql,
+    "q6_forecast_revenue" -> Relational.q6Sql,
+    "q9_product_profit" -> Relational.q9Sql,
+    "q11_important_parts" -> Relational.q11Sql,
+    "q12_ship_priority" -> Relational.q12Sql,
     "embed_kmeans" -> operators.Clustering.kmeansOracleSql,
     // per-subspace fixed-point Lloyd + encode + ADC, unrolled as CTEs —
     // codes, quantization errors, and ADC distances are all exact int64

