@@ -222,6 +222,7 @@ object SparkEntry {
     "embed_kmeans" -> (operators.Clustering.kmeans _),
     "embed_pq" -> (operators.ProductQuant.pqProfile _),
     "ann_pq_adc" -> (operators.ProductQuant.adcTop1 _),
+    "ann_ivf_pq" -> (operators.ProductQuant.ivfAdcTop1 _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
     // --- embedding hygiene ---
@@ -1500,6 +1501,9 @@ object SparkEntry {
     // codes, quantization errors, and ADC distances are all exact int64
     "embed_pq" -> operators.ProductQuant.pqOracleSql,
     "ann_pq_adc" -> operators.ProductQuant.adcOracleSql,
+    // IVF pruning is lossless by the reconstruction-space triangle
+    // inequality, so the cells-probed scan shares the flat ADC oracle
+    "ann_ivf_pq" -> operators.ProductQuant.adcOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact

@@ -84,16 +84,23 @@ object ProductQuant {
     }
   }
 
-  /** Train subspace m's codebook on the pinned quantized frame. */
-  private def trainSub(q: DataFrame, m: Int): Seq[(Long, Seq[Long])] = {
-    val qm = q.select(col("vec_id"), sub(m).as("se"))
-    val init = qm.filter(col("vec_id") < Codes).collect()
+  /** Fixed-point Lloyd over any `(vec_id, se)` frame: seeds = the first
+    * `k` vec_ids' subvectors, [[Iters]] rounds of [[updated]]. Shared by
+    * the per-subspace PQ codebooks and the full-dimension IVF coarse
+    * quantizer (same exact-int64 contract, different slice widths).
+    */
+  private def trainOn(qm: DataFrame, k: Int): Seq[(Long, Seq[Long])] = {
+    val init = qm.filter(col("vec_id") < k).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq)
       .sortBy(_._1).toSeq
     var cb: Seq[(Long, Seq[Long])] = init
     for (_ <- 1 to Iters) cb = updated(qm, cb)
     cb
   }
+
+  /** Train subspace m's codebook on the pinned quantized frame. */
+  private def trainSub(q: DataFrame, m: Int): Seq[(Long, Seq[Long])] =
+    trainOn(q.select(col("vec_id"), sub(m).as("se")), Codes)
 
   /** All M codebooks off ONE pinned scan (M × Iters small aggregates). */
   private def codebooks(q: DataFrame): Seq[Seq[(Long, Seq[Long])]] =
@@ -127,30 +134,138 @@ object ProductQuant {
     * ADC contract. Top-1 per query is one hash aggregate
     * (min-of-struct), tie-broken by candidate id.
     */
-  def adcTop1(spark: SparkSession, dir: String): DataFrame = {
-    val q = vecs(spark, dir).localCheckpoint()
-    val cbs = codebooks(q)
-    // database: vec_id + M codes (row-local argmin projections)
-    val encoded = q.select(
+  /** Database side: vec_id + M codes (row-local argmin projections). */
+  private def encodedFrame(q: DataFrame, cbs: Seq[Seq[(Long, Seq[Long])]]): DataFrame =
+    q.select(
       (col("vec_id").as("n_id") +:
         (0 until M).map(m => assign(cbs(m), sub(m)).getField("cid").as(s"c$m"))): _*)
-    // queries: vec_id + M distance tables (arrays indexed by code, which
-    // is the SEED vec_id 0..K-1, stable across rounds by carry-forward)
-    val queries = q.filter(col("vec_id") < NumQueries).select(
+
+  /** Query side: vec_id + M distance tables (arrays indexed by code, which
+    * is the SEED vec_id 0..K-1, stable across rounds by carry-forward).
+    */
+  private def queryFrame(q: DataFrame, cbs: Seq[Seq[(Long, Seq[Long])]]): DataFrame =
+    q.filter(col("vec_id") < NumQueries).select(
       (col("vec_id").as("q_id") +:
         (0 until M).map { m =>
           array(cbs(m).sortBy(_._1).map { case (_, ce) => dist2(ce, sub(m)) }: _*)
             .as(s"dt$m")
         }): _*)
-    val adc = (0 until M).map(m =>
-      element_at(col(s"dt$m"), (col(s"c$m") + 1).cast("int"))).reduce(_ + _)
-    queries.crossJoin(encoded)
-      .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), struct(adc.as("adc"), col("n_id").as("nn_id")).as("p"))
+
+  /** ADC of one (query, candidate) pair: M table lookups + 3 adds. */
+  private def adcExpr: Column = (0 until M).map(m =>
+    element_at(col(s"dt$m"), (col(s"c$m") + 1).cast("int"))).reduce(_ + _)
+
+  /** Top-1-per-query over a scored (q_id, dt*, c*, n_id) candidate frame:
+    * one hash aggregate, min-of-struct, ties on candidate id.
+    */
+  private def adcTop1Of(cand: DataFrame): DataFrame =
+    cand.filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), struct(adcExpr.as("adc"), col("n_id").as("nn_id")).as("p"))
       .groupBy(col("q_id"))
       .agg(min(col("p")).as("m"))
       .select(col("q_id"), col("m.nn_id").as("nn_id"), col("m.adc").as("adc_dist"))
       .orderBy(col("q_id"))
+
+  def adcTop1(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir).localCheckpoint()
+    val cbs = codebooks(q)
+    adcTop1Of(queryFrame(q, cbs).crossJoin(encodedFrame(q, cbs)))
+  }
+
+  // --- IVF × PQ composition ----------------------------------------------
+
+  val IvfCells = 16     // coarse-quantizer cells (seeds vec_id 0..15)
+  val IvfProbes = 4     // cells whose exact ADC scores seed the bound
+
+  /** `ann_ivf_pq` — the production billion-vector index shape: IVF coarse
+    * cells restrict which encoded vectors each query ADC-scores, replacing
+    * [[adcTop1]]'s flat query×corpus scan (the ANN family's last unpruned
+    * Q×N product) with a cells-probed one.
+    *
+    * EXACT by the triangle inequality, in RECONSTRUCTION space: the ADC
+    * distance is precisely ‖q − recon(n)‖² (the subspaces partition the
+    * dimensions, so the M table lookups sum to the full squared L2 against
+    * the concatenated centroids). Hence with cell radius
+    * `r_j = max_{n∈j} ‖recon(n) − g_j‖`, any cell with
+    * `‖q − g_j‖ − r_j > ‖q − recon(best)‖` cannot contain a better
+    * candidate — pruning NEVER changes the top-1 (ties included: equal-ADC
+    * candidates sit exactly on the bound, which is kept inclusively with a
+    * float-slack margin), so the query shares [[adcOracleSql]] verbatim.
+    * Coarse-centroid quality only changes how much is pruned, exactly as
+    * in [[Similarity.annIvf]].
+    *
+    * All integer geometry: cell assignment and `‖q − g_j‖²` reuse the
+    * fixed-point Lloyd contract; `‖recon(n) − g_j‖²` decomposes per
+    * subspace into a (cell × subspace × code) lookup table computed
+    * driver-side from the two codebooks (16·4·8 longs — a literal), so
+    * the radius aggregate is M array lookups per row, no vector math.
+    *
+    * Scale shape: per query the only all-cells product is the IvfCells
+    * distance rows (posexplode over a literal array — no join at all);
+    * candidates are an equi hash join on `cell`; at corpus scale grow
+    * IvfCells ∝ √N so the scanned fraction shrinks while exactness holds.
+    */
+  def ivfAdcTop1(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir).localCheckpoint()
+    val cbs = codebooks(q)
+    // coarse quantizer over the FULL 64-dim vector (per-dim d² ≤ 4·10¹²
+    // × 64 ≪ 2⁶³ — same headroom argument as the subspace training)
+    val coarse = trainOn(q.select(col("vec_id"), col("e").as("se")), IvfCells)
+    // codes AND cell in ONE row-local projection off the pinned scan
+    val encoded = q.select(
+      (col("vec_id").as("n_id") +:
+        assign(coarse, col("e")).getField("cid").as("cell") +:
+        (0 until M).map(m => assign(cbs(m), sub(m)).getField("cid").as(s"c$m"))): _*)
+      .localCheckpoint() // reused by the radius aggregate + both scans
+    // recon(n)↔own-centroid distance: Σ_m T[cell][m][code_m], with T the
+    // driver-computed literal table (subspace decomposition again)
+    val reconTable: Seq[Seq[Seq[Long]]] = coarse.sortBy(_._1).map { case (_, g) =>
+      (0 until M).map { m =>
+        val gSub = g.slice(m * SubDim, (m + 1) * SubDim)
+        cbs(m).sortBy(_._1).map { case (_, ce) =>
+          ce.zip(gSub).map { case (x, y) => (x - y) * (x - y) }.sum
+        }
+      }
+    }
+    val reconD2 = (0 until M).map { m =>
+      element_at(element_at(element_at(typedlit(reconTable),
+        (col("cell") + 1).cast("int")), m + 1), (col(s"c$m") + 1).cast("int"))
+    }.reduce(_ + _)
+    val radii = encoded.groupBy(col("cell"))
+      .agg(max(reconD2).as("r2")) // IvfCells rows — a frame, never collected
+    val queries = queryFrame(q, cbs).localCheckpoint() // both scans read it
+    // (query, cell) distance rows WITHOUT a join: the centroids are
+    // literals, so the all-cells product is a posexplode over a computed
+    // array — pinned before the explode (the bucketedIds re-eval trap)
+    val cellDist = q.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        array(coarse.sortBy(_._1).map { case (_, g) => dist2(g, col("e")) }: _*)
+          .as("ds"))
+      .localCheckpoint()
+      .select(col("q_id"), posexplode(col("ds")))
+      .toDF("q_id", "cell", "d2")
+    def scoreCells(probes: DataFrame): DataFrame =
+      encoded.join(probes.withColumnRenamed("q_id", "pq"), "cell")
+        .join(queries, col("pq") === col("q_id"))
+    // phase 1: exact ADC in the IvfProbes nearest cells seeds the bound —
+    // probe selection through the bounded-heap top-k operator
+    val seeds = graft.plans.TopKPerGroup.topKPerGroup(
+      cellDist, Seq("q_id"), Seq(("d2", false), ("cell", false)), IvfProbes)
+      .select("q_id", "cell")
+    val bestSeed = scoreCells(seeds)
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id").as("bq")).agg(min(adcExpr).as("best"))
+    // phase 2: keep cells that could still beat the seeded best (sqrt of
+    // exact int64 d² is ~1 ulp; the 1e-6 slack dwarfs it and only ever
+    // probes MORE — queries with no seed candidates keep every cell)
+    val probes = cellDist
+      .join(radii, Seq("cell"), "left")
+      .join(bestSeed, col("q_id") === col("bq"), "left")
+      .filter(col("best").isNull ||
+        sqrt(col("d2")) - sqrt(coalesce(col("r2"), lit(0L))) <=
+          sqrt(col("best")) + lit(1e-6))
+      .select(col("q_id"), col("cell"))
+    adcTop1Of(scoreCells(probes))
   }
 
   // ---------------------------------------------------------------------

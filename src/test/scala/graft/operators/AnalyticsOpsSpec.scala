@@ -396,6 +396,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(gotAdc == wantAdc, "ADC top-1 must bit-match the local replay")
   }
 
+  test("ann_ivf_pq: cell-pruned ADC equals the flat scan; no product join survives") {
+    val flat = ProductQuant.adcTop1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val df = ProductQuant.ivfAdcTop1(spark, sfDir)
+    val pruned = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pruned == flat,
+      "IVF cell pruning must be lossless for ADC top-1 (triangle inequality)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the flat query×corpus product must be gone — every join equi:\n$plan")
+  }
+
   test("collocations: integer lift ranking equals a local replay, support floor holds") {
     val got = graft.functions.TextOps.collocations(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
