@@ -586,51 +586,87 @@ object TextOps {
     * merges from the corpus, the tokenizer-construction step every LLM
     * data pipeline runs before anything else tokenizes.
     *
-    * The textbook algorithm, in its DISTRIBUTED shape: the corpus is
-    * touched ONCE (token explode → word-frequency dictionary); every
-    * merge iteration then runs over the DICTIONARY (distinct words ×
-    * weights — the classic trick that makes BPE training corpus-size-
-    * independent), as one map-side-combined pair-count aggregate plus an
-    * argmax. Driver state is one (pair, count) row per iteration — the
-    * learned merge itself, same bounded-contract as the k-means
-    * centroids.
+    * TOKENIZER-SCALE shape (r7 VERDICT item 3 — 128 merges, up from 5,
+    * with the per-merge cluster round-trip gone): the CORPUS is touched
+    * exactly once, distributed (token explode → one map-side-combined
+    * word-frequency aggregate); the merge loop then runs over the
+    * collected DICTIONARY with INCREMENTAL pair counts — the structure
+    * every production BPE trainer uses (the dictionary is the classic
+    * trick that makes training corpus-size-independent; Heaps' law keeps
+    * it sublinear in corpus size, and a 100 TB run caps it with the
+    * standard min-frequency floor). Per merge, only the words that
+    * actually CONTAIN the merged pair are touched (an inverted pair→words
+    * index finds them), and their old/new pair multisets are diffed into
+    * the running counts — per-merge cost is affected-words-sized, not
+    * dictionary-sized, and there are ZERO cluster jobs inside the loop
+    * (the old spelling ran a full dictionary re-count plus an
+    * `orderBy.limit(1).collect()` argmax per merge — 2·merges jobs).
     *
     * Determinism: integer weighted counts, argmax ties broken
-    * lexicographically on (left, right). Symbol sequences live as
+    * lexicographically on (left, right) (all-ASCII fixture tokens, so JVM
+    * UTF-16 order == DuckDB byte order). Symbol sequences live as
     * space-delimited strings with bookend spaces, and a merge applies as
-    * the plain `replace(repr, ' l r ', ' lr ')` — both engines scan
-    * left-to-right non-overlapping with identical semantics, including
-    * the boundary-consumption behavior on same-symbol runs of ≥ 3 (the
-    * run merges alternately in one step; deterministic and identical
-    * cross-engine, documented deviation from exhaustive per-step
-    * textbook merging).
+    * the plain `replace(repr, ' l r ', ' lr ')` — JVM `String.replace`
+    * and DuckDB `replace` both scan left-to-right non-overlapping with
+    * identical semantics, including the boundary-consumption behavior on
+    * same-symbol runs of ≥ 3 (the run merges alternately in one step;
+    * deterministic and identical cross-engine, documented deviation from
+    * exhaustive per-step textbook merging). Training STOPS at pair
+    * exhaustion (every word a single symbol) — the oracle's empty-argmax
+    * CTEs emit no rows for exhausted ranks, and so does the loop.
     */
-  val BpeMerges = 5
+  val BpeMerges = 128
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val wf = docs(spark, dir)
+    // the one corpus-sized job; everything after runs on the dictionary
+    val dict = docs(spark, dir)
       .select(explode(tokens).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy(col("t")).agg(count(lit(1)).as("wf"))
-    var words = wf.select(col("wf"),
+      .select(col("wf"),
         concat(lit(" "), concat_ws(" ", split(col("t"), "")), lit(" ")).as("repr"))
-      .localCheckpoint() // vocab-sized; corpus never touched again
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    for (i <- 1 to BpeMerges) {
-      val prs = words
-        .select(col("wf"), split(trim(col("repr")), " ").as("s"))
-        .select(col("wf"), explode(expr(
-          "CASE WHEN size(s) < 2 THEN array() ELSE " +
-            "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS l, s[i] AS r)) END"))
-          .as("b"))
-        .groupBy(col("b.l").as("l"), col("b.r").as("r"))
-        .agg(sum(col("wf")).as("c"))
-      val best = prs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()(0)
-      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((i, l, r, l + r, c))
-      words = words.withColumn("repr",
-          expr(s"replace(repr, ' $l $r ', ' $l$r ')"))
-        .localCheckpoint() // keep the iteration plans shallow
+      .collect()
+    val weights = dict.map(_.getLong(0))
+    val reprs = dict.map(_.getString(1))
+    import scala.collection.mutable
+    def pairsOf(repr: String): Array[(String, String)] = {
+      val s = repr.trim.split(" ")
+      if (s.length < 2) Array.empty
+      else Array.tabulate(s.length - 1)(i => (s(i), s(i + 1)))
+    }
+    // running weighted pair counts + inverted pair → word-ids index
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    reprs.indices.foreach { i =>
+      pairsOf(reprs(i)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + weights(i))
+        index.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= BpeMerges && counts.nonEmpty) {
+      val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      merges += ((rank, l, r, l + r, c))
+      // touch ONLY the words holding the merged pair; diff their pair
+      // multisets into the counts — exactly equal to a full re-count
+      index.getOrElse((l, r), mutable.Set.empty).toArray.foreach { i =>
+        val old = reprs(i)
+        val neu = old.replace(s" $l $r ", s" $l$r ")
+        val op = pairsOf(old); val np = pairsOf(neu)
+        op.foreach { p =>
+          val n = counts(p) - weights(i)
+          if (n == 0L) counts.remove(p) else counts.update(p, n)
+        }
+        np.foreach(p => counts.update(p, counts.getOrElse(p, 0L) + weights(i)))
+        val opS = op.toSet; val npS = np.toSet
+        (opS diff npS).foreach { p =>
+          index.get(p).foreach { s => s -= i; if (s.isEmpty) index.remove(p) }
+        }
+        (npS diff opS).foreach(p => index.getOrElseUpdate(p, mutable.Set.empty) += i)
+        reprs(i) = neu
+      }
+      rank += 1
     }
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
@@ -638,7 +674,12 @@ object TextOps {
 
   /** DuckDB oracle for [[bpeTrain]] — the same [[BpeMerges]] iterations
     * unrolled over the same dictionary, delimited-string merge, and
-    * (count DESC, l, r) argmax.
+    * (count DESC, l, r) argmax. Each m/r CTE is referenced more than once
+    * (r_i by p_{i+1} and r_{i+1}; m_i by r_i and the output union), so
+    * both carry `AS MATERIALIZED` — without it DuckDB's default inlining
+    * doubles the expression tree per rank and 128 ranks would never plan.
+    * Exhausted ranks (empty p_i ⇒ empty m_i ⇒ empty r_i onward) emit no
+    * rows, matching the engine's stop-at-exhaustion loop.
     */
   val bpeTrainOracleSql: String = {
     val base =
@@ -652,8 +693,8 @@ object TextOps {
          |    SELECT wf, unnest([{'l': s[j], 'r': s[j+1]} for j in range(1, len(s))]) AS b
          |    FROM (SELECT wf, string_split(trim(repr), ' ') AS s FROM r${i - 1}) t) u
          |  GROUP BY 1, 2),
-         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-         |r$i AS (SELECT wf, replace(repr, ' ' || m.l || ' ' || m.r || ' ',
+         |m$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |r$i AS MATERIALIZED (SELECT wf, replace(repr, ' ' || m.l || ' ' || m.r || ' ',
          |                           ' ' || m.l || m.r || ' ') AS repr
          |        FROM r${i - 1}, m$i m)""".stripMargin
     }.mkString(",\n")

@@ -114,8 +114,11 @@ class TextHygieneSpec extends SparkSpec {
     val got = TextOps.bpeTrain(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toList.sortBy(_._1)
-    assert(got.length == TextOps.BpeMerges)
-    // sequential replay over the word-frequency dictionary
+    // the incremental loop stops at exhaustion; the NAIVE replay below
+    // (full re-count every rank — deliberately the slow textbook form, so
+    // it shares no code path with the incremental engine) must match
+    // rank-for-rank up to the same stopping point
+    assert(got.length <= TextOps.BpeMerges && got.nonEmpty)
     val texts = graft.sources.Tables.table(spark, sfDir, "documents")
       .select(col("text")).collect().map(_.getString(0))
     val wf = texts.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
@@ -123,7 +126,10 @@ class TextHygieneSpec extends SparkSpec {
     var reprs: Map[String, Long] = wf.map { case (w, f) =>
       (" " + w.toCharArray.mkString(" ") + " ") -> f
     } // distinct words have distinct reprs, so no key collisions
-    val want = (1 to TextOps.BpeMerges).map { i =>
+    val want = scala.collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= TextOps.BpeMerges && !exhausted) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       reprs.foreach { case (repr, f) =>
         val s = repr.trim.split(" ")
@@ -131,11 +137,15 @@ class TextHygieneSpec extends SparkSpec {
           counts((a, b)) = counts.getOrElse((a, b), 0L) + f
         }
       }
-      val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
-      reprs = reprs.groupBy { case (repr, _) =>
-        repr.replace(s" $l $r ", s" $l$r ") }.map { case (k, v) => k -> v.values.sum }
-      (i, l, r, l + r, c)
-    }.toList
-    assert(got == want, "distributed BPE must match the sequential replay")
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        reprs = reprs.groupBy { case (repr, _) =>
+          repr.replace(s" $l $r ", s" $l$r ") }.map { case (k, v) => k -> v.values.sum }
+        want += ((rank, l, r, l + r, c))
+        rank += 1
+      }
+    }
+    assert(got == want.toList, "incremental BPE must match the naive full-recount replay")
   }
 }
