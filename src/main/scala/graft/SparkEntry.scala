@@ -155,6 +155,7 @@ object SparkEntry {
     "stream_join_interval" -> (streaming.StreamingWindows.streamJoinInterval _),
     "stream_cdc_upsert" -> (streaming.StreamingWindows.streamCdcUpsert _),
     "stream_dedup_incremental" -> (streaming.StreamingDedup.streamIncrementalDedup _),
+    "stream_ann_incremental" -> (streaming.StreamingAnn.streamAnnIncremental _),
     // --- temporal joins / frames (beyond-parity: SURVEY §2.4 lists the
     // reference as equi-inner-only) ---
     "temporal_asof_join" -> (operators.Temporal.asofJoin _),
@@ -836,6 +837,26 @@ object SparkEntry {
     // true streaming run, batching-invariant by construction -> shares the
     // batch query's oracle verbatim
     "stream_dedup_incremental" -> incrementalJaccardOracle,
+    // brute-force delta-vs-base cosine top-K: the streaming ingest's LSH
+    // path is full-recall (same family argument as ann_lsh) and
+    // exact-reranked, and each delta vector scores against the fixed base
+    // exactly once, so the accumulated micro-batch union must equal it
+    "stream_ann_incremental" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |k AS (SELECT (max(vec_id) * 9) // 10 AS split FROM v),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
+        |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+        |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
+        |  FROM v q, v n, k
+        |  WHERE q.vec_id >= k.split AND n.vec_id < k.split)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id,
+        |       round(c, 6) AS cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM p) t
+        |WHERE rnk <= 5""".stripMargin,
 
     "dedup_simhash" -> dedupJaccardOracle(0.9),
     "dedup_embedding_cosine" ->

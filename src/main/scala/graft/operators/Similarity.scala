@@ -33,7 +33,7 @@ object Similarity {
   }
 
   /** `(vec_id, e, nrm)` — norms computed ONCE per vector, not per pair. */
-  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -269,7 +269,7 @@ object Similarity {
     * vectors are re-joined by id after candidate generation, so the bucket
     * shuffle never moves embedding payloads).
     */
-  private[operators] def bucketedIds(v: DataFrame): DataFrame =
+  private[graft] def bucketedIds(v: DataFrame): DataFrame =
     // pin the bucket columns BEFORE the explode: posexplode over an array
     // of computed columns re-evaluates every element expression per OUTPUT
     // row — here 28 tables × (84 projection folds) = ~28× the signature
@@ -415,6 +415,39 @@ object Similarity {
       .join(broadcast(v.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"),
           col("e").as("qe"), col("nrm").as("qn"))), "query_id")
+    topK(cand.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
+  }
+
+  /** Delta-vs-base LSH top-K — the primitive [[graft.streaming
+    * .StreamingAnn]] runs per micro-batch: the QUERY frame's bucket rows
+    * (with the same Hamming-1 multi-probe schedule as [[annLsh]]) join a
+    * PERSISTED base index, candidates stay ids-only, and the exact cosine
+    * rerank fetches base payloads by id once. The base corpus is never
+    * re-bucketed and never self-joined — every stage is delta-sized ×
+    * bucket-collision rate, the same incremental discipline as
+    * [[Dedup.incrementalPairs]]. Queries and base may be disjoint id sets
+    * (the ingest case) or overlapping (the self-query case — the id
+    * inequality excludes self-matches either way).
+    */
+  private[graft] def lshTopKAgainstBase(queries: DataFrame, baseVecs: DataFrame,
+                                        baseIndex: DataFrame): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    val probeMasks = 0L +: (0 until BitsPerTable).map(b => 1L << b)
+    val qids = bucketedIds(queries)
+      .select(col("vec_id").as("query_id"), col("table").as("qt"),
+        explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("qb"))
+    val candIds = baseIndex.join(qids,
+        col("table") === col("qt") && col("bucket") === col("qb") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val cand = candIds
+      .join(baseVecs.select(col("vec_id").as("neighbor_id"), col("e"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("e").as("qe"), col("nrm").as("qn"))), "query_id")
     topK(cand.select(col("query_id"), col("neighbor_id"),
       (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
   }
