@@ -146,10 +146,13 @@ object Dedup {
     val ranked = inv.join(dfreq, "g")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
-    // prefix length |x| − ⌈τ|x|⌉ + 1 with exact integer ceil
+    // prefix length |x| − ⌈τ|x|⌉ + 1 with exact integer ceil: DIV is true
+    // integer division (ADVICE r7: Column `/` is IEEE double division —
+    // only incidentally exact below 2^53, contradicting the stated
+    // exact-arithmetic recall contract)
     val prefix = ranked.join(sizes, "doc_id")
       .filter(col("rn") <=
-        col("sz") - floor((lit(tauNum) * col("sz") + tauDen - 1) / tauDen) + 1)
+        col("sz") - expr(s"(${tauNum}L * sz + ${tauDen - 1}L) DIV ${tauDen}L") + 1)
       .select(col("doc_id"), col("g"), col("sz"))
     val cand = prefix.toDF("doc_a", "g", "sza")
       .join(prefix.toDF("doc_b", "g", "szb"), Seq("g"))

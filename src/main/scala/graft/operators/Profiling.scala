@@ -308,8 +308,21 @@ object Profiling {
     */
   def correlationSums(li: DataFrame): DataFrame = {
     def m(c: String) = col(c).cast("decimal(18,2)")
-    def e4(c: Column) = (c * 10000).cast("long")
-    def e2(c: Column) = (c * 100).cast("long")
+    // The scaled export must FAIL LOUDLY on overflow (ADVICE r7): around
+    // sf~1 Σ(price²)·10⁴ exceeds Long.MaxValue and the non-ANSI
+    // decimal→long cast would yield NULL — which downstream getLong turns
+    // into an opaque NPE. Range-assert before the cast; the 100 TB
+    // spelling widens the export to decimal(38,4) instead.
+    def guarded(c: Column): Column = {
+      val wide = c.cast("decimal(38,4)")
+      when(wide.between(Long.MinValue, Long.MaxValue), wide.cast("long"))
+        .otherwise(raise_error(concat(
+          lit("correlationSums: scaled co-moment overflows int64 ("),
+          wide.cast("string"),
+          lit(") — widen the export to decimal(38,4)"))).cast("long"))
+    }
+    def e4(c: Column) = guarded(c * 10000)
+    def e2(c: Column) = guarded(c * 100)
     li.groupBy(col("l_returnflag").as("returnflag")).agg(
       count(lit(1)).as("n"),
       e2(sum(m("l_quantity"))).as("q_e2"),

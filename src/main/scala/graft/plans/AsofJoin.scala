@@ -47,6 +47,13 @@ case class AsofJoinNode(
     right: LogicalPlan) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key per side")
+  // the merge compares positionally-paired key rows with ONE ordering
+  // built from the left types — mismatched pairs (int vs bigint) would
+  // compare raw representations and silently mis-match (ADVICE r7)
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join keys must pair identical types: " +
+      s"${leftKeys.map(_.dataType.simpleString).mkString(",")} vs " +
+      s"${rightKeys.map(_.dataType.simpleString).mkString(",")}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -164,20 +171,24 @@ object AsofJoin {
     * paired key columns with `right.time <= left.time` (and optional
     * tolerance in the time column's own units). Name right-side columns
     * distinctly — the output carries both sides' columns. Times are cast
-    * to long. Self-registers the strategy on the session, like
-    * [[TopKPerGroup.topKPerGroup]].
+    * to long. The strategy lives on a CHILD session (the r6/r7 scoping
+    * discipline — `Temporal.ruleScopedSession`): the caller's planner
+    * state is never mutated, so no sticky extraStrategies entry leaks
+    * into every later query on the session. The child shares the
+    * SparkContext and catalog state; explicitly-set parent SQL confs are
+    * copied so the plan forms under the caller's settings.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKeyCols: Seq[String], rightKeyCols: Seq[String],
                leftTimeCol: String, rightTimeCol: String,
                tolerance: Option[Long] = None): DataFrame = {
-    val spark = left.sparkSession
-    AsofJoin.synchronized {
-      if (!spark.sessionState.planner.strategies.contains(AsofJoinStrategy) &&
-          !spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-        spark.experimental.extraStrategies =
-          spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val parent = left.sparkSession
+    val spark = parent.newSession()
+    parent.sessionState.conf.getAllConfs.foreach { case (k, v) =>
+      scala.util.Try(spark.conf.set(k, v)) // skip static/non-settable entries
     }
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ AsofJoinStrategy
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute = plan.output

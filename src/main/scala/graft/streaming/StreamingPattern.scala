@@ -44,8 +44,13 @@ object StreamingPattern {
     """CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
       |WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'v' END""".stripMargin
 
-  /** Stage events as 6 DISJOINT time slices written oldest-first, so the
-    * file source (oldest-modification-first) replays event-time order.
+  /** Stage events as 6 DISJOINT time slices written oldest-first, with
+    * each slice's files EXPLICITLY mtime-stamped `base + sliceIdx` seconds
+    * — the file source replays oldest-modification-first, and the stamp
+    * makes slice order independent of filesystem timestamp granularity
+    * (ADVICE r7: the old `Thread.sleep(50)` between writes relied on
+    * sub-second mtime resolution; a coarse-granularity FS could tie two
+    * slices and trip the per-batch ordering assert).
     */
   private def stagedEvents(spark: SparkSession, dir: String): String =
     stagedMemo.getOrElseUpdate(
@@ -59,11 +64,23 @@ object StreamingPattern {
         val Array(lo, hi) = ev.agg(min(col("us")), max(col("us"))).head()
           .toSeq.map(_.asInstanceOf[Long]).toArray
         val span = hi - lo + 1
+        import java.nio.file.{Files, Paths}
+        val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
+        val base = System.currentTimeMillis()
         (0 until 6).foreach { b =>
           ev.filter(expr(s"(us - ${lo}L) * 6 DIV ${span}L") === b)
             .coalesce(1)
             .write.mode(if (b == 0) "overwrite" else "append").parquet(path)
-          Thread.sleep(50) // strictly increasing file mtimes
+          // stamp every not-yet-stamped data file with the slice index
+          scala.util.Using.resource(Files.list(Paths.get(path))) { s =>
+            s.iterator().forEachRemaining { f =>
+              if (!stamped(f) && f.getFileName.toString.endsWith(".parquet")) {
+                Files.setLastModifiedTime(f,
+                  java.nio.file.attribute.FileTime.fromMillis(base + b * 1000L))
+                stamped += f
+              }
+            }
+          }
         }
         path
       })
@@ -97,9 +114,14 @@ object StreamingPattern {
     val stateRoot = System.getProperty("java.io.tmpdir") +
       s"/graft_streamcep_state_${spark.sparkContext.applicationId}_$run"
     // driver holds only the PATH of the latest state and the time
-    // high-water mark; the state itself stays a distributed table
-    var statePath: Option[String] = None
-    var highWater = Long.MinValue
+    // high-water mark; the state itself stays a distributed table.
+    // Atomics, not vars: foreachBatch runs on the stream thread while the
+    // final read happens on the caller thread after awaitTermination —
+    // the same publication guard the other streaming classes use
+    // (ADVICE r7; awaitTermination happens-before is not guaranteed for
+    // plain captured locals)
+    val statePath = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+    val highWater = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val q = spark.readStream
       .schema("user_id bigint, us bigint, ch string")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -111,15 +133,15 @@ object StreamingPattern {
         val Row2 = b.agg(min(col("us")), max(col("us"))).head()
         if (!Row2.isNullAt(0)) {
           val (bMin, bMax) = (Row2.getLong(0), Row2.getLong(1))
-          require(bMin >= highWater,
-            s"batch $id violates event-time order: min $bMin < water $highWater")
-          highWater = bMax
+          require(bMin >= highWater.get(),
+            s"batch $id violates event-time order: min $bMin < water ${highWater.get()}")
+          highWater.set(bMax)
         }
         val seq = b.groupBy(col("user_id"))
           .agg(count(lit(1)).as("dn"),
             expr("transform(array_sort(collect_list(struct(us, ch))), x -> x.ch)")
               .as("chars"))
-        val prev = statePath.map(spark.read.parquet(_))
+        val prev = statePath.get().map(spark.read.parquet(_))
           .getOrElse(spark.emptyDataFrame
             .sparkSession.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -134,12 +156,12 @@ object StreamingPattern {
               s"ELSE $foldExpr END").as("st"))
         val out = s"$stateRoot/state_$id"
         next.write.mode("overwrite").parquet(out)
-        statePath = Some(out)
+        statePath.set(Some(out))
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(statePath.getOrElse(
+    spark.read.parquet(statePath.get().getOrElse(
       sys.error("stream produced no batches")))
       .select(col("user_id"), col("n_events"),
         col("st.nvc").as("n_view_click"),
