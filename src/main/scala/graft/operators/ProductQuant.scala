@@ -43,8 +43,13 @@ object ProductQuant {
       x => floor(x.cast("double") * Scale).cast("long"))
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "embeddings")
-      .select(col("vec_id"), quantized.as("e"))
+    quantizedOf(Tables.table(spark, dir, "embeddings"))
+
+  /** Quantize any `(vec_id, embedding)` frame to the engine's integer
+    * millionths (shared with [[graft.AnnBench]]'s scaled corpora).
+    */
+  private[graft] def quantizedOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), quantized.as("e"))
 
   /** Subspace m's slice of the full quantized vector (1-based, codegen). */
   private def sub(m: Int): Column = slice(col("e"), m * SubDim + 1, SubDim)
@@ -166,16 +171,30 @@ object ProductQuant {
       .select(col("q_id"), col("m.nn_id").as("nn_id"), col("m.adc").as("adc_dist"))
       .orderBy(col("q_id"))
 
-  def adcTop1(spark: SparkSession, dir: String): DataFrame = {
-    val q = vecs(spark, dir).localCheckpoint()
+  def adcTop1(spark: SparkSession, dir: String): DataFrame =
+    adcTop1On(vecs(spark, dir).localCheckpoint())
+
+  /** Flat-ADC core over a pinned quantized frame (the documented Q×N
+    * baseline — [[ivfAdcTop1On]] is the pruned form).
+    */
+  private[graft] def adcTop1On(q: DataFrame): DataFrame = {
     val cbs = codebooks(q)
     adcTop1Of(queryFrame(q, cbs).crossJoin(encodedFrame(q, cbs)))
   }
 
   // --- IVF × PQ composition ----------------------------------------------
 
-  val IvfCells = 16     // coarse-quantizer cells (seeds vec_id 0..15)
-  val IvfProbes = 4     // cells whose exact ADC scores seed the bound
+  // coarse cells / probe seeds — sysprops so the scale harness can grow
+  // cells with the corpus (the driver contract stays at the defaults);
+  // cell seeds are vec_id 0..cells-1
+  lazy val IvfCells: Int = {
+    val v = sys.props.get("graft.pq.cells").map(_.toInt).getOrElse(16)
+    require(v >= 2 && v <= 1024, s"graft.pq.cells must be in [2,1024], got $v"); v
+  }
+  lazy val IvfProbes: Int = {
+    val v = sys.props.get("graft.pq.probes").map(_.toInt).getOrElse(4)
+    require(v >= 1 && v <= 1024, s"graft.pq.probes must be in [1,1024], got $v"); v
+  }
 
   /** `ann_ivf_pq` — the production billion-vector index shape: IVF coarse
     * cells restrict which encoded vectors each query ADC-scores, replacing
@@ -205,8 +224,11 @@ object ProductQuant {
     * candidates are an equi hash join on `cell`; at corpus scale grow
     * IvfCells ∝ √N so the scanned fraction shrinks while exactness holds.
     */
-  def ivfAdcTop1(spark: SparkSession, dir: String): DataFrame = {
-    val q = vecs(spark, dir).localCheckpoint()
+  def ivfAdcTop1(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcTop1On(vecs(spark, dir).localCheckpoint())
+
+  /** The IVF×PQ core over a pinned quantized frame. */
+  private[graft] def ivfAdcTop1On(q: DataFrame): DataFrame = {
     val cbs = codebooks(q)
     // coarse quantizer over the FULL 64-dim vector (per-dim d² ≤ 4·10¹²
     // × 64 ≪ 2⁶³ — same headroom argument as the subspace training)

@@ -66,9 +66,15 @@ object Similarity {
     * stays partitioned, only the queries move, and only queries·K rows
     * per partition survive to the shuffle.
     */
-  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    bruteForceOn(vectors(spark, dir))
+
+  /** The frame-parametric core of [[annBruteForce]] — shared with
+    * [[graft.AnnBench]], whose scaled corpora need the same exact scan as
+    * ground truth.
+    */
+  private[graft] def bruteForceOn(v: DataFrame): DataFrame = {
     import graft.functions.VectorExprs.dot
-    val v = vectors(spark, dir)
     val q = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -299,10 +305,15 @@ object Similarity {
     * shares its oracle; at 100 TB grow [[IvfCells]] with the corpus so the
     * scanned fraction shrinks while exactness is preserved.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfOn(spark, vectors(spark, dir).localCheckpoint())
+
+  /** The frame-parametric core of [[annIvf]] (shared with
+    * [[graft.AnnBench]]); `v` must be pinned by the caller.
+    */
+  private[graft] def annIvfOn(spark: SparkSession, v: DataFrame): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorExprs.dot
-    val v = vectors(spark, dir).localCheckpoint()
     // unit-normalized copy: the geometry the distance bound needs
     val vn = v.withColumn("u", transform(col("e"), x => x / col("nrm")))
     val withVec = vn.withColumn("fv",
