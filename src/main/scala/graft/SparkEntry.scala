@@ -69,6 +69,7 @@ object SparkEntry {
     "sink_json_contract" -> (Relational.sinkJsonContract _),
     // --- §2.8 changelog streaming (signed-weight incremental Q3) ---
     "changelog_counts" -> (streaming.StreamQueries.changelogCounts _),
+    "stream_socket_ingest" -> (streaming.SocketIngest.socketChangelogCounts _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
@@ -528,6 +529,17 @@ object SparkEntry {
          |       || '"}' AS json
          |FROM ranked""".stripMargin,
     "changelog_counts" ->
+      """SELECT relation, action, n FROM (
+        |  SELECT 'customer' AS relation, 'Insert' AS action, COUNT(*) AS n FROM customer
+        |  UNION ALL SELECT 'customer', 'Delete', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'orders', 'Insert', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
+    // the socket-served changelog must accumulate to the identical totals
+    // — a sum of per-batch counts is batching-invariant, so the unbounded
+    // transport shares the file path's oracle verbatim
+    "stream_socket_ingest" ->
       """SELECT relation, action, n FROM (
         |  SELECT 'customer' AS relation, 'Insert' AS action, COUNT(*) AS n FROM customer
         |  UNION ALL SELECT 'customer', 'Delete', COUNT(*) FROM customer
