@@ -186,6 +186,7 @@ object SparkEntry {
     "profile_quantiles" -> (operators.Profiling.profileQuantiles _),
     "profile_outliers" -> (operators.Profiling.profileOutliers _),
     "profile_drift" -> (operators.Profiling.profileDrift _),
+    "stream_drift" -> ((s, d) => streaming.StreamingDrift.streamDrift(s, d)),
     "profile_constraints" -> (operators.Profiling.profileConstraints _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "profile_correlation" -> (operators.Profiling.profileCorrelation _),
@@ -1492,6 +1493,9 @@ object SparkEntry {
         |FROM events e JOIN b ON e.event_type = b.et
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "profile_drift" -> operators.Profiling.driftOracleSql,
+    // per-bucket counts merge by addition, so the streaming accumulation
+    // shares the batch drift oracle at any batching
+    "stream_drift" -> operators.Profiling.driftOracleSql,
     "profile_constraints" -> operators.Profiling.constraintsOracleSql,
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "profile_correlation" -> operators.Profiling.correlationOracleSql,

@@ -166,16 +166,33 @@ object Profiling {
     * totals. No per-slice scan, no window, nothing corpus-sized past the
     * first aggregate.
     */
-  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextOps.round6
-    val sliced = Tables.table(spark, dir, "documents")
-      .withColumn("hb", Pipelines.hashBucket(col("doc_id")))
+  def profileDrift(spark: SparkSession, dir: String): DataFrame =
+    driftFinish(driftCounts(driftSliced(
+      Tables.table(spark, dir, "documents").select(col("doc_id"), col("n_chars")))))
+
+  /** Slice a `(doc_id, n_chars)` frame into drift histogram rows —
+    * row-local, so it applies unchanged to a micro-batch
+    * ([[graft.streaming.StreamingDrift]]).
+    */
+  private[graft] def driftSliced(docs: DataFrame): DataFrame =
+    docs.withColumn("hb", Pipelines.hashBucket(col("doc_id")))
       .filter(col("hb") < 900)
       .select(least(floor(col("n_chars") / 50), lit(10)).cast("int").as("bucket"),
         (col("hb") < 800).as("is_train"))
-    val agg = sliced.groupBy(col("bucket")).agg(
+
+  /** The mergeable partial: per-bucket train/val counts (plain addition
+    * merges partials — what makes the drift profile stream-maintainable).
+    */
+  private[graft] def driftCounts(sliced: DataFrame): DataFrame =
+    sliced.groupBy(col("bucket")).agg(
       sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
       sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_val"))
+
+  /** Closed form from a counts frame (any provenance — one batch
+    * aggregate or a streaming accumulation of partials).
+    */
+  private[graft] def driftFinish(agg: DataFrame): DataFrame = {
+    import graft.functions.TextOps.round6
     val tot = agg.agg(sum(col("n_train")).as("t_train"),
       sum(col("n_val")).as("t_val"))
     val pT = col("n_train").cast("double") / col("t_train").cast("double")
