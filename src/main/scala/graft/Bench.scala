@@ -72,13 +72,20 @@ object Bench {
     }
     val loadMain = loadavg
     // tail re-run of the slowest 10: same JVM, clean pool, a later moment
-    // in host time — a contended first pass shows up as rerun ≪ first
+    // in host time — a contended first pass shows up as rerun ≪ first.
+    // The two shared-fold queries are EXCLUDED: q3FullCycle memoizes the
+    // collected fold results per (session, dir) BY DESIGN (one fold
+    // serves both driver queries — StreamQueries.foldCache), so their
+    // "rerun" is a memo read (measured 0.046 s for a 15 s query), not a
+    // second execution — keeping the first-pass number is the honest one.
+    val memoizedResults = Set("stream_q3_full_cycle", "stream_q3_prefix_snapshot")
     val reruns: Map[String, Double] =
-      firstPass.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _) =>
-        val sec = timed(name, SparkEntry.queries(name))
-        streaming.Changelog.resetSession(spark)
-        name -> sec
-      }.toMap
+      firstPass.toSeq.filter(kv => kv._2 >= 0 && !memoizedResults(kv._1))
+        .sortBy(-_._2).take(10).map { case (name, _) =>
+          val sec = timed(name, SparkEntry.queries(name))
+          streaming.Changelog.resetSession(spark)
+          name -> sec
+        }.toMap
     val loadEnd = loadavg
     // the headline per-query number is min(first, rerun): the best
     // available estimate of code cost on this host; first-pass numbers
