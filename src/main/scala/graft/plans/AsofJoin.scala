@@ -121,6 +121,17 @@ case class AsofJoinExec(
         .createNaturalAscendingOrdering(lk.map(_.dataType))
       val nullRight = new GenericInternalRow(rSchema.length)
       val joined = new JoinedRow
+      // emit UnsafeRows: SparkPlan.getByteArrayRdd casts to UnsafeRow, so
+      // a bare JoinedRow crashes whenever this exec is the TOP of the
+      // plan (no Project above to convert) — found by the r8 session-
+      // scoping pin test, which collects the join output directly. The
+      // projection MUST read through the nullability-WIDENED output
+      // attributes (this is a left outer join): binding the right side's
+      // original non-nullable attrs would read unmatched rows' null
+      // fields as zeros.
+      val outAttrs = lSchema ++ rSchema.map(_.withNullability(true))
+      val toUnsafe = UnsafeProjection.create(
+        outAttrs.map(a => a: Expression), outAttrs)
       // candidate = most recent consumed right row; its key is COPIED
       // (projections reuse buffers), the row itself copied on retention
       var candKey: UnsafeRow = null
@@ -158,8 +169,8 @@ case class AsofJoinExec(
         rowsMetric += 1
         val hit = candRow != null && keyOrd.compare(candKey, lKey) == 0 &&
           candTime <= lTime && tol.forall(t => lTime - candTime <= t)
-        if (hit) { matchedMetric += 1; joined(lRow, candRow) }
-        else joined(lRow, nullRight)
+        if (hit) { matchedMetric += 1; toUnsafe(joined(lRow, candRow)) }
+        else toUnsafe(joined(lRow, nullRight))
       }
     }
   }

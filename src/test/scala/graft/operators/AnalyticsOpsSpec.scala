@@ -475,6 +475,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("correlation export overflow fails loudly, never NULLs (ADVICE r7 pin)") {
+    import spark.implicits._
+    // Σ(price²)·10⁴ > Long.MaxValue but well inside decimal(38,4): the
+    // GUARD must fire (not the decimal cast) — price 9.99e9 ⇒ p²·10⁴ ≈
+    // 4e24 ≫ 9.2e18, ≪ 10³⁴
+    val big = Seq.fill(4)(("A", 1.0, 9.99e9, 0.05)).toDF(
+      "l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+    val e = intercept[Exception] {
+      Profiling.correlationSums(big).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("overflows int64")),
+      s"must raise the named overflow error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("winsorize: fences bound the mean, clip counts stay in the 1% tails") {
     val rows = Profiling.profileWinsorize(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -197,4 +197,26 @@ class TemporalSpec extends SparkSpec {
       assert(got.toSeq == want.toSeq, s"tol=$tol merge must equal the replay")
     }
   }
+
+  test("asof exec: mismatched key types fail at construction (ADVICE r7 pin)") {
+    import spark.implicits._
+    val l = Seq((1, 10L)).toDF("k", "lt")     // k: int
+    val r = Seq((1L, 5L)).toDF("rk", "rt")    // rk: bigint
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsofJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "lt", "rt")
+    }
+    assert(e.getMessage.contains("identical types"),
+      s"must name the type contract: ${e.getMessage}")
+  }
+
+  test("asof exec: the caller session's planner state is never mutated (ADVICE r7 pin)") {
+    import spark.implicits._
+    val before = spark.experimental.extraStrategies
+    val l = Seq((1L, 10L)).toDF("k", "lt")
+    val r = Seq((1L, 5L)).toDF("rk", "rt")
+    val out = graft.plans.AsofJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "lt", "rt")
+    assert(out.collect().length == 1)
+    assert(spark.experimental.extraStrategies == before,
+      "the strategy must live on the scoped child session only")
+  }
 }
