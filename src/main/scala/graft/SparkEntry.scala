@@ -226,6 +226,7 @@ object SparkEntry {
     "embed_pq" -> (operators.ProductQuant.pqProfile _),
     "ann_pq_adc" -> (operators.ProductQuant.adcTop1 _),
     "ann_ivf_pq" -> (operators.ProductQuant.ivfAdcTop1 _),
+    "search_hybrid_rrf" -> (Similarity.searchHybridRrf _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
     // --- embedding hygiene ---
@@ -1541,6 +1542,7 @@ object SparkEntry {
     // IVF pruning is lossless by the reconstruction-space triangle
     // inequality, so the cells-probed scan shares the flat ADC oracle
     "ann_ivf_pq" -> operators.ProductQuant.adcOracleSql,
+    "search_hybrid_rrf" -> Similarity.searchHybridRrfOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact

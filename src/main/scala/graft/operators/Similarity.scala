@@ -463,6 +463,145 @@ object Similarity {
       (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
   }
 
+  // --- hybrid retrieval (lexical ⊕ semantic, RRF-fused) ------------------
+
+  val HybridQueries = 50  // query docs (doc_id < HybridQueries)
+  val HybridDepth = 50    // per-leg candidate depth
+  val HybridTopN = 10     // fused results per query
+  val RrfK = 60           // the canonical RRF dampening constant
+
+  /** HYBRID SEARCH — the production retrieval shape: a LEXICAL leg
+    * (3-shingle set overlap through an inverted index — the sparse/BM25
+    * family's plan shape) and a SEMANTIC leg (embedding cosine), each
+    * ranked to [[HybridDepth]], fused per query with RECIPROCAL RANK
+    * FUSION (Cormack et al., SIGIR'09): `Σ_legs 1/(K + rank)`, a missing
+    * leg contributing 0. The `documents` and `embeddings` fixtures share
+    * one id space, so doc i's embedding is `vec_id = i` — each query doc
+    * retrieves by BOTH its words and its vector, which is exactly the
+    * more-like-this hybrid every RAG stack runs.
+    *
+    * Engine-exact: per-leg ranks are integers (similarity DESC, id ASC;
+    * lexical similarity quantized to exact integer Jaccard ppm via DIV,
+    * cosine through the identical IEEE expression tree as the ANN
+    * oracles), and the RRF score is `Σ 1000000 DIV (K + rank)` — exact
+    * integer arithmetic end to end, so fusion order is engine-invariant
+    * by construction, not by float luck.
+    *
+    * Scale shape: the lexical candidates ride the inverted index (query
+    * shingles only enter the join — candidates ∝ query batch × df, never
+    * corpus²); both legs rank through the bounded-heap top-k operator;
+    * the fusion is a full-outer join of two (queries × depth)-sized rank
+    * lists. At 100 TB each leg is the already-audited ANN / index plan;
+    * fusion cost is rank-list-sized.
+    */
+  def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    // lexical leg: distinct-3-shingle overlap via the inverted index
+    val sh = Dedup.shingled(spark, dir).localCheckpoint()
+    val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val inter = inv.toDF("d_id", "g")
+      .join(inv.filter(col("doc_id") < HybridQueries).toDF("q_id", "g"), "g")
+      .filter(col("d_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("d_id")).agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("sz"))
+    val lexScored = inter
+      .join(sizes.toDF("q_id", "szq"), "q_id")
+      .join(sizes.toDF("d_id", "szd"), "d_id")
+      .select(col("q_id"), col("d_id"),
+        expr("inter * 1000000L DIV (szq + szd - inter)").as("j_ppm"))
+    def ranked(scored: DataFrame, score: String): DataFrame = {
+      val kept = graft.plans.TopKPerGroup.topKPerGroup(
+        scored, Seq("q_id"), Seq((score, true), ("d_id", false)), HybridDepth)
+      kept.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col(score).desc, col("d_id").asc)))
+        .select(col("q_id"), col("d_id"), col("r"))
+    }
+    val lex = ranked(lexScored, "j_ppm")
+    // semantic leg: cosine against the query docs' embeddings (shared id
+    // space), same broadcast-queries scan as annBruteForce
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") < HybridQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val semScored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("d_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+    val sem = ranked(semScored, "c")
+    // RRF fusion: exact integer reciprocal-rank millionths, absent leg = 0
+    def leg(df: DataFrame, rName: String): DataFrame =
+      df.select(col("q_id"), col("d_id"), col("r").as(rName))
+    val fused = leg(lex, "lex_rank")
+      .join(leg(sem, "sem_rank"), Seq("q_id", "d_id"), "full_outer")
+      .select(col("q_id"), col("d_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"1000000L DIV ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($RrfK + sem_rank)"), lit(0L)))
+          .as("rrf_ppm"))
+    val top = graft.plans.TopKPerGroup.topKPerGroup(
+      fused, Seq("q_id"), Seq(("rrf_ppm", true), ("d_id", false)), HybridTopN)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_ppm").desc, col("d_id").asc)))
+      .select(col("q_id").as("query_id"), col("rank"),
+        col("d_id").as("doc_id"), col("rrf_ppm"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[searchHybridRrf]] — same shingles, same integer
+    * Jaccard ppm, same cosine tree, same integer RRF.
+    */
+  def searchHybridRrfOracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+       |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                     for i in range(1, len(w) - 1)])
+       |    ELSE [] END AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents) t),
+       |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT q.doc_id AS q_id, d.doc_id AS d_id, count(*) AS inter
+       |  FROM inv q JOIN inv d USING (g)
+       |  WHERE q.doc_id < $HybridQueries AND d.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+       |lex AS (
+       |  SELECT q_id, d_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY j_ppm DESC, d_id) AS r
+       |  FROM (SELECT i.q_id, i.d_id,
+       |          i.inter * 1000000 // (sq.sz + sd.sz - i.inter) AS j_ppm
+       |        FROM inter i
+       |        JOIN sz sq ON sq.doc_id = i.q_id
+       |        JOIN sz sd ON sd.doc_id = i.d_id) t
+       |  QUALIFY r <= $HybridDepth),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sem AS (
+       |  SELECT q_id, d_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY c DESC, d_id) AS r
+       |  FROM (SELECT q.vec_id AS q_id, n.vec_id AS d_id,
+       |          list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
+       |          / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+       |             * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
+       |        FROM v q JOIN v n ON n.vec_id != q.vec_id
+       |        WHERE q.vec_id < $HybridQueries) t
+       |  QUALIFY r <= $HybridDepth),
+       |fused AS (
+       |  SELECT COALESCE(lex.q_id, sem.q_id) AS q_id,
+       |         COALESCE(lex.d_id, sem.d_id) AS d_id,
+       |         lex.r AS lex_rank, sem.r AS sem_rank,
+       |         COALESCE(1000000 // ($RrfK + lex.r), 0)
+       |           + COALESCE(1000000 // ($RrfK + sem.r), 0) AS rrf_ppm
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.q_id = sem.q_id AND lex.d_id = sem.d_id)
+       |SELECT q_id AS query_id, CAST(rank AS INTEGER) AS rank, d_id AS doc_id,
+       |       CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       |       CAST(lex_rank AS BIGINT) AS lex_rank,
+       |       CAST(sem_rank AS BIGINT) AS sem_rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY rrf_ppm DESC, d_id) AS rank FROM fused) t
+       |WHERE rank <= $HybridTopN
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Symmetric int8 quantization profile — the storage decision for an
     * embedding corpus at 100 TB (float32 → int8 is the 4× shrink every
     * large vector store takes; the question is the reconstruction error).

@@ -475,6 +475,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: ranks dense, scores internally consistent and monotone") {
+    val rows = Similarity.searchHybridRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._2)
+      // dense 1..n ranks, scores non-increasing in rank order
+      assert(sorted.map(_._2).toSeq == (1 to g.length), s"query $q ranks")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"query $q fused scores must be monotone")
+      g.foreach { case (_, _, d, rrf, lexR, semR) =>
+        assert(d != q, "self-matches excluded")
+        // the emitted score IS the integer RRF of the emitted leg ranks
+        val want = lexR.map(r => 1000000L / (Similarity.RrfK + r)).getOrElse(0L) +
+          semR.map(r => 1000000L / (Similarity.RrfK + r)).getOrElse(0L)
+        assert(rrf == want, s"query $q doc $d rrf consistency")
+        assert(lexR.isDefined || semR.isDefined, "at least one leg present")
+      }
+    }
+  }
+
   test("correlation export overflow fails loudly, never NULLs (ADVICE r7 pin)") {
     import spark.implicits._
     // Σ(price²)·10⁴ > Long.MaxValue but well inside decimal(38,4): the
