@@ -74,6 +74,7 @@ object SparkEntry {
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
+    "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
     // --- text analysis (training-data pipeline) ---
     "text_stats" -> (graft.functions.TextOps.textStats _),
     "lang_id" -> (graft.functions.TextOps.langId _),
@@ -621,6 +622,16 @@ object SparkEntry {
         |  AND l_orderkey = o_orderkey
         |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
         |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // non-invertible aggregates under retraction: converged insert-only
+    // support = the whole orders table, so extrema equal the batch ones
+    "stream_agg_extrema" ->
+      """SELECT o_orderpriority,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // rounded rationals use the bit-deterministic floor form and ALL-DOUBLE

@@ -126,4 +126,52 @@ object StreamQueries {
       .select(col("o_orderpriority"), col("revenue").cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** RETRACTION FOR NON-INVERTIBLE AGGREGATES — per-priority MIN/MAX
+    * order value maintained under the ±OR changelog. SUM-family
+    * aggregates invert (apply the delta — [[RetractableSum]]); MIN/MAX do
+    * NOT: deleting the current minimum needs the SUPPORTING MULTISET to
+    * surface the runner-up. The z-set answer: the maintained state IS the
+    * consolidated support at the grain the aggregate needs —
+    * `(priority, totalprice) → multiplicity` — kept by the same
+    * [[ZSet.consolidate]] the Q3 fold uses (grain-compressed: state size
+    * is DISTINCT (priority, price) pairs, not order count), and extrema
+    * are a query over live support at emission. Per-batch cost:
+    * delta-sized consolidation shuffle + support-sized emission aggregate
+    * — the honest frame-native cost; the O(log n)-per-event alternative
+    * is [[RetractableSum]]'s transformWithState shape with a per-key
+    * ordered map. Converged insert-only answer ≡ the batch extrema
+    * (DuckDB oracle); the full ±cycle converges to EMPTY support
+    * (spec-pinned, the non-invertible retraction check).
+    */
+  def priorityExtremaConverged(spark: SparkSession, dir: String): DataFrame =
+    extremaOf(extremaFold(spark,
+      Changelog.generateCached(spark, dir, insertOnly = true), k = 2))
+
+  /** Fold the ±OR events into the consolidated (priority, price) support. */
+  private[streaming] def extremaFold(spark: SparkSession, events: DataFrame,
+                                     k: Int): DataFrame = {
+    val tMax = events.agg(max(col("t"))).head().getLong(0)
+    val batched = events.withColumn("batch",
+      least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
+    val init = {
+      import spark.implicits._
+      Seq.empty[(String, Double, Long)]
+        .toDF("o_orderpriority", "o_totalprice", ZSet.W)
+    }
+    (0 until k).foldLeft(init) { (st, b) =>
+      val delta = Changelog.orders(Changelog.parse(
+          batched.filter(col("batch") === b).select("line")))
+        .select(col("o_orderpriority"), col("o_totalprice"), col(ZSet.W))
+      ZSet.consolidate(st.unionByName(delta)).localCheckpoint()
+    }
+  }
+
+  /** Extrema over live support (weights are multiplicities ≥ 1 here). */
+  private[streaming] def extremaOf(support: DataFrame): DataFrame =
+    support.groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(col(ZSet.W)).cast("long").as("n_orders"))
+      .orderBy("o_orderpriority")
 }

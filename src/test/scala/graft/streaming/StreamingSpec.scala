@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     assert(StreamQueries.q3FullCycle(spark, sfDir).collect().isEmpty)
   }
 
+  test("non-invertible extrema: full ±cycle leaves EMPTY support; insert-only == batch") {
+    // min/max can't apply deltas — the maintained support multiset must
+    // cancel to exactly nothing under the full retraction cycle
+    val support = StreamQueries.extremaFold(spark,
+      Changelog.generateCached(spark, sfDir), k = 2)
+    assert(support.collect().isEmpty,
+      "retracting every insert must empty the (priority, price) support")
+    val got = StreamQueries.priorityExtremaConverged(spark, sfDir).collect()
+    val want = graft.sources.Tables.table(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")), max(col("o_totalprice")),
+        count(lit(1)))
+      .orderBy("o_orderpriority").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
   test("shared fold: prefix snapshot == standalone fold of the same prefix") {
     // q3PrefixSnapshot now reads the batch-2/3 state of the SAME fold
     // q3FullCycle consumes (one fold, two queries). Pin the refactor: the
