@@ -75,6 +75,7 @@ object SparkEntry {
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
     "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
+    "agg_cm_frequencies" -> (operators.Sketches.cmFrequencyBound _),
     // --- text analysis (training-data pipeline) ---
     "text_stats" -> (graft.functions.TextOps.textStats _),
     "lang_id" -> (graft.functions.TextOps.langId _),
@@ -1478,6 +1479,7 @@ object SparkEntry {
     "agg_hll_distinct" -> operators.Sketches.hllOracleSql,
     "agg_kmv_setops" -> operators.Sketches.kmvSetOpsOracleSql,
     "agg_kll_quantiles" -> operators.Sketches.kllOracleSql,
+    "agg_cm_frequencies" -> operators.Sketches.cmOracleSql,
     "profile_table" -> operators.Profiling.oracleSql,
     // exact type-7 quantiles; round6 on both sides absorbs 1-ulp
     // interpolation-formula differences (results sit on a ≤4-decimal

@@ -255,6 +255,60 @@ object Sketches {
       .orderBy(col("event_type"), col("p_pct"))
   }
 
+  /** COUNT-MIN point-frequency audit — the KLL-style bound contract
+    * applied to [[graft.functions.CmSketch]]: one keyless mergeable
+    * aggregate builds the sketch over every token occurrence; the exact
+    * top-20 tokens then get their CM estimates ENTIRELY IN FRAMES (the
+    * sketch's counters explode to a (row, bucket, count) frame, token
+    * buckets are a codegen'd `pmod(xxhash64(d, t), width)` projection —
+    * the identical hash chain the aggregate used — and the estimate is a
+    * min over the joined counters), and the two CM guarantees are
+    * verified against the exact counts in-engine:
+    * `est ≥ exact` (deterministic — counters only add) and
+    * `est − exact ≤ 3·N/width` (the εN bound at ε = e/width ≈ 2.72/w,
+    * checked with integer cross-multiplication). The oracle recomputes
+    * the exact counts and emits literal TRUE for both verdicts — at
+    * fixture skew the fixed-seed sketch sits far inside the bound (the
+    * same deterministic-margin argument as the KLL 2% gate).
+    */
+  def cmFrequencyBound(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmSketch
+    CmSketch.register(spark)
+    val toks = Tables.table(spark, dir, "documents")
+      .select(explode(graft.functions.TextOps.tokens).as("t"))
+      .filter(length(col("t")) > 0)
+      .localCheckpoint() // sketch + exact counts + total share one scan
+    val sk = toks.agg(count(lit(1)).as("n_total"), CmSketch(col("t")).as("sk"))
+    val entries = sk.select(col("n_total"), posexplode(col("sk")).as(Seq("i", "cnt")))
+      .select(col("n_total"),
+        (col("i") / CmSketch.Width).cast("int").as("d"),
+        pmod(col("i"), lit(CmSketch.Width)).as("b"), col("cnt"))
+    val top = toks.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("t")).limit(20)
+    val tokBuckets = top.select(col("t"), col("n_exact"),
+      posexplode(array((0 until CmSketch.Depth).map(d =>
+        pmod(expr(s"xxhash64($d, t)"), lit(CmSketch.Width.toLong))): _*))
+        .as(Seq("d", "b")))
+    tokBuckets.join(entries, Seq("d", "b"))
+      .groupBy(col("t"), col("n_exact"))
+      .agg(min(col("cnt")).as("est"), first(col("n_total")).as("n_total"))
+      .select(col("t").as("token"), col("n_exact"),
+        (col("est") >= col("n_exact")).as("overest_ok"),
+        ((col("est") - col("n_exact")) * CmSketch.Width
+          <= lit(3L) * col("n_total")).as("bound_ok"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** Oracle: exact top-20 counts + literal TRUE verdicts (KLL contract). */
+  val cmOracleSql: String =
+    """SELECT t AS token, n_exact, TRUE AS overest_ok, TRUE AS bound_ok
+      |FROM (SELECT t, CAST(count(*) AS BIGINT) AS n_exact
+      |      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+      |            FROM documents) u
+      |      WHERE len(t) > 0 GROUP BY t
+      |      ORDER BY n_exact DESC, t LIMIT 20) z
+      |ORDER BY n_exact DESC, token""".stripMargin
+
   /** The oracle recomputes n and the exact quantiles; the bound column is
     * literal TRUE — the sketch's deterministic worst-case rank error at
     * capacity 4096 is ≲0.4% of n, an order under the 2% gate.

@@ -124,4 +124,38 @@ class SketchesSpec extends SparkSpec {
       assert(qs.sameElements(qs.sorted), "exact quantiles must be monotone in p")
     }
   }
+
+  test("count-min: distributed sketch bit-matches a local replay; bounds hold") {
+    import graft.functions.CmSketch
+    import org.apache.spark.sql.functions._
+    CmSketch.register(spark)
+    val toks = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextOps.tokens).as("t"))
+      .filter(length(col("t")) > 0)
+    // distributed sketch (map-side combine + merges) vs a sequential
+    // local replay of the identical hash chain
+    val got = toks.agg(CmSketch(col("t")).as("sk"))
+      .head().getSeq[Long](0).toArray
+    val want = new Array[Long](CmSketch.Depth * CmSketch.Width)
+    val local = toks.collect().map(_.getString(0))
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    local.foreach { t =>
+      val s = UTF8String.fromString(t)
+      (0 until CmSketch.Depth).foreach { d =>
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, XXH64.hashInt(d, 42L))
+        want(d * CmSketch.Width +
+          java.lang.Math.floorMod(h, CmSketch.Width.toLong).toInt) += 1L
+      }
+    }
+    assert(got.sameElements(want), "merge order must not change the counters")
+    // driver query: both CM guarantees verified in-engine for the top-20
+    val rows = Sketches.cmFrequencyBound(spark, sfDir).collect()
+    assert(rows.length == 20 || rows.length == local.distinct.length.min(20))
+    assert(rows.forall(_.getAs[Boolean]("overest_ok")),
+      "CM estimates can never undercount")
+    assert(rows.forall(_.getAs[Boolean]("bound_ok")),
+      "every estimate must sit within the 3N/width gate")
+  }
 }
