@@ -76,6 +76,7 @@ object SparkEntry {
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
     "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
     "agg_cm_frequencies" -> (operators.Sketches.cmFrequencyBound _),
+    "stream_cm_frequencies" -> ((s, d) => streaming.StreamingCm.streamCmFrequencies(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_stats" -> (graft.functions.TextOps.textStats _),
     "lang_id" -> (graft.functions.TextOps.langId _),
@@ -1480,6 +1481,9 @@ object SparkEntry {
     "agg_kmv_setops" -> operators.Sketches.kmvSetOpsOracleSql,
     "agg_kll_quantiles" -> operators.Sketches.kllOracleSql,
     "agg_cm_frequencies" -> operators.Sketches.cmOracleSql,
+    // counter addition commutes, so the streaming accumulation is
+    // bit-identical to the batch sketch and shares its oracle
+    "stream_cm_frequencies" -> operators.Sketches.cmOracleSql,
     "profile_table" -> operators.Profiling.oracleSql,
     // exact type-7 quantiles; round6 on both sides absorbs 1-ulp
     // interpolation-formula differences (results sit on a ≤4-decimal

@@ -274,11 +274,27 @@ object Sketches {
   def cmFrequencyBound(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CmSketch
     CmSketch.register(spark)
-    val toks = Tables.table(spark, dir, "documents")
+    val toks = cmTokens(spark, dir)
+      .localCheckpoint() // sketch + exact counts + total share one scan
+    cmFinish(toks,
+      toks.agg(count(lit(1)).as("n_total"), CmSketch(col("t")).as("sk")))
+  }
+
+  /** The token stream both CM twins sketch and audit. */
+  private[graft] def cmTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
       .select(explode(graft.functions.TextOps.tokens).as("t"))
       .filter(length(col("t")) > 0)
-      .localCheckpoint() // sketch + exact counts + total share one scan
-    val sk = toks.agg(count(lit(1)).as("n_total"), CmSketch(col("t")).as("sk"))
+
+  /** Audit step shared by the batch query and the streaming fold
+    * ([[graft.streaming.StreamingCm]]): given a 1-row `(n_total, sk)`
+    * sketch frame of ANY provenance (one aggregate, or an element-wise
+    * accumulation of per-batch partials — addition commutes, so the
+    * counters are identical), estimate the exact top-20 tokens and emit
+    * the two CM verdicts.
+    */
+  private[graft] def cmFinish(toks: DataFrame, sk: DataFrame): DataFrame = {
+    import graft.functions.CmSketch
     val entries = sk.select(col("n_total"), posexplode(col("sk")).as(Seq("i", "cnt")))
       .select(col("n_total"),
         (col("i") / CmSketch.Width).cast("int").as("d"),
