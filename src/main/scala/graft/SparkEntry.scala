@@ -206,6 +206,9 @@ object SparkEntry {
     "graph_triangle_count" -> (operators.Graph.triangleCount _),
     "graph_node_similarity" -> (operators.Graph.nodeSimilarity _),
     "graph_label_propagation" -> (operators.Graph.labelPropagation _),
+    "graph_sssp" -> (operators.Graph.shortestPaths _),
+    "graph_kcore" -> (operators.Graph.kCore _),
+    "basket_rules" -> (operators.Association.basketRules _),
     "q1_pricing" -> (Relational.q1Pricing _),
     "q4_priority_exists" -> (Relational.q4PriorityExists _),
     "q7_nation_volume" -> (Relational.q7NationVolume _),
@@ -1530,6 +1533,12 @@ object SparkEntry {
     "graph_triangle_count" -> operators.Graph.triangleCountOracleSql,
     "graph_node_similarity" -> operators.Graph.nodeSimilarityOracleSql,
     "graph_label_propagation" -> operators.Graph.labelPropagationOracleSql,
+    // min-plus semiring fixed point, 6 Bellman-Ford rounds unrolled
+    "graph_sssp" -> operators.Graph.shortestPathsOracleSql,
+    // iterative peeling: 8 unrolled degree-filter rounds, trajectory rows
+    "graph_kcore" -> operators.Graph.kCoreOracleSql,
+    // exact integer-ppm confidence/lift over basket pair counts
+    "basket_rules" -> operators.Association.basketRulesOracleSql,
     "q1_pricing" -> Relational.q1OracleSql,
     // same ANSI text runs verbatim on both engines; the value here is the
     // Catalyst decorrelation the specs pin (semi joins, no nested loop)

@@ -342,6 +342,151 @@ object Graph {
       |LEFT JOIN cn c ON e.a = c.a AND e.b = c.b
       |ORDER BY jaccard_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS — 6 rounds of Bellman–Ford on
+    * the support-weighted co-purchase graph: the MIN-PLUS semiring member
+    * of the iterative family ([[pageRank]] is sum-times, [[labelPropagation]]
+    * is plain min; distances need min over (dist + weight), which neither
+    * covers). Edge weight is `1000000 DIV support` — strongly co-purchased
+    * parts are "close" — so every distance is an exact integer and the
+    * result is engine-bit-identical (a double SSSP cannot promise that).
+    *
+    * The frontier table holds ONLY reached nodes (source row seeds it), so
+    * early rounds move frontier-sized state, not graph-sized state — the
+    * property that makes Bellman-Ford-on-a-DataFrame viable at 100 TB:
+    * each round is one hash join (sym ⋈ dist on src — dist is ids + one
+    * long) and one map-side-combined min aggregate, the same
+    * pinned-symmetric-edge-list discipline as [[pageRank]]. The source is
+    * a 1-row broadcast (global min part id), never a driver collect.
+    * Output: the 20 nearest parts by (cost, id) — TakeOrderedAndProject.
+    */
+  def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+      .select(col("a"), col("b"), expr("1000000 DIV sup").as("w"))
+    val sym = edges.union(edges.select(col("b"), col("a"), col("w")))
+      .toDF("src", "dst", "w").localCheckpoint()
+    // source = globally smallest node id, as a 1-row frame (broadcast
+    // seed, no driver round-trip); dist rows are (node, exact cost)
+    var dist = sym.agg(min(least(col("src"), col("dst"))).as("v"))
+      .select(col("v"), lit(0L).as("dist"))
+    for (_ <- 1 to 6) {
+      dist = sym.join(dist, col("src") === col("v"))
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+        .union(dist)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("v").as("part"), col("dist").as("cost"))
+      .orderBy(col("cost"), col("part")).limit(20)
+  }
+
+  /** DuckDB oracle: the same 6 relaxation rounds unrolled. */
+  val shortestPathsOracleSql: String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |edges AS (SELECT x.p AS a, y.p AS b, CAST(1000000 // count(*) AS BIGINT) AS w
+        |          FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS src, b AS dst, w FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst, w FROM edges),
+        |d0 AS (SELECT min(least(src, dst)) AS v, CAST(0 AS BIGINT) AS dist FROM sym)""".stripMargin
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS (SELECT v, min(dist) AS dist FROM (
+         |  SELECT s.dst AS v, d.dist + s.w AS dist
+         |  FROM sym s JOIN d${i - 1} d ON s.src = d.v
+         |  UNION ALL SELECT v, dist FROM d${i - 1}) u GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT v AS part, dist AS cost FROM d6
+       |ORDER BY cost, part LIMIT 20""".stripMargin
+  }
+
+  /** K-CORE DECOMPOSITION (k = 3, 8 peeling rounds) — the iterative
+    * FILTERING kernel beside the propagation kernels: repeatedly delete
+    * every node of degree < k and the edges it carries until the 3-core
+    * stabilizes. The output is the peeling TRAJECTORY — (round, surviving
+    * nodes, surviving edges) for rounds 0..8 — so the result exposes how
+    * fast the periphery collapses, not just the final core (the same
+    * observable-partial-convergence contract as [[labelPropagation]]).
+    *
+    * Scale shape: each round is one degree aggregate (map-side combined)
+    * plus two semi joins of the edge list against the ids-only survivor
+    * set — no adjacency arrays, no driver state beyond the loop counter.
+    * Each round's edge set is pinned (`localCheckpoint`) because it feeds
+    * three consumers (degree, next round, trajectory row); rounds strictly
+    * shrink the data, so the 8 pins are each at most edge-list-sized.
+    * Production k-core peels to fixpoint with the identical loop body.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    // the SUPPORT-≥3 graph (one notch sparser than [[labelPropagation]]'s
+    // ≥2): the denser graphs have minimum degree above k everywhere, so
+    // nothing would peel — structurally true but uninformative; at ≥3 the
+    // periphery collapses over ~3 rounds and the 3-core stabilizes
+    var e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 3)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    def summary(round: Int, ed: DataFrame): DataFrame = {
+      val nodes = ed.select(col("a").as("v")).union(ed.select(col("b").as("v")))
+        .distinct().agg(count(lit(1)).as("n_nodes"))
+      val ecnt = ed.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(ecnt) // two 1-row frames
+        .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    var out = summary(0, e)
+    for (i <- 1 to 8) {
+      val keep = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select(col("v"))
+      e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      out = out.union(summary(i, e))
+    }
+    out.orderBy(col("round"))
+  }
+
+  /** DuckDB oracle: the same 8 peeling rounds unrolled. Every round CTE is
+    * `AS MATERIALIZED` — each `e_i` is referenced three times by round
+    * i+1, so DuckDB's default inlining would expand the chain 3⁸-fold
+    * (observed as "Too many open files" re-scanning the parquet).
+    */
+  val kCoreOracleSql: String = {
+    val base =
+      """WITH e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b
+        |            FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) x
+        |            JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) y
+        |              ON x.ok = y.ok AND x.p < y.p
+        |            GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+    val rounds = (1 to 8).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT v FROM (
+         |          SELECT v, count(*) AS d FROM (
+         |            SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+         |          GROUP BY v) g WHERE d >= 3),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |        WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to 8).map { i =>
+      s"""SELECT $i AS round,
+         |  (SELECT count(*) FROM (SELECT a AS v FROM e$i UNION SELECT b FROM e$i) u) AS n_nodes,
+         |  (SELECT count(*) FROM e$i) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$base,
+       |$rounds
+       |SELECT * FROM (
+       |$rows
+       |) t ORDER BY round""".stripMargin
+  }
+
   /** DuckDB oracle: same construction; the closure join enumerates each
     * triangle once because the (degree, id) orientation is a total order.
     */

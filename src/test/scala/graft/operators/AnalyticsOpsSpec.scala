@@ -554,4 +554,92 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("range_l_discount") == ((2L, 3L, false)))
     assert(got("accepted_values_l_returnflag") == ((1L, 3L, false)))
   }
+
+  // shared local co-purchase baskets for the graph-kernel replays below
+  private lazy val baskets: Map[Long, Seq[Long]] =
+    graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  private lazy val copurchaseEdges: Seq[(Long, Long)] =
+    baskets.values.flatMap { ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSeq.distinct
+
+  test("sssp: 6-round Bellman-Ford equals an exact local min-plus replay") {
+    val got = Graph.shortestPaths(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got.size <= 20)
+    // weighted support-≥2 graph, same integer weight formula
+    val sup = baskets.values.flatMap { ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2)
+    val wEdges = sup.map { case ((a, b), s) => (a, b, 1000000L / s) }.toSeq
+    val sym = wEdges ++ wEdges.map { case (a, b, w) => (b, a, w) }
+    assert(sym.nonEmpty, "fixture must yield a support-≥2 graph")
+    val src = sym.map(e => math.min(e._1, e._2)).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 6) {
+      val relaxed = sym.flatMap { case (u, v, w) => dist.get(u).map(d => (v, d + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val want = dist.toSeq.sortBy { case (v, d) => (d, v) }.take(20)
+    assert(got == want, "distributed distances must bit-match the replay")
+    assert(got.head == ((src, 0L)), "source must be nearest at cost 0")
+  }
+
+  test("kcore: peeling trajectory equals a local replay and shrinks monotonically") {
+    val got = Graph.kCore(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got.size == 9, "rounds 0..8")
+    // replay on the SAME support-≥3 graph the operator builds
+    var e = baskets.values.flatMap { ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= 3).keys.toSeq
+    val want = Seq.newBuilder[(Int, Long, Long)]
+    def nodes(es: Seq[(Long, Long)]) = (es.map(_._1) ++ es.map(_._2)).distinct
+    want += ((0, nodes(e).size.toLong, e.size.toLong))
+    for (i <- 1 to 8) {
+      val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).view.mapValues(_.size)
+      val keep = deg.filter(_._2 >= 3).keySet
+      e = e.filter { case (a, b) => keep(a) && keep(b) }
+      want += ((i, nodes(e).size.toLong, e.size.toLong))
+    }
+    assert(got == want.result(), "trajectory must bit-match the replay")
+    got.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._2 <= a._2 && b._3 <= a._3, "peeling only removes")
+      case _ => ()
+    }
+    // every survivor of the final round really has core degree ≥ 3
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).view.mapValues(_.size)
+    assert(deg.values.forall(_ >= 3), "3-core invariant on the fixpoint")
+    assert(got.head._3 > got.last._3, "fixture must actually peel something")
+  }
+
+  test("basket rules: confidence/lift equal an exact integer local replay") {
+    val got = Association.basketRules(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.size == 20)
+    val n = baskets.size.toLong
+    val itemCt = baskets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val pairCt = baskets.values.flatMap { ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2)
+    val rules = pairCt.toSeq.flatMap { case ((a, b), nab) =>
+      Seq((a, b, nab), (b, a, nab))
+    }.map { case (ante, cons, nab) =>
+      (ante, cons, nab,
+        nab * 1000000L / itemCt(ante),
+        nab * n * 1000000L / (itemCt(ante) * itemCt(cons)))
+    }
+    val want = rules.sortBy { case (a, c, _, conf, lift) => (-lift, -conf, a, c) }.take(20)
+    assert(got == want, "rules must bit-match the replay")
+    // lift > 1e6 ppm means genuinely positively-associated pairs exist
+    assert(got.head._5 > 1000000L, "top rule must show positive lift")
+  }
 }
