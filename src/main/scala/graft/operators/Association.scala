@@ -31,8 +31,13 @@ import graft.sources.Tables
 object Association {
 
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    // li feeds FOUR consumers (both self-join sides, items, total) and
+    // pairs/items feed two each — without pins Catalyst inlines every
+    // use (measured: 7 lineitem scans, no ReusedExchange). Each pin is
+    // ids-only: li is (ok, p), pairs/items are ids + one count.
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint()
     // n_baskets as a 1-row frame (broadcast into the final projection)
     val total = li.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
     // undirected pair support (a < b), minimum support 2
@@ -40,7 +45,9 @@ object Association {
         col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
       .agg(count(lit(1)).as("n_ab")).filter(col("n_ab") >= 2)
+      .localCheckpoint()
     val items = li.groupBy(col("p")).agg(count(lit(1)).as("n_i"))
+      .localCheckpoint()
     // both directions of every surviving pair become candidate rules
     val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
       .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))

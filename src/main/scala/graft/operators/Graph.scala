@@ -374,10 +374,16 @@ object Graph {
     var dist = sym.agg(min(least(col("src"), col("dst"))).as("v"))
       .select(col("v"), lit(0L).as("dist"))
     for (_ <- 1 to 6) {
+      // dist feeds TWO consumers (the relax join and the union), so an
+      // unpinned lineage doubles per round — 2⁶ copies of the base plan
+      // by round 6 (measured: 254 HashAggregates in the formatted plan).
+      // Pinning each round keeps the plan one-join deep; the pinned frame
+      // is frontier-sized (ids + one long), the cheapest thing in the job.
       dist = sym.join(dist, col("src") === col("v"))
         .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
         .union(dist)
         .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
     }
     dist.select(col("v").as("part"), col("dist").as("cost"))
       .orderBy(col("cost"), col("part")).limit(20)
