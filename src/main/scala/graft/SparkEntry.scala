@@ -146,6 +146,7 @@ object SparkEntry {
     "pipeline_scd2" -> (operators.Pipelines.scd2Build _),
     "pipeline_mixture_weights" -> (operators.Pipelines.mixtureWeights _),
     "pipeline_dataset_diff" -> (operators.Pipelines.datasetDiff _),
+    "pipeline_dpo_pairs" -> (operators.Pipelines.dpoPairs _),
     // --- event-time windows ---
     "window_tumbling" -> (Windows.tumbling _),
     "window_sliding" -> (Windows.sliding _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "temporal_interval_overlap_rule" -> (operators.Temporal.intervalOverlapViaRule _),
     "temporal_window_frames" -> (operators.Temporal.windowFrames _),
     "temporal_resample_ffill" -> (operators.Temporal.resampleFfill _),
+    "temporal_decayed_sum" -> (operators.Temporal.decayedSum _),
     "temporal_pattern_match" -> (operators.Temporal.patternMatch _),
     "stream_pattern_match" ->
       ((s: SparkSession, d: String) => streaming.StreamingPattern.streamPatternMatch(s, d)),
@@ -1422,6 +1424,10 @@ object SparkEntry {
         |  wcum AS (PARTITION BY user_id ORDER BY us
         |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "temporal_resample_ffill" -> operators.Temporal.resampleFfillOracleSql,
+    // integer half-life decay: 2^(15-age) shift weights, exact-cent money
+    "temporal_decayed_sum" -> operators.Temporal.decayedSumOracleSql,
+    // one max(struct)/min(struct) aggregate picks both pair ends per group
+    "pipeline_dpo_pairs" -> operators.Pipelines.dpoPairsOracleSql,
     "temporal_pattern_match" -> operators.Temporal.patternMatchOracleSql,
     // incremental CEP must land on the batch answer — same oracle
     "stream_pattern_match" -> operators.Temporal.patternMatchOracleSql,

@@ -470,4 +470,69 @@ object Pipelines {
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("status"))
   }
+
+  /** PREFERENCE-PAIR CONSTRUCTION (DPO/RLHF shape) — for every
+    * (lang, source) prompt-group, pair the highest-scoring document
+    * (chosen) with the lowest (rejected) and report the margin. Score is
+    * the whitespace token count (the engine-portable spelling TextOps
+    * pins); ties break by doc_id. The argmax is ONE hash aggregate:
+    * `max(struct)` would be the obvious spelling but struct buffers are
+    * not hash-aggregable (Spark plans them as SortAggregate — a full
+    * per-partition sort of the corpus), so (score, id) is bit-PACKED
+    * into a single bigint `score·2³³ + id`, which max/min order
+    * lexicographically as long as both halves respect their width. The
+    * widths are GUARDED loudly, not assumed: score < 2³⁰ (a >1 B-token
+    * document is not a document) and doc_id < 2³³ raise_error with the
+    * offending value — the ADVICE-r7 overflow discipline. Groups need
+    * ≥ 2 docs ((score,id) uniqueness then guarantees chosen ≠ rejected).
+    *
+    * Scale shape: one scan, one map-side-combined HASH aggregate keyed
+    * by the group; output is groups-sized. The production variant swaps
+    * the score column for a reward-model output and the group key for a
+    * prompt hash — the plan is identical.
+    */
+  def dpoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        expr("""CASE WHEN doc_id >= 0 AND doc_id < 8589934592
+                THEN doc_id ELSE raise_error(CONCAT(
+                  'dpoPairs: doc_id outside [0, 2^33): ', doc_id)) END""")
+          .as("id"),
+        expr("""CASE WHEN size(split(trim(text), '\\s+')) < 1073741824
+                THEN CAST(size(split(trim(text), '\\s+')) AS BIGINT)
+                ELSE raise_error('dpoPairs: token count exceeds 2^30') END""")
+          .as("score"))
+      .select(col("lang"), col("source"),
+        (col("score") * lit(8589934592L) + col("id")).as("packed"))
+    scored.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("packed")).as("c"), min(col("packed")).as("r"))
+      .filter(col("n_docs") >= 2)
+      .select(col("lang"), col("source"), col("n_docs"),
+        // integer DIV/%, never Column `/` (IEEE doubles lose exactness
+        // above 2^53 — the ADVICE-r7 prefix-cut lesson)
+        (col("c") % 8589934592L).as("chosen_id"),
+        (col("r") % 8589934592L).as("rejected_id"),
+        expr("c DIV 8589934592").as("chosen_score"),
+        expr("r DIV 8589934592").as("rejected_score"),
+        expr("c DIV 8589934592 - r DIV 8589934592").as("margin"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** DuckDB oracle for [[dpoPairs]]: the same bit-packed argmax/argmin
+    * (identical `score·2³³ + id` arithmetic, `//` integer unpack).
+    */
+  val dpoPairsOracleSql: String =
+    """WITH scored AS (SELECT lang, source,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |    * 8589934592 + doc_id AS packed
+      |  FROM documents)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  max(packed) % 8589934592 AS chosen_id,
+      |  min(packed) % 8589934592 AS rejected_id,
+      |  max(packed) // 8589934592 AS chosen_score,
+      |  min(packed) // 8589934592 AS rejected_score,
+      |  max(packed) // 8589934592 - min(packed) // 8589934592 AS margin
+      |FROM scored GROUP BY lang, source HAVING count(*) >= 2
+      |ORDER BY lang, source""".stripMargin
 }

@@ -380,4 +380,65 @@ object Temporal {
       |         AS value_ffill
       |FROM g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
       |ORDER BY g.user_id, hour""".stripMargin
+
+  /** TIME-DECAYED FEATURE AGGREGATION — per-user exponentially decayed
+    * engagement (half-life = 1 day), the feature-store kernel behind
+    * "recent activity" signals. Spelled EXACTLY in integers: the decay
+    * weight for an event `age` days before the corpus's last day is
+    * `2^(15 − age)` (a bigint shift, never `pow` doubles), events older
+    * than the 16-day horizon contribute < 2⁻¹⁶ of a fresh one and are
+    * dropped EXPLICITLY by the age filter — the integer spelling makes
+    * the truncation a visible contract instead of float underflow.
+    * Money decays as exact cents (the decimal(18,2)·100 cast both
+    * engines share), so `decayed_value` is in cent·weight units.
+    *
+    * Overflow bound: cents ≤ 10¹⁶ (decimal(18,2) ceiling) would overflow,
+    * but fixture/production event values are prices — cents ≤ 10⁷ —
+    * so cents·2¹⁵ ≤ 3·10¹¹ per event leaves room for ~3·10⁷ events PER
+    * USER-DAY before int64 saturates; a larger horizon trades that room
+    * 2× per extra day, which is why H=16 and not 64.
+    *
+    * Scale shape: one scan; the reference date is a 1-row aggregate
+    * broadcast in (the usual 1-row cross join, no driver round-trip);
+    * the weighted sums are one map-side-combined hash aggregate keyed by
+    * user. Output is users-sized, ordered by decayed value.
+    */
+  def decayedSum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"),
+      to_date(col("ts")).as("d"), col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val ref = ev.agg(max(col("d")).as("ref"))
+    ev.crossJoin(ref)
+      .select(col("user_id"), col("event_type"), col("cents"),
+        datediff(col("ref"), col("d")).as("age"))
+      .filter(col("age") < 16)
+      .select(col("user_id"), col("event_type"), col("cents"),
+        expr("shiftleft(CAST(1 AS BIGINT), 15 - age)").as("w"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("w")).as("decayed_value"),
+        sum(col("w")).as("decayed_events"),
+        sum(when(col("event_type") === "purchase", col("w"))
+          .otherwise(lit(0L))).as("decayed_purchases"))
+      .orderBy(col("decayed_value").desc, col("user_id"))
+  }
+
+  /** DuckDB oracle for [[decayedSum]]: same horizon, same shift weights,
+    * same exact-cent cast; HUGEINT sums cast back to BIGINT.
+    */
+  val decayedSumOracleSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+      |            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |            FROM events),
+      |ref AS (SELECT max(d) AS ref FROM ev),
+      |aged AS (SELECT user_id, event_type, cents,
+      |                (1::BIGINT << (15 - date_diff('day', d, ref))) AS w
+      |         FROM ev CROSS JOIN ref
+      |         WHERE date_diff('day', d, ref) < 16)
+      |SELECT user_id,
+      |       CAST(sum(cents * w) AS BIGINT) AS decayed_value,
+      |       CAST(sum(w) AS BIGINT) AS decayed_events,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN w ELSE 0 END)
+      |            AS BIGINT) AS decayed_purchases
+      |FROM aged GROUP BY user_id
+      |ORDER BY decayed_value DESC, user_id""".stripMargin
 }

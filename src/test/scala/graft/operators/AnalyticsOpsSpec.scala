@@ -642,4 +642,56 @@ class AnalyticsOpsSpec extends SparkSpec {
     // lift > 1e6 ppm means genuinely positively-associated pairs exist
     assert(got.head._5 > 1000000L, "top rule must show positive lift")
   }
+
+  test("decayed sum: integer half-life weights equal an exact local replay") {
+    val got = Temporal.decayedSum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getString(2), r.getLong(3)))
+    val ref = ev.map(_._1).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val agg = ev.iterator
+      .map { case (d, u, t, c) =>
+        (u, t, c, java.time.temporal.ChronoUnit.DAYS.between(d, ref)) }
+      .filter(_._4 < 16)
+      .map { case (u, t, c, age) => (u, t, c, 1L << (15 - age)) }
+      .toSeq.groupBy(_._1).view.mapValues { rows =>
+        (rows.map(r => r._3 * r._4).sum, rows.map(_._4).sum,
+          rows.filter(_._2 == "purchase").map(_._4).sum)
+      }
+    val want = agg.toSeq.map { case (u, (v, e, p)) => (u, v, e, p) }
+      .sortBy { case (u, v, _, _) => (-v, u) }
+    assert(got == want, "decayed features must bit-match the replay")
+    // the horizon filter must actually drop something at fixture scale
+    // (events span 30 days, the horizon keeps 16)
+    assert(agg.values.map(_._2).sum < ev.size.toLong * 32768L,
+      "weights must vary (not all events at age 0)")
+  }
+
+  test("dpo pairs: struct-argmax ends equal an exact local replay") {
+    val got = Pipelines.dpoPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("lang"), col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = docs.groupBy(d => (d._1, d._2)).filter(_._2.length >= 2)
+      .map { case ((lang, src), ds) =>
+        val c = ds.maxBy(d => (d._4, d._3))
+        val r = ds.minBy(d => (d._4, d._3))
+        (lang, src, ds.length.toLong, c._3, r._3, c._4, r._4, c._4 - r._4)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == want, "pairs must bit-match the replay")
+    got.foreach { g =>
+      assert(g._4 != g._5, "chosen and rejected must differ")
+      assert(g._8 >= 0, "margin is non-negative by construction")
+    }
+    assert(got.exists(_._8 > 0), "fixture must yield a positive margin somewhere")
+  }
 }
