@@ -192,6 +192,7 @@ object SparkEntry {
     "profile_outliers" -> (operators.Profiling.profileOutliers _),
     "profile_drift" -> (operators.Profiling.profileDrift _),
     "stream_drift" -> ((s, d) => streaming.StreamingDrift.streamDrift(s, d)),
+    "stream_decayed_sum" -> ((s, d) => streaming.StreamingDecay.streamDecayedSum(s, d)),
     "profile_constraints" -> (operators.Profiling.profileConstraints _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "profile_correlation" -> (operators.Profiling.profileCorrelation _),
@@ -1523,6 +1524,9 @@ object SparkEntry {
     // per-bucket counts merge by addition, so the streaming accumulation
     // shares the batch drift oracle at any batching
     "stream_drift" -> operators.Profiling.driftOracleSql,
+    // the streaming twin shares the batch decayed-sum oracle: per-(user,
+    // day) integer partials merge by addition, finisher shared verbatim
+    "stream_decayed_sum" -> operators.Temporal.decayedSumOracleSql,
     "profile_constraints" -> operators.Profiling.constraintsOracleSql,
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "profile_correlation" -> operators.Profiling.correlationOracleSql,

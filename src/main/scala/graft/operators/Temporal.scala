@@ -403,22 +403,44 @@ object Temporal {
     * the weighted sums are one map-side-combined hash aggregate keyed by
     * user. Output is users-sized, ordered by decayed value.
     */
-  def decayedSum(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir).select(col("user_id"),
-      to_date(col("ts")).as("d"), col("event_type"),
+  def decayedSum(spark: SparkSession, dir: String): DataFrame =
+    decayedFinish(decayedPartials(events(spark, dir)))
+
+  /** The MERGEABLE partial: per (user, day) exact-integer sums —
+    * (cent sum, event count, purchase count). Decay weights depend only
+    * on (day, reference day), so partials from any batching merge by
+    * plain addition and the finisher is deferred until read time; this
+    * factoring is what [[graft.streaming.StreamingDecay]] rides.
+    * Expects raw event rows (`user_id, ts, event_type, value`).
+    */
+  private[graft] def decayedPartials(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"),
       expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-    val ref = ev.agg(max(col("d")).as("ref"))
-    ev.crossJoin(ref)
-      .select(col("user_id"), col("event_type"), col("cents"),
-        datediff(col("ref"), col("d")).as("age"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sum(col("cents")).as("cents_sum"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(lit(0L))).as("n_purchases"))
+
+  /** The finisher: reference day = max day IN THE PARTIALS (so streaming
+    * never peeks at unseen data), shift weights, horizon filter, final
+    * per-user sums. Weighting a day's summed cents equals weighting each
+    * event (distributivity over exact integers), so
+    * finish∘partials ≡ the per-event spelling bit-for-bit.
+    */
+  private[graft] def decayedFinish(parts: DataFrame): DataFrame = {
+    val ref = parts.agg(max(col("d")).as("ref"))
+    parts.crossJoin(ref)
+      .select(col("user_id"), col("cents_sum"), col("n_events"),
+        col("n_purchases"), datediff(col("ref"), col("d")).as("age"))
       .filter(col("age") < 16)
-      .select(col("user_id"), col("event_type"), col("cents"),
+      .select(col("user_id"), col("cents_sum"), col("n_events"),
+        col("n_purchases"),
         expr("shiftleft(CAST(1 AS BIGINT), 15 - age)").as("w"))
       .groupBy(col("user_id"))
-      .agg(sum(col("cents") * col("w")).as("decayed_value"),
-        sum(col("w")).as("decayed_events"),
-        sum(when(col("event_type") === "purchase", col("w"))
-          .otherwise(lit(0L))).as("decayed_purchases"))
+      .agg(sum(col("cents_sum") * col("w")).as("decayed_value"),
+        sum(col("n_events") * col("w")).as("decayed_events"),
+        sum(col("n_purchases") * col("w")).as("decayed_purchases"))
       .orderBy(col("decayed_value").desc, col("user_id"))
   }
 
