@@ -238,6 +238,7 @@ object SparkEntry {
     "search_hybrid_rrf" -> (Similarity.searchHybridRrf _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
+    "text_bpe_encode" -> (graft.functions.TextOps.bpeEncode _),
     // --- embedding hygiene ---
     "embed_norms" -> (operators.Similarity.embedNorms _),
     "embed_quantize" -> (operators.Similarity.embedQuantize _),
@@ -1581,6 +1582,9 @@ object SparkEntry {
     "search_hybrid_rrf" -> Similarity.searchHybridRrfOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,
+    // the train chain with word identity kept through every round,
+    // exhaustion-safe LEFT JOIN merge application
+    "text_bpe_encode" -> graft.functions.TextOps.bpeEncodeOracleSql,
     // norms rounded per vector before aggregating; the mean is an exact
     // decimal sum over those rounded values, so group stats are
     // merge-order-independent on both engines

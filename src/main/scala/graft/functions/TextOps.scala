@@ -704,6 +704,94 @@ object TextOps {
     s"$base,\n$iters\n$out\nORDER BY merge_rank"
   }
 
+  /** BPE ENCODING — apply the trained merges to tokenize the corpus, the
+    * other half of the tokenizer story ([[bpeTrain]] learns the merges;
+    * this measures what they do to the corpus): per-source whitespace
+    * tokens vs BPE tokens vs characters, plus BPE tokens per million
+    * characters — the number a token-budget plan is actually built on.
+    *
+    * Scale shape mirrors the trainer's dictionary trick IN-ENGINE:
+    * encoding is applied to each DISTINCT word once, on the distributed
+    * dictionary frame — the corpus itself is touched only by the
+    * per-(source, word) count aggregate, never re-tokenized per merge.
+    * The ≤[[BpeMerges]] learned merges come back as a driver-side list
+    * (bounded by the merge budget, the same O(vocab) state the trainer
+    * already holds) and compile into ONE column expression — a fold of
+    * `replace(repr, ' l r ', ' lr ')` calls in rank order, so the whole
+    * encode is a single codegen'd projection over the dictionary; the
+    * per-word BPE length then joins the count table by word (both sides
+    * dictionary-sized).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))) // already rank-ordered
+    val sourceWords = docs(spark, dir)
+      .select(col("source"), explode(tokens).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val dictionary = sourceWords.select(col("t")).distinct()
+      .withColumn("repr",
+        concat(lit(" "), concat_ws(" ", split(col("t"), "")), lit(" ")))
+    val encodeChain = merges.foldLeft(col("repr")) { case (c, (l, r)) =>
+      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val encoded = dictionary
+      .select(col("t"),
+        size(split(trim(encodeChain), " ")).cast("long").as("n_bpe"))
+    sourceWords.join(encoded, "t")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("ws_tokens"),
+        sum(col("c") * col("n_bpe")).as("bpe_tokens"),
+        sum(col("c") * length(col("t")).cast("long")).as("chars"))
+      .select(col("source"), col("ws_tokens"), col("bpe_tokens"), col("chars"),
+        expr("bpe_tokens * 1000000 DIV chars").as("bpe_per_mchar"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[bpeEncode]] — the [[bpeTrainOracleSql]] chain
+    * carrying the word identity `t` through every merge round (so r_N is
+    * the fully-encoded dictionary), made EXHAUSTION-SAFE: each round
+    * applies its merge via `LEFT JOIN m_i ON TRUE`, so an empty argmax
+    * (training exhausted before the budget) passes reprs through
+    * unchanged instead of annihilating the chain the way the trainer
+    * oracle's cross join does (harmless there — only m_i is read).
+    */
+  val bpeEncodeOracleSql: String = {
+    val base =
+      """WITH wf AS (SELECT t, count(*) AS wf FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) u WHERE len(t) > 0 GROUP BY t),
+        |r0 AS (SELECT t, wf, ' ' || array_to_string(string_split(t, ''), ' ') || ' ' AS repr
+        |       FROM wf)""".stripMargin
+    val iters = (1 to BpeMerges).map { i =>
+      s"""p$i AS (SELECT b.l AS l, b.r AS r, CAST(sum(wf) AS BIGINT) AS c FROM (
+         |    SELECT wf, unnest([{'l': s[j], 'r': s[j+1]} for j in range(1, len(s))]) AS b
+         |    FROM (SELECT wf, string_split(trim(repr), ' ') AS s FROM r${i - 1}) t) u
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |r$i AS MATERIALIZED (SELECT t, wf,
+         |          CASE WHEN m.l IS NULL THEN repr
+         |               ELSE replace(repr, ' ' || m.l || ' ' || m.r || ' ',
+         |                            ' ' || m.l || m.r || ' ') END AS repr
+         |        FROM r${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters,
+       |enc AS (SELECT t, CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_bpe
+       |        FROM r$BpeMerges),
+       |sw AS (SELECT source, t, count(*) AS c FROM (
+       |    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |    FROM documents) u WHERE len(t) > 0 GROUP BY source, t),
+       |agg AS (SELECT source,
+       |          CAST(sum(c) AS BIGINT) AS ws_tokens,
+       |          CAST(sum(c * n_bpe) AS BIGINT) AS bpe_tokens,
+       |          CAST(sum(c * len(t)) AS BIGINT) AS chars
+       |        FROM sw JOIN enc USING (t) GROUP BY source)
+       |SELECT source, ws_tokens, bpe_tokens, chars,
+       |       bpe_tokens * 1000000 // chars AS bpe_per_mchar
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   /** DuckDB oracle for [[collocations]]: same counts, same integer lift. */
   val collocationsOracleSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -148,4 +148,38 @@ class TextHygieneSpec extends SparkSpec {
     }
     assert(got == want.toList, "incremental BPE must match the naive full-recount replay")
   }
+
+  test("bpe encoding equals a per-word local replay of the trained merges") {
+    val got = TextOps.bpeEncode(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(got.nonEmpty)
+    val merges = TextOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toList
+    val rows = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = rows.flatMap { case (src, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map(w => (src, w))
+    }
+    def encodeLen(w: String): Long = {
+      var repr = " " + w.toCharArray.mkString(" ") + " "
+      merges.foreach { case (l, r) => repr = repr.replace(s" $l $r ", s" $l$r ") }
+      repr.trim.split(" ").length.toLong
+    }
+    val encLen = words.map(_._2).distinct.map(w => w -> encodeLen(w)).toMap
+    val want = words.groupBy(_._1).map { case (src, ws) =>
+      val wsT = ws.length.toLong
+      val bpeT = ws.map(w => encLen(w._2)).sum
+      val chars = ws.map(_._2.length.toLong).sum
+      (src, wsT, bpeT, chars, bpeT * 1000000L / chars)
+    }.toList.sortBy(_._1)
+    assert(got == want, "encoded token accounting must bit-match the replay")
+    got.foreach { g =>
+      assert(g._3 >= g._2, "every word is at least one BPE token")
+      assert(g._3 <= g._4, "BPE tokens never exceed characters")
+    }
+    // merges must actually compress: somewhere BPE beats character count
+    assert(got.exists(g => g._3 < g._4))
+  }
 }
