@@ -236,6 +236,7 @@ object SparkEntry {
     "ann_pq_adc" -> (operators.ProductQuant.adcTop1 _),
     "ann_ivf_pq" -> (operators.ProductQuant.ivfAdcTop1 _),
     "search_hybrid_rrf" -> (Similarity.searchHybridRrf _),
+    "search_eval_ndcg" -> (Similarity.searchEvalNdcg _),
     "text_collocations" -> (graft.functions.TextOps.collocations _),
     "text_bpe_train" -> (graft.functions.TextOps.bpeTrain _),
     "text_bpe_encode" -> (graft.functions.TextOps.bpeEncode _),
@@ -1580,6 +1581,9 @@ object SparkEntry {
     // inequality, so the cells-probed scan shares the flat ADC oracle
     "ann_ivf_pq" -> operators.ProductQuant.adcOracleSql,
     "search_hybrid_rrf" -> Similarity.searchHybridRrfOracleSql,
+    // NDCG/recall of the lexical leg vs semantic truth; shared literal
+    // discount table, integer DIV normalization
+    "search_eval_ndcg" -> Similarity.searchEvalNdcgOracleSql,
     "text_collocations" -> graft.functions.TextOps.collocationsOracleSql,
     "text_bpe_train" -> graft.functions.TextOps.bpeTrainOracleSql,
     // the train chain with word identity kept through every round,

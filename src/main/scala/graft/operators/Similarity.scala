@@ -494,7 +494,11 @@ object Similarity {
     * lists. At 100 TB each leg is the already-audited ANN / index plan;
     * fusion cost is rank-list-sized.
     */
-  def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  /** The two ranked retrieval legs at [[HybridDepth]], shared by
+    * [[searchHybridRrf]] and [[searchEvalNdcg]]: lexical = 3-shingle
+    * inverted-index Jaccard ppm, semantic = broadcast-queries cosine.
+    */
+  private[operators] def hybridLegs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.VectorExprs.dot
     // lexical leg: distinct-3-shingle overlap via the inverted index
     val sh = Dedup.shingled(spark, dir).localCheckpoint()
@@ -527,6 +531,11 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("d_id"),
         (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
     val sem = ranked(semScored, "c")
+    (lex, sem)
+  }
+
+  def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val (lex, sem) = hybridLegs(spark, dir)
     // RRF fusion: exact integer reciprocal-rank millionths, absent leg = 0
     def leg(df: DataFrame, rName: String): DataFrame =
       df.select(col("q_id"), col("d_id"), col("r").as(rName))
@@ -601,6 +610,138 @@ object Similarity {
        |        ORDER BY rrf_ppm DESC, d_id) AS rank FROM fused) t
        |WHERE rank <= $HybridTopN
        |ORDER BY query_id, rank""".stripMargin
+
+  // --- retrieval evaluation (NDCG / recall of one leg vs the other) -----
+
+  val EvalK = 10
+  /** Integer-ppm NDCG discount table `⌊10⁶ / log₂(r+1)⌋` for r = 1..K,
+    * generated ONCE here and injected as the same literals into both the
+    * Spark plan and the oracle SQL — determinism comes from sharing the
+    * literal, not from both engines rounding a log identically.
+    */
+  val NdcgDiscountPpm: Seq[Long] =
+    (1 to EvalK).map(r => (1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  /** Ideal DCG: the truth list's relevance is always 10,9,…,1, so the
+    * normalizer is one shared integer constant.
+    */
+  val NdcgIdealDcg: Long =
+    NdcgDiscountPpm.zipWithIndex.map { case (w, i) => (EvalK - i) * w }.sum
+
+  /** RETRIEVAL EVALUATION — NDCG@10 and recall@10 of the LEXICAL leg
+    * against SEMANTIC truth, the offline eval every hybrid-retrieval
+    * deployment runs ("how much of the embedding signal does sparse
+    * search alone capture?"). Truth per query = the semantic top-10 with
+    * graded relevance `11 − rank`; the lexical top-10 earns
+    * `rel · ⌊10⁶/log₂(r+1)⌋` at its own rank r — exact integer DCG,
+    * normalized by the constant ideal DCG with integer DIV. Per-query
+    * scores then roll up to one corpus row (mean/min/max NDCG, mean
+    * recall, zero-recall count) — numbers strictly between 0 and 1 at
+    * the fixture, unlike the full-recall ANN family where an eval would
+    * read a flat 10⁶.
+    *
+    * Scale shape: both legs are the already-audited hybrid plans; the
+    * eval itself is two rank-list-sized joins and two aggregates —
+    * evaluation cost is (queries × K), independent of corpus size.
+    */
+  def searchEvalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val (lexFull, semFull) = hybridLegs(spark, dir)
+    val truth = semFull.filter(col("r") <= EvalK)
+      .select(col("q_id"), col("d_id"),
+        (lit(EvalK + 1L) - col("r")).cast("long").as("rel"))
+    val cand = lexFull.filter(col("r") <= EvalK)
+      .select(col("q_id"), col("d_id"), col("r"))
+    val wArr = array(NdcgDiscountPpm.map(lit): _*)
+    // gains: candidate rank list LEFT-joined with truth (miss ⇒ rel 0)
+    val gains = cand.join(truth, Seq("q_id", "d_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("rel"), lit(0L)) * element_at(wArr, col("r"))).as("g"),
+        when(col("rel").isNotNull, lit(1L)).otherwise(lit(0L)).as("hit"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("g")).as("dcg"), sum(col("hit")).as("hits"))
+    // every query with truth participates, even if the lexical leg came
+    // back empty for it (no shared shingles ⇒ dcg 0, recall 0)
+    val perQ = truth.select(col("q_id")).distinct()
+      .join(gains, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .select(col("q_id"),
+        expr(s"dcg * 1000000 DIV $NdcgIdealDcg").as("ndcg_ppm"),
+        expr(s"hits * 1000000 DIV $EvalK").as("recall_ppm"))
+    perQ.agg(count(lit(1)).as("n_queries"),
+        expr("sum(ndcg_ppm) DIV count(1)").as("mean_ndcg_ppm"),
+        min(col("ndcg_ppm")).as("min_ndcg_ppm"),
+        max(col("ndcg_ppm")).as("max_ndcg_ppm"),
+        expr("sum(recall_ppm) DIV count(1)").as("mean_recall_ppm"),
+        sum(when(col("recall_ppm") === 0L, lit(1L)).otherwise(lit(0L)))
+          .as("zero_recall_queries"))
+  }
+
+  /** DuckDB oracle for [[searchEvalNdcg]] — the hybrid oracle's leg CTEs
+    * cut at K, the same literal discount table, the same integer DIVs.
+    */
+  def searchEvalNdcgOracleSql: String = {
+    val wCase = NdcgDiscountPpm.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+       |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                     for i in range(1, len(w) - 1)])
+       |    ELSE [] END AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents) t),
+       |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT q.doc_id AS q_id, d.doc_id AS d_id, count(*) AS inter
+       |  FROM inv q JOIN inv d USING (g)
+       |  WHERE q.doc_id < $HybridQueries AND d.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+       |lex AS (
+       |  SELECT q_id, d_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY j_ppm DESC, d_id) AS r
+       |  FROM (SELECT i.q_id, i.d_id,
+       |          i.inter * 1000000 // (sq.sz + sd.sz - i.inter) AS j_ppm
+       |        FROM inter i
+       |        JOIN sz sq ON sq.doc_id = i.q_id
+       |        JOIN sz sd ON sd.doc_id = i.d_id) t
+       |  QUALIFY r <= $EvalK),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |truth AS (
+       |  SELECT q_id, d_id, ${EvalK + 1} - r AS rel
+       |  FROM (SELECT q_id, d_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY c DESC, d_id) AS r
+       |        FROM (SELECT q.vec_id AS q_id, n.vec_id AS d_id,
+       |          list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
+       |          / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+       |             * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
+       |        FROM v q JOIN v n ON n.vec_id != q.vec_id
+       |        WHERE q.vec_id < $HybridQueries) t
+       |  QUALIFY r <= $EvalK) u),
+       |gains AS (
+       |  SELECT lex.q_id,
+       |    CAST(sum(COALESCE(truth.rel, 0)
+       |             * CASE lex.r $wCase END) AS BIGINT) AS dcg,
+       |    CAST(sum(CASE WHEN truth.rel IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS hits
+       |  FROM lex LEFT JOIN truth
+       |    ON lex.q_id = truth.q_id AND lex.d_id = truth.d_id
+       |  GROUP BY lex.q_id),
+       |perq AS (
+       |  SELECT t.q_id,
+       |    COALESCE(g.dcg, 0) * 1000000 // $NdcgIdealDcg AS ndcg_ppm,
+       |    COALESCE(g.hits, 0) * 1000000 // $EvalK AS recall_ppm
+       |  FROM (SELECT DISTINCT q_id FROM truth) t
+       |  LEFT JOIN gains g ON t.q_id = g.q_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS mean_ndcg_ppm,
+       |  CAST(min(ndcg_ppm) AS BIGINT) AS min_ndcg_ppm,
+       |  CAST(max(ndcg_ppm) AS BIGINT) AS max_ndcg_ppm,
+       |  CAST(sum(recall_ppm) // count(*) AS BIGINT) AS mean_recall_ppm,
+       |  CAST(sum(CASE WHEN recall_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS zero_recall_queries
+       |FROM perq""".stripMargin
+  }
 
   /** Symmetric int8 quantization profile — the storage decision for an
     * embedding corpus at 100 TB (float32 → int8 is the 4× shrink every

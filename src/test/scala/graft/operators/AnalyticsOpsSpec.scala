@@ -694,4 +694,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
     assert(got.exists(_._8 > 0), "fixture must yield a positive margin somewhere")
   }
+
+  test("search eval: NDCG/recall arithmetic equals a replay over the engine legs") {
+    val row = Similarity.searchEvalNdcg(spark, sfDir).collect().head
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5))
+    // the legs are oracle-gated via search_hybrid_rrf; here we pin that
+    // the EVAL arithmetic over those same legs is exact
+    val (lexF, semF) = Similarity.hybridLegs(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= Similarity.EvalK)
+    val truth = rows(semF).map { case (q, d, r) =>
+      (q, d) -> (Similarity.EvalK + 1L - r) }.toMap
+    val cand = rows(lexF)
+    val w = Similarity.NdcgDiscountPpm
+    val perQ = truth.keys.map(_._1).toSeq.distinct.map { q =>
+      val mine = cand.filter(_._1 == q)
+      val dcg = mine.map { case (_, d, r) =>
+        truth.getOrElse((q, d), 0L) * w(r - 1) }.sum
+      val hits = mine.count { case (_, d, _) => truth.contains((q, d)) }
+      (dcg * 1000000L / Similarity.NdcgIdealDcg,
+        hits * 1000000L / Similarity.EvalK)
+    }
+    val n = perQ.size.toLong
+    val want = (n, perQ.map(_._1).sum / n, perQ.map(_._1).min,
+      perQ.map(_._1).max, perQ.map(_._2).sum / n,
+      perQ.count(_._2 == 0L).toLong)
+    assert(got == want, "eval metrics must bit-match the leg replay")
+    assert(got._2 >= 0 && got._2 <= 1000000L && got._4 <= 1000000L,
+      "NDCG is a normalized ppm")
+  }
 }
