@@ -193,6 +193,7 @@ object SparkEntry {
     "profile_drift" -> (operators.Profiling.profileDrift _),
     "stream_drift" -> ((s, d) => streaming.StreamingDrift.streamDrift(s, d)),
     "stream_decayed_sum" -> ((s, d) => streaming.StreamingDecay.streamDecayedSum(s, d)),
+    "stream_basket_rules" -> ((s, d) => streaming.StreamingBaskets.streamBasketRules(s, d)),
     "profile_constraints" -> (operators.Profiling.profileConstraints _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "profile_correlation" -> (operators.Profiling.profileCorrelation _),
@@ -1529,6 +1530,9 @@ object SparkEntry {
     // the streaming twin shares the batch decayed-sum oracle: per-(user,
     // day) integer partials merge by addition, finisher shared verbatim
     "stream_decayed_sum" -> operators.Temporal.decayedSumOracleSql,
+    // cross-batch baskets: new×seen + new×new pair deltas are additive,
+    // so the accumulated counts share the batch rule oracle
+    "stream_basket_rules" -> operators.Association.basketRulesOracleSql,
     "profile_constraints" -> operators.Profiling.constraintsOracleSql,
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "profile_correlation" -> operators.Profiling.correlationOracleSql,

@@ -48,6 +48,16 @@ object Association {
       .localCheckpoint()
     val items = li.groupBy(col("p")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
+    rulesFrom(pairs, items, total)
+  }
+
+  /** The rule finisher over count frames — `pairs(a, b, n_ab)` (already
+    * support-filtered), `items(p, n_i)`, `total(n)` (1 row). Shared by
+    * the batch operator and [[graft.streaming.StreamingBaskets]], whose
+    * accumulated per-batch deltas sum to the identical counts.
+    */
+  private[graft] def rulesFrom(pairs: DataFrame, items: DataFrame,
+                               total: DataFrame): DataFrame = {
     // both directions of every surviving pair become candidate rules
     val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
       .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
