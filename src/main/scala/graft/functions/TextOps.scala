@@ -729,6 +729,7 @@ object TextOps {
       .select(col("source"), explode(tokens).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the dictionary AND the final join
     val dictionary = sourceWords.select(col("t")).distinct()
       .withColumn("repr",
         concat(lit(" "), concat_ws(" ", split(col("t"), "")), lit(" ")))
