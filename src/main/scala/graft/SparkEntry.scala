@@ -195,6 +195,7 @@ object SparkEntry {
     "stream_decayed_sum" -> ((s, d) => streaming.StreamingDecay.streamDecayedSum(s, d)),
     "stream_basket_rules" -> ((s, d) => streaming.StreamingBaskets.streamBasketRules(s, d)),
     "profile_constraints" -> (operators.Profiling.profileConstraints _),
+    "profile_benford" -> (operators.Profiling.profileBenford _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
     "profile_correlation" -> (operators.Profiling.profileCorrelation _),
     "stream_profile_incremental" ->
@@ -1534,6 +1535,8 @@ object SparkEntry {
     // so the accumulated counts share the batch rule oracle
     "stream_basket_rules" -> operators.Association.basketRulesOracleSql,
     "profile_constraints" -> operators.Profiling.constraintsOracleSql,
+    // first-digit law screen: exact-cent string digit, shared literal table
+    "profile_benford" -> operators.Profiling.benfordOracleSql,
     "profile_dataset_card" -> operators.Profiling.datasetCardOracleSql,
     "profile_correlation" -> operators.Profiling.correlationOracleSql,
     // the streaming accumulation must land on the BATCH answer exactly —

@@ -554,4 +554,62 @@ object Profiling {
       |  UNION ALL
       |  SELECT 'accepted_values_l_returnflag', 'lineitem', bad_flag, total, bad_flag = 0 FROM l)
       |ORDER BY check_name""".stripMargin
+
+  /** Benford expectation `⌊log₁₀(1 + 1/d)·10⁶⌋` for d = 1..9 — generated
+    * once and injected as the SAME literals into the Spark plan and the
+    * oracle SQL (the [[graft.operators.Similarity.NdcgDiscountPpm]]
+    * discipline: determinism by shared literal, not by both engines
+    * rounding a log identically).
+    */
+  val BenfordPpm: Seq[Long] =
+    (1 to 9).map(d => (math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
+  /** BENFORD FIRST-DIGIT SCREEN — the classic forensic/data-quality gate
+    * over a money column: the observed first-significant-digit
+    * distribution of `o_totalprice` against Benford's law, per digit, in
+    * exact integer ppm. The first digit is extracted WITHOUT floats: the
+    * exact-cent bigint renders to a decimal string (locale-free, identical
+    * cross-engine) and the digit is its first character — ×100 preserves
+    * the leading significand, and no log10/pow double ever runs on data.
+    *
+    * TPC-H prices are range-uniform, not scale-invariant, so the fixture
+    * SHOWS a loud Benford violation — which is the point of the gate: a
+    * synthetic (or fabricated) money column fails it; organic multi-scale
+    * data passes. One scan, one 9-group hash aggregate, a 1-row total
+    * broadcast; the expectation rides as a literal array lookup.
+    */
+  def profileBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.table(spark, dir, "orders")
+      .select(expr("""CAST(substring(CAST(
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS STRING), 1, 1) AS BIGINT)""").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(count(lit(1)).as("t"))
+    val exp = element_at(array(BenfordPpm.map(lit): _*), col("digit").cast("int"))
+    counts.crossJoin(total)
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 DIV t").as("observed_ppm"),
+        exp.as("expected_ppm"),
+        (expr("n * 1000000 DIV t") - exp).as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** DuckDB oracle for [[profileBenford]]: same exact-cent string digit,
+    * same literal expectation table.
+    */
+  val benfordOracleSql: String = {
+    val expCase = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+    s"""WITH d AS (SELECT CAST(substr(CAST(
+       |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+       |t AS (SELECT count(*) AS t FROM d)
+       |SELECT digit, CAST(n AS BIGINT) AS n,
+       |  n * 1000000 // t.t AS observed_ppm,
+       |  CAST(CASE digit $expCase END AS BIGINT) AS expected_ppm,
+       |  n * 1000000 // t.t - (CASE digit $expCase END) AS dev_ppm
+       |FROM c CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
 }

@@ -725,4 +725,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got._2 >= 0 && got._2 <= 1000000L && got._4 <= 1000000L,
       "NDCG is a normalized ppm")
   }
+
+  test("benford screen equals an exact integer local replay") {
+    val got = Profiling.profileBenford(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.nonEmpty && got.map(_._1).forall(d => d >= 1 && d <= 9))
+    val cents = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    val t = cents.length.toLong
+    val want = cents.map(c => c.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case (d, n) =>
+        val obs = n * 1000000L / t
+        val exp = Profiling.BenfordPpm(d.toInt - 1)
+        (d, n, obs, exp, obs - exp)
+      }.sortBy(_._1)
+    assert(got == want, "digit distribution must bit-match the replay")
+    assert(got.map(_._2).sum == t, "digit counts partition the table")
+    // TPC-H prices are range-uniform: the gate must actually fire
+    assert(got.exists(r => math.abs(r._5) > 50000L),
+      "fixture must show a loud Benford violation")
+  }
 }
