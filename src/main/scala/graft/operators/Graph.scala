@@ -369,10 +369,15 @@ object Graph {
       .select(col("a"), col("b"), expr("1000000 DIV sup").as("w"))
     val sym = edges.union(edges.select(col("b"), col("a"), col("w")))
       .toDF("src", "dst", "w").localCheckpoint()
-    // source = globally smallest node id, as a 1-row frame (broadcast
-    // seed, no driver round-trip); dist rows are (node, exact cost)
-    var dist = sym.agg(min(least(col("src"), col("dst"))).as("v"))
-      .select(col("v"), lit(0L).as("dist"))
+    // source = the max-degree node (ties → smallest id) as a 1-row frame
+    // (TakeOrderedAndProject over the degree aggregate — broadcast seed,
+    // no driver round-trip). Max-degree beats min-id because the sparser
+    // fixtures fragment: at sf0.1 the support-≥2 graph splits into small
+    // components and an arbitrary seed reaches almost nothing; the
+    // max-degree seed sits in the densest component at every scale.
+    var dist = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("v"), lit(0L).as("dist"))
     for (_ <- 1 to 6) {
       // dist feeds TWO consumers (the relax join and the union), so an
       // unpinned lineage doubles per round — 2⁶ copies of the base plan
@@ -398,7 +403,9 @@ object Graph {
         |          GROUP BY 1, 2 HAVING count(*) >= 2),
         |sym AS (SELECT a AS src, b AS dst, w FROM edges
         |        UNION ALL SELECT b AS src, a AS dst, w FROM edges),
-        |d0 AS (SELECT min(least(src, dst)) AS v, CAST(0 AS BIGINT) AS dist FROM sym)""".stripMargin
+        |d0 AS (SELECT src AS v, CAST(0 AS BIGINT) AS dist FROM (
+        |         SELECT src, count(*) AS deg FROM sym GROUP BY src
+        |         ORDER BY deg DESC, src LIMIT 1) s)""".stripMargin
     val rounds = (1 to 6).map { i =>
       s"""d$i AS (SELECT v, min(dist) AS dist FROM (
          |  SELECT s.dst AS v, d.dist + s.w AS dist

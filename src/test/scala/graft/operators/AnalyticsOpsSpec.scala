@@ -578,7 +578,9 @@ class AnalyticsOpsSpec extends SparkSpec {
     val wEdges = sup.map { case ((a, b), s) => (a, b, 1000000L / s) }.toSeq
     val sym = wEdges ++ wEdges.map { case (a, b, w) => (b, a, w) }
     assert(sym.nonEmpty, "fixture must yield a support-≥2 graph")
-    val src = sym.map(e => math.min(e._1, e._2)).min
+    // max-degree source, ties to the smallest id — as the operator seeds
+    val deg = sym.groupBy(_._1).view.mapValues(_.size)
+    val src = deg.toSeq.maxBy { case (v, d) => (d, -v) }._1
     var dist = Map(src -> 0L)
     for (_ <- 1 to 6) {
       val relaxed = sym.flatMap { case (u, v, w) => dist.get(u).map(d => (v, d + w)) }
