@@ -33,6 +33,14 @@ import graft.sources.Tables
   */
 object Graph {
 
+  /** The distinct (order, part) basket frame every co-purchase kernel
+    * starts from — frame-parametric so [[graft.GraphBench]] can feed
+    * key-shifted scaled copies through the identical cores.
+    */
+  private[graft] def basketFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+
   private val One = 1000000000000L // fixed-point 1.0
 
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
@@ -140,9 +148,10 @@ object Graph {
     * emitted as exact integer millionths (3·triangles·10⁶ DIV wedges),
     * never a double.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCore(basketFrame(spark, dir))
+
+  private[graft] def triangleCore(li: DataFrame): DataFrame = {
     // undirected edge set {a < b}: parts co-occurring in an order, deduped
     // across orders (the self-join is per-order, ≤ C(7,2) pairs each)
     val edges = li.as("x").join(li.as("y"),
@@ -359,9 +368,10 @@ object Graph {
     * a 1-row broadcast (global min part id), never a driver collect.
     * Output: the 20 nearest parts by (cost, id) — TakeOrderedAndProject.
     */
-  def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+  def shortestPaths(spark: SparkSession, dir: String): DataFrame =
+    ssspCore(basketFrame(spark, dir))
+
+  private[graft] def ssspCore(li: DataFrame): DataFrame = {
     val edges = li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
@@ -434,9 +444,10 @@ object Graph {
     * shrink the data, so the 8 pins are each at most edge-list-sized.
     * Production k-core peels to fixpoint with the identical loop body.
     */
-  def kCore(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    kCorePeel(basketFrame(spark, dir))
+
+  private[graft] def kCorePeel(li: DataFrame): DataFrame = {
     // the SUPPORT-≥3 graph (one notch sparser than [[labelPropagation]]'s
     // ≥2): the denser graphs have minimum degree above k everywhere, so
     // nothing would peel — structurally true but uninformative; at ≥3 the
