@@ -194,6 +194,7 @@ object SparkEntry {
     "stream_drift" -> ((s, d) => streaming.StreamingDrift.streamDrift(s, d)),
     "stream_decayed_sum" -> ((s, d) => streaming.StreamingDecay.streamDecayedSum(s, d)),
     "stream_basket_rules" -> ((s, d) => streaming.StreamingBaskets.streamBasketRules(s, d)),
+    "stream_benford" -> ((s, d) => streaming.StreamingBenford.streamBenford(s, d)),
     "profile_constraints" -> (operators.Profiling.profileConstraints _),
     "profile_benford" -> (operators.Profiling.profileBenford _),
     "profile_dataset_card" -> (operators.Profiling.datasetCard _),
@@ -1534,6 +1535,8 @@ object SparkEntry {
     // cross-batch baskets: new×seen + new×new pair deltas are additive,
     // so the accumulated counts share the batch rule oracle
     "stream_basket_rules" -> operators.Association.basketRulesOracleSql,
+    // 9-row additive digit partials, shared finisher — seventh twin
+    "stream_benford" -> operators.Profiling.benfordOracleSql,
     "profile_constraints" -> operators.Profiling.constraintsOracleSql,
     // first-digit law screen: exact-cent string digit, shared literal table
     "profile_benford" -> operators.Profiling.benfordOracleSql,

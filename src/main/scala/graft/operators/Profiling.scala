@@ -578,13 +578,25 @@ object Profiling {
     * data passes. One scan, one 9-group hash aggregate, a 1-row total
     * broadcast; the expectation rides as a literal array lookup.
     */
-  def profileBenford(spark: SparkSession, dir: String): DataFrame = {
-    val digits = Tables.table(spark, dir, "orders")
+  def profileBenford(spark: SparkSession, dir: String): DataFrame =
+    benfordFinish(benfordCounts(Tables.table(spark, dir, "orders")))
+
+  /** The MERGEABLE partial: per-digit counts (≤ 9 rows) — plain-additive
+    * across micro-batches, which is what [[graft.streaming
+    * .StreamingBenford]] rides. Expects raw order rows.
+    */
+  private[graft] def benfordCounts(orders: DataFrame): DataFrame =
+    orders
       .select(expr("""CAST(substring(CAST(
           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
           AS STRING), 1, 1) AS BIGINT)""").as("digit"))
-    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val total = digits.agg(count(lit(1)).as("t"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+
+  /** The finisher: total = Σ counts (the digit counts partition the
+    * table, so no separate scan), ppm shares, literal expectation.
+    */
+  private[graft] def benfordFinish(counts: DataFrame): DataFrame = {
+    val total = counts.agg(sum(col("n")).as("t"))
     val exp = element_at(array(BenfordPpm.map(lit): _*), col("digit").cast("int"))
     counts.crossJoin(total)
       .select(col("digit"), col("n"),
