@@ -13,11 +13,10 @@ import graft.sources.Tables
   *
   * Determinism design: confidence and lift are exact integer
   * PARTS-PER-MILLION (`x·10⁶ DIV y` on counts), never doubles — lift's
-  * denominator is a product of two counts, so the cross-multiplied form
-  * `n_ab·N·10⁶ DIV (n_a·n_b)` stays in int64 at any realistic basket
-  * count (n_ab·N ≤ 10⁶·10⁹ style magnitudes need the 10⁶ factor applied
-  * AFTER the product is checked; here counts are ≤ |orders| so the product
-  * is far below 2⁶³ at the fixture and bounded in the comment at scale).
+  * cross-multiplied numerator `n_ab·N·10⁶` is width-GUARDED in the plan
+  * (raise_error when n_ab·N would push it past 2⁶³−1), not assumed: past
+  * ~3·10⁹ baskets the product wraps silently under non-ANSI eval, and a
+  * wrong-sign lift is worse than a loud stop.
   *
   * Scale shape: the per-basket pair expansion is bounded (TPC-H orders
   * hold ≤ 7 distinct parts, production baskets are capped the same way
@@ -67,7 +66,17 @@ object Association {
       .crossJoin(total)
       .select(col("ante"), col("cons"), col("n_ab").as("support_ct"),
         expr("n_ab * 1000000 DIV n_a").as("confidence_ppm"),
-        expr("n_ab * n * 1000000 DIV (n_a * n_c)").as("lift_ppm"))
+        // Lift numerator width guard (the dpoPairs raise_error
+        // discipline): n_ab·n·10⁶ must fit int64, so require
+        // n_ab ≤ ⌊(2⁶³−1)/10⁶⌋ DIV n — the guard itself divides first
+        // and so never overflows, and n_ab ≤ floor(L/n) ⟹ n_ab·n ≤ L
+        // exactly. Trips loudly at ~3·10⁹ baskets instead of silently
+        // wrapping to a negative lift under non-ANSI eval.
+        expr("""CASE WHEN n_ab <= 9223372036854 DIV n
+                THEN n_ab * n * 1000000 DIV (n_a * n_c)
+                ELSE raise_error(CONCAT(
+                  'basketRules: lift numerator n_ab*n*1e6 exceeds int64 (n_ab=',
+                  n_ab, ', n=', n, ')')) END""").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("confidence_ppm").desc,
         col("ante"), col("cons"))
       .limit(20)

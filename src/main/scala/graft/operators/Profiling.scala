@@ -584,12 +584,23 @@ object Profiling {
   /** The MERGEABLE partial: per-digit counts (≤ 9 rows) — plain-additive
     * across micro-batches, which is what [[graft.streaming
     * .StreamingBenford]] rides. Expects raw order rows.
+    *
+    * Non-positive amounts (refunds, zero-value placeholder rows) have no
+    * first significant digit and are EXCLUDED before the string render —
+    * without the `cents > 0` guard a zero amount yields digit 0 (and
+    * `element_at(expectation, 0)` throws in the finisher) while a
+    * negative amount yields the '-' character, a null digit here and a
+    * cast error in the DuckDB oracle: engine and oracle would diverge
+    * the moment the first refund appears. The guard is spelled
+    * identically in [[benfordOracleSql]].
     */
   private[graft] def benfordCounts(orders: DataFrame): DataFrame =
     orders
-      .select(expr("""CAST(substring(CAST(
-          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-          AS STRING), 1, 1) AS BIGINT)""").as("digit"))
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
 
   /** The finisher: total = Σ counts (the digit counts partition the
@@ -612,9 +623,10 @@ object Profiling {
   val benfordOracleSql: String = {
     val expCase = BenfordPpm.zipWithIndex
       .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
-    s"""WITH d AS (SELECT CAST(substr(CAST(
-       |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+    s"""WITH cz AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT) AS cents FROM orders),
+       |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+       |      AS digit FROM cz WHERE cents > 0),
        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
        |t AS (SELECT count(*) AS t FROM d)
        |SELECT digit, CAST(n AS BIGINT) AS n,

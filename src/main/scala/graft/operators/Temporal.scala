@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -392,11 +392,11 @@ object Temporal {
     * Money decays as exact cents (the decimal(18,2)·100 cast both
     * engines share), so `decayed_value` is in cent·weight units.
     *
-    * Overflow bound: cents ≤ 10¹⁶ (decimal(18,2) ceiling) would overflow,
-    * but fixture/production event values are prices — cents ≤ 10⁷ —
-    * so cents·2¹⁵ ≤ 3·10¹¹ per event leaves room for ~3·10⁷ events PER
-    * USER-DAY before int64 saturates; a larger horizon trades that room
-    * 2× per extra day, which is why H=16 and not 64.
+    * Overflow bound: ENFORCED, not assumed — [[decayedPartials]] guards
+    * |cents_sum| < 2⁴³ per (user, day) with raise_error, which bounds
+    * every finisher term below 2⁵⁸ and the ≤16-term weighted sum below
+    * 2⁶² < 2⁶³. A larger horizon trades that room 2× per extra day,
+    * which is why H=16 and not 64.
     *
     * Scale shape: one scan; the reference date is a 1-row aggregate
     * broadcast in (the usual 1-row cross join, no driver round-trip);
@@ -417,10 +417,28 @@ object Temporal {
     ev.select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"),
       expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .groupBy(col("user_id"), col("d"))
-      .agg(sum(col("cents")).as("cents_sum"),
+      .agg(sum(col("cents")).as("cents_raw"),
         count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "purchase", lit(1L))
           .otherwise(lit(0L))).as("n_purchases"))
+      // Width guard for the finisher (the dpoPairs raise_error
+      // discipline): decayed_value = Σ_{≤16 days} cents_sum·w with
+      // w ≤ 2¹⁵, so |cents_sum| < 2⁴³ bounds each term below 2⁵⁸ and the
+      // 16-term sum below 2⁶² < 2⁶³ — exact by construction, never
+      // checked by wrap-around. A day/user exceeding 2⁴³ cents
+      // (~$88 B/day) is corrupt input; stop loudly instead of silently
+      // wrapping under non-ANSI eval. Re-checked in [[decayedFinish]]
+      // because streaming merges partials by addition before finishing.
+      .select(col("user_id"), col("d"), guardedCents(col("cents_raw")),
+        col("n_events"), col("n_purchases"))
+
+  /** `|cents| < 2⁴³ ? cents : raise_error` — see [[decayedPartials]]. */
+  private def guardedCents(cents: Column): Column =
+    when(abs(cents) < lit(8796093022208L), cents)
+      .otherwise(raise_error(concat(
+        lit("decayedSum: |cents_sum| exceeds 2^43 for user "),
+        col("user_id"), lit(" on "), col("d").cast("string"))))
+      .as("cents_sum")
 
   /** The finisher: reference day = max day IN THE PARTIALS (so streaming
     * never peeks at unseen data), shift weights, horizon filter, final
@@ -430,7 +448,12 @@ object Temporal {
     */
   private[graft] def decayedFinish(parts: DataFrame): DataFrame = {
     val ref = parts.agg(max(col("d")).as("ref"))
-    parts.crossJoin(ref)
+    parts
+      // streaming merges partials additively, so the width bound must
+      // hold on the MERGED sums too — same guard as decayedPartials
+      .select(col("user_id"), col("d"), guardedCents(col("cents_sum")),
+        col("n_events"), col("n_purchases"))
+      .crossJoin(ref)
       .select(col("user_id"), col("cents_sum"), col("n_events"),
         col("n_purchases"), datediff(col("ref"), col("d")).as("age"))
       .filter(col("age") < 16)

@@ -44,11 +44,17 @@ object StreamingBaskets {
         .write.mode("overwrite").parquet(out)
     }
 
-  /** Seen dirs with batch id strictly below `id` (see class doc). */
-  private def priorSeen(spark: SparkSession, root: String, id: Long): DataFrame = {
+  /** Seen dirs with batch id strictly below `id` (see class doc).
+    * Only `batch_<digits>` names are considered — a stray entry under
+    * `seen/` (a `_SUCCESS` marker, an editor backup, a `.crc`) must be
+    * IGNORED, not throw NumberFormatException inside foreachBatch and
+    * kill the stream; `toLongOption` makes the parse total.
+    */
+  private[graft] def priorSeen(spark: SparkSession, root: String, id: Long): DataFrame = {
     val dirs = Option(new java.io.File(s"$root/seen").listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.stripPrefix("batch_").toLong < id)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_") &&
+        f.getName.stripPrefix("batch_").toLongOption.exists(_ < id))
       .map(_.getAbsolutePath)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -750,4 +750,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.exists(r => math.abs(r._5) > 50000L),
       "fixture must show a loud Benford violation")
   }
+
+  test("benford screen: non-positive amounts are excluded, not a crash") {
+    val s = spark; import s.implicits._
+    // a refund, a zero placeholder, and two ordinary rows: without the
+    // cents > 0 guard the zero yields digit 0 (element_at throws) and the
+    // refund a '-' first character (null digit, oracle divergence)
+    val orders = Seq("0.00", "-123.45", "123.45", "987.65")
+      .toDF("o_totalprice")
+    val out = Profiling.benfordFinish(Profiling.benfordCounts(orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (9L, 1L)),
+      "only the positive amounts contribute a first digit")
+  }
+
+  test("basket rules: lift numerator width guard trips loudly past int64") {
+    val s = spark; import s.implicits._
+    val ok = Association.rulesFrom(
+      Seq((1L, 2L, 2L)).toDF("a", "b", "n_ab"),
+      Seq((1L, 4L), (2L, 5L)).toDF("p", "n_i"),
+      Seq(10L).toDF("n")).collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 2L, 2L, 500000L, 1000000L), (2L, 1L, 2L, 400000L, 1000000L)),
+      "in-range counts produce exact ppm scores")
+    // n_ab·n·10⁶ = 3e9·4e9·1e6 ≫ 2⁶³: must raise, never wrap negative
+    val ex = intercept[Exception] {
+      Association.rulesFrom(
+        Seq((1L, 2L, 3000000000L)).toDF("a", "b", "n_ab"),
+        Seq((1L, 3000000000L), (2L, 3000000000L)).toDF("p", "n_i"),
+        Seq(4000000000L).toDF("n")).collect()
+    }
+    assert(ex.getMessage.contains("lift numerator"),
+      s"expected the width guard, got: ${ex.getMessage}")
+  }
 }

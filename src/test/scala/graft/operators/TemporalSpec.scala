@@ -219,4 +219,33 @@ class TemporalSpec extends SparkSpec {
     assert(spark.experimental.extraStrategies == before,
       "the strategy must live on the scoped child session only")
   }
+
+  test("decayed sum: cents width guard trips loudly instead of wrapping") {
+    import spark.implicits._
+    // two $5·10⁸ events on one (user, day): cents_sum = 10¹³ > 2⁴³ —
+    // 2¹⁵-weighted summation could wrap int64, so the partial must raise
+    val big = Seq(
+      (7L, "2024-01-02 10:00:00", "purchase", 5.0e10),
+      (7L, "2024-01-02 11:00:00", "purchase", 5.0e10))
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ex = intercept[Exception] {
+      Temporal.decayedPartials(big).collect()
+    }
+    assert(ex.getMessage.contains("exceeds 2^43"),
+      s"expected the width guard, got: ${ex.getMessage}")
+    // the guard must also hold on MERGED partials (the streaming path
+    // adds per-batch sums before finishing)
+    val merged = Seq((7L, java.sql.Date.valueOf("2024-01-02"),
+      8796093022208L, 2L, 2L))
+      .toDF("user_id", "d", "cents_sum", "n_events", "n_purchases")
+    val ex2 = intercept[Exception] { Temporal.decayedFinish(merged).collect() }
+    assert(ex2.getMessage.contains("exceeds 2^43"))
+    // in-range values pass through bit-identically
+    val ok = Seq((7L, "2024-01-02 10:00:00", "purchase", 12.34))
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val row = Temporal.decayedPartials(ok).collect().head
+    assert(row.getLong(2) == 1234L && row.getLong(3) == 1L && row.getLong(4) == 1L)
+  }
 }

@@ -71,4 +71,21 @@ class StreamingBasketsSpec extends SparkSpec {
     assert(resumed == full,
       "kill-and-resume must equal the uninterrupted run")
   }
+
+  test("priorSeen ignores stray entries under seen/ instead of crashing") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-baskets-stray").toString
+    Seq((1L, 2L)).toDF("ok", "p").write.parquet(s"$root/seen/batch_0")
+    Seq((1L, 3L)).toDF("ok", "p").write.parquet(s"$root/seen/batch_7")
+    // strays a real filesystem accumulates: a marker file, a backup dir,
+    // a non-numeric batch name — before the toLongOption hardening the
+    // dir listing threw NumberFormatException and killed the stream
+    Files.createFile(Paths.get(s"$root/seen/_SUCCESS"))
+    Files.createDirectory(Paths.get(s"$root/seen/batch_0.bak"))
+    Files.createDirectory(Paths.get(s"$root/seen/.editor-state"))
+    val got = StreamingBaskets.priorSeen(spark, root, id = 5L)
+      .collect().map(_.toSeq).toList
+    assert(got == List(Seq(1L, 2L)),
+      "only batch_<digits> dirs strictly below the id are read")
+  }
 }
