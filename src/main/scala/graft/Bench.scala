@@ -46,6 +46,23 @@ object Bench {
     // AND corrected in place.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadavg: Double = osBean.getSystemLoadAverage
+    // Quiet-window gate (r8/r9 VERDICT: two consecutive contention-dirty
+    // records). Before each measuring pass, wait — bounded — for the
+    // 1-minute loadavg to decay below the threshold; between passes the
+    // bench itself is idle, so our own load drains and what remains is
+    // foreign. The gate can time out (the wait is capped); whether each
+    // pass started quiet lands in the record.
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "4.0").toDouble
+    def awaitQuiet(label: String, maxWaitSec: Int): Boolean = {
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      var l = loadavg
+      while (l >= quietLoad && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] $label: loadavg $l%.2f >= $quietLoad%.1f, waiting for a quiet window")
+        Thread.sleep(10000)
+        l = loadavg
+      }
+      l < quietLoad
+    }
     val loadStart = loadavg
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -55,7 +72,26 @@ object Bench {
       // failed queries report -1, never a healthy-looking elapsed time
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+    // stream_q3_prefix_snapshot shares q3FullCycle's session fold memo BY
+    // DESIGN (one fold serves both driver queries — StreamQueries
+    // .foldCache), so its re-run is a memo read (0.046 s for a 15 s
+    // query): never re-measured. stream_q3_full_cycle IS re-measurable:
+    // invalidateFold forces a genuine second execution.
+    val memoRead = Set("stream_q3_prefix_snapshot")
+    val foldMemoized = Set("stream_q3_full_cycle")
+    // stream_socket_ingest is wall-clock TRIGGER CADENCE of the socket
+    // transport, not engine work — kept in the record (the pacing number
+    // is real and useful) but excluded from the headline total and from
+    // contention arithmetic (its duration is pacing-invariant).
+    val pacedQueries = Set("stream_socket_ingest")
+    def remeasure(name: String): Double = {
+      if (foldMemoized(name)) streaming.StreamQueries.invalidateFold(spark)
+      val sec = timed(name, SparkEntry.queries(name))
+      streaming.Changelog.resetSession(spark)
+      sec
+    }
+    val quietFirst = awaitQuiet("first pass", 120)
+    var meas: Map[String, Vector[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val gc0 = gcMillis
       val sec = timed(name, fn)
       // Per-query isolation (outside the timed window): queries checkpoint
@@ -68,33 +104,43 @@ object Bench {
         val rt = Runtime.getRuntime
         System.err.println(f"[bench-debug] $name%-28s ${sec}%8.1f s  gc=${gcMillis - gc0}%6d ms  heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%6d MB")
       }
-      name -> sec
+      name -> Vector(sec)
     }
     val loadMain = loadavg
-    // tail re-run of the slowest 10: same JVM, clean pool, a later moment
-    // in host time — a contended first pass shows up as rerun ≪ first.
-    // The two shared-fold queries are EXCLUDED: q3FullCycle memoizes the
-    // collected fold results per (session, dir) BY DESIGN (one fold
-    // serves both driver queries — StreamQueries.foldCache), so their
-    // "rerun" is a memo read (measured 0.046 s for a 15 s query), not a
-    // second execution — keeping the first-pass number is the honest one.
-    val memoizedResults = Set("stream_q3_full_cycle", "stream_q3_prefix_snapshot")
-    val reruns: Map[String, Double] =
-      firstPass.toSeq.filter(kv => kv._2 >= 0 && !memoizedResults(kv._1))
-        .sortBy(-_._2).take(10).map { case (name, _) =>
-          val sec = timed(name, SparkEntry.queries(name))
-          streaming.Changelog.resetSession(spark)
-          name -> sec
-        }.toMap
-    val loadEnd = loadavg
-    // the headline per-query number is min(first, rerun): the best
-    // available estimate of code cost on this host; first-pass numbers
-    // for the re-run queries stay in the record under "first_pass"
-    val results = firstPass.map { case (n, v) =>
-      n -> reruns.get(n).filter(_ >= 0).map(math.min(_, v)).getOrElse(v)
+    // tail re-run of the slowest 10: same JVM, clean pool, a later
+    // quiet-gated moment in host time — a contended first pass shows up
+    // as discordant measurements and is corrected below.
+    val quietRerun = awaitQuiet("tail rerun", 180)
+    meas.toSeq
+      .filter(kv => kv._2.head >= 0 && !memoRead(kv._1) && !pacedQueries(kv._1))
+      .sortBy(-_._2.head).take(10).foreach { case (name, _) =>
+        meas = meas.updated(name, meas(name) :+ remeasure(name))
+      }
+    // A query's headline is trustworthy when its two FASTEST measurements
+    // agree within 2× (sub-second queries are exempt — scheduler jitter,
+    // not contention). Discordant queries get up to two more quiet-gated
+    // measurements; what stays discordant flags the record as contended.
+    def discordant: Seq[String] = meas.collect {
+      case (n, vs) if !pacedQueries(n) && vs.count(_ >= 0) >= 2 && {
+        val s = vs.filter(_ >= 0).sorted
+        s(0) >= 1.0 && s(1) > 2 * s(0)
+      } => n
+    }.toSeq.sorted
+    var correctiveRounds = 0
+    var quietCorrective = true
+    while (correctiveRounds < 2 && discordant.nonEmpty) {
+      quietCorrective &= awaitQuiet(s"corrective pass ${correctiveRounds + 1}", 240)
+      discordant.foreach { n => meas = meas.updated(n, meas(n) :+ remeasure(n)) }
+      correctiveRounds += 1
     }
-    val contended = firstPass.exists { case (n, v) =>
-      reruns.get(n).exists(r => r >= 0 && v > 2 * r) }
+    val loadEnd = loadavg
+    // the headline per-query number is the min over measurements: the best
+    // available estimate of code cost on this host; every raw measurement
+    // stays in the record under "measurements"
+    val results = meas.map { case (n, vs) =>
+      n -> vs.filter(_ >= 0).minOption.getOrElse(-1.0)
+    }
+    val contended = discordant.nonEmpty
     // The record must survive the driver's bounded ~2 KB stdout tail capture
     // (r3/r4/r5 all captured "parsed": null): with 118 queries the full map
     // is ~3.8 KB and can never fit, and sbt appends its own "[success]" line
@@ -112,16 +158,23 @@ object Bench {
     val sorted = results.toSeq.sortBy(_._1)
     val entries = sorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val qs = entries.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // the headline total is ENGINE work: paced transport queries are
+    // excluded (their per-query numbers stay in "queries" and the
+    // exclusion is named in the record)
+    val total = results.filterNot(kv => pacedQueries(kv._1)).values.filter(_ >= 0).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("\"" + sfDir + "\"")
-    val fp = firstPass.toSeq.filter(kv => reruns.contains(kv._1)).sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val rr = reruns.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // every raw measurement for multi-measured queries, first-pass first
+    val mm = meas.toSeq.filter(_._2.size > 1).sortBy(_._1)
+      .map { case (k, vs) => "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     def fmtLoad(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val quietStamp =
+      s""""quiet_gate":{"threshold":$quietLoad,"first_pass":$quietFirst,"rerun":$quietRerun,"corrective":$quietCorrective,"corrective_rounds":$correctiveRounds}"""
+    val pacedStamp = pacedQueries.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val contentionStamp =
-      s""""loadavg":{"start":${fmtLoad(loadStart)},"after_main":${fmtLoad(loadMain)},"end":${fmtLoad(loadEnd)}},"contended":$contended,"first_pass":$fp,"rerun":$rr"""
+      s""""loadavg":{"start":${fmtLoad(loadStart)},"after_main":${fmtLoad(loadMain)},"end":${fmtLoad(loadEnd)}},"contended":$contended,$quietStamp,"excluded_from_total":$pacedStamp,"measurements":$mm"""
     val fullRecord =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf,"cpus":$cpus,$contentionStamp}"""
     try {

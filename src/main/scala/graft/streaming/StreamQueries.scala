@@ -66,6 +66,17 @@ object StreamQueries {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Q3Fold]]())
 
+  /** Drop the session's fold memo so the next full-cycle query genuinely
+    * re-executes. The memo exists so ONE fold serves both driver queries
+    * (Verify correctness runs keep it); Bench invalidates it between
+    * measurements of `stream_q3_full_cycle` so a re-measure is a real
+    * second execution, not a 0.05 s memo read.
+    */
+  private[graft] def invalidateFold(spark: SparkSession): Unit =
+    foldCache.synchronized {
+      Option(foldCache.get(spark)).foreach(_.clear())
+    }
+
   private def fullCycleFold(spark: SparkSession, dir: String): Q3Fold = {
     val perSession = foldCache.synchronized {
       foldCache.computeIfAbsent(spark,
