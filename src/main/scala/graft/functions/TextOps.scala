@@ -594,7 +594,8 @@ object TextOps {
     * every production BPE trainer uses (the dictionary is the classic
     * trick that makes training corpus-size-independent; Heaps' law keeps
     * it sublinear in corpus size, and a 100 TB run caps it with the
-    * standard min-frequency floor). Per merge, only the words that
+    * [[bpeMinFrequency]] admission floor — `graft.bpe.minFrequency`,
+    * default 1). Per merge, only the words that
     * actually CONTAIN the merged pair are touched (an inverted pair→words
     * index finds them), and their old/new pair multisets are diffed into
     * the running counts — per-merge cost is affected-words-sized, not
@@ -617,17 +618,48 @@ object TextOps {
     */
   val BpeMerges = 128
 
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    // the one corpus-sized job; everything after runs on the dictionary
-    val dict = docs(spark, dir)
+  /** Dictionary admission floor: minimum corpus frequency a word needs to
+    * enter the driver-side dictionary. Read from the session conf
+    * `graft.bpe.minFrequency`, default 1 (= admit everything,
+    * fixture-invariant). On a web-scale corpus the distinct-word
+    * dictionary is billions of entries — hapax-dominated by Heaps'/Zipf's
+    * law — and collecting it unfloored OOMs the driver; the standard
+    * min-frequency floor (every production BPE trainer has one) drops the
+    * long tail while barely perturbing merge counts, since a floor-F cut
+    * removes at most F−1 occurrences per dropped word from any pair
+    * count. Non-numeric or < 1 values fail loudly, never default.
+    */
+  private[graft] def bpeMinFrequency(spark: SparkSession): Long = {
+    val raw = spark.conf.get("graft.bpe.minFrequency", "1")
+    raw.trim.toLongOption.filter(_ >= 1L).getOrElse(
+      sys.error(s"graft.bpe.minFrequency must be a positive integer, got '$raw'"))
+  }
+
+  /** The one corpus-sized job behind [[bpeTrain]]: the (frequency,
+    * space-delimited symbol repr) dictionary, floored at `floor` — the
+    * ONLY thing ever collected to the driver.
+    */
+  private[graft] def bpeDictionary(spark: SparkSession, dir: String,
+                                   floor: Long): Array[(Long, String)] =
+    docs(spark, dir)
       .select(explode(tokens).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy(col("t")).agg(count(lit(1)).as("wf"))
+      .filter(col("wf") >= floor)
       .select(col("wf"),
         concat(lit(" "), concat_ws(" ", split(col("t"), "")), lit(" ")).as("repr"))
       .collect()
-    val weights = dict.map(_.getLong(0))
-    val reprs = dict.map(_.getString(1))
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFromDict(spark,
+      bpeDictionary(spark, dir, bpeMinFrequency(spark)))
+
+  /** The merge loop over a collected dictionary (see [[bpeTrain]] doc). */
+  private[graft] def bpeTrainFromDict(spark: SparkSession,
+                                      dict: Array[(Long, String)]): DataFrame = {
+    val weights = dict.map(_._1)
+    val reprs = dict.map(_._2)
     import scala.collection.mutable
     def pairsOf(repr: String): Array[(String, String)] = {
       val s = repr.trim.split(" ")

@@ -182,4 +182,36 @@ class TextHygieneSpec extends SparkSpec {
     // merges must actually compress: somewhere BPE beats character count
     assert(got.exists(g => g._3 < g._4))
   }
+
+  test("bpe dictionary floor drops rare words without corrupting survivors") {
+    // floor semantics on dictionary admission: floor=F is exactly the
+    // floor=1 dictionary restricted to wf >= F (weights untouched)
+    // pick the floor from the data: strictly above the rarest word's
+    // frequency, so the cut provably drops something at any fixture SF
+    val all = TextOps.bpeDictionary(spark, sfDir, floor = 1L)
+    val floor = all.map(_._1).min + 1
+    val floored = TextOps.bpeDictionary(spark, sfDir, floor)
+    assert(floored.toSet == all.filter(_._1 >= floor).toSet,
+      "floor must be a pure frequency cut, never a reweighting")
+    assert(floored.length < all.length,
+      "a floor above the rarest word's frequency must actually drop it")
+    // the trained merges over the floored dictionary are exactly what the
+    // conf-driven entry point produces
+    val want = TextOps.bpeTrainFromDict(spark, floored).collect().map(_.toSeq).toSeq
+    spark.conf.set("graft.bpe.minFrequency", floor.toString)
+    try {
+      val got = TextOps.bpeTrain(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(got == want, "conf floor must wire through to training")
+      assert(got.nonEmpty && got.map(_(0)).distinct.size == got.size)
+    } finally spark.conf.unset("graft.bpe.minFrequency")
+    // default (floor = 1) is the unfloored dictionary — fixture-invariant
+    assert(TextOps.bpeMinFrequency(spark) == 1L)
+    // malformed floors fail loudly, never silently default
+    spark.conf.set("graft.bpe.minFrequency", "0")
+    try intercept[Exception](TextOps.bpeMinFrequency(spark))
+    finally spark.conf.unset("graft.bpe.minFrequency")
+    spark.conf.set("graft.bpe.minFrequency", "many")
+    try intercept[Exception](TextOps.bpeMinFrequency(spark))
+    finally spark.conf.unset("graft.bpe.minFrequency")
+  }
 }
