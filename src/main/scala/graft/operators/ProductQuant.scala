@@ -171,8 +171,28 @@ object ProductQuant {
       .select(col("q_id"), col("m.nn_id").as("nn_id"), col("m.adc").as("adc_dist"))
       .orderBy(col("q_id"))
 
-  def adcTop1(spark: SparkSession, dir: String): DataFrame =
-    adcTop1On(vecs(spark, dir).localCheckpoint())
+  /** Row fence for the flat baseline: `ann_pq_adc` deliberately scores
+    * every (query, vector) pair — the textbook ADC reference the pruned
+    * [[ivfAdcTop1]] is bit-matched against — so past this corpus size it
+    * must STOP, not silently burn a Q×N scan a 100 TB user meant to send
+    * to `ann_ivf_pq`. A def, not a lazy val: the property is re-read per
+    * call so a harness can raise it for one deliberate oversized run.
+    */
+  private[graft] def flatAdcMaxRows: Long = {
+    val v = sys.props.get("graft.pq.flatMaxRows").map(_.toLong).getOrElse(1000000L)
+    require(v >= 1, s"graft.pq.flatMaxRows must be positive, got $v"); v
+  }
+
+  def adcTop1(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir).localCheckpoint()
+    val n = q.count()
+    require(n <= flatAdcMaxRows,
+      s"ann_pq_adc is the flat QxN ADC BASELINE and scores every (query, vector) pair: " +
+      s"corpus has $n rows > graft.pq.flatMaxRows=$flatAdcMaxRows. Use ann_ivf_pq " +
+      "(the IVF-pruned production form, bit-equal on fixtures) or raise " +
+      "-Dgraft.pq.flatMaxRows for a deliberate oversized run.")
+    adcTop1On(q)
+  }
 
   /** Flat-ADC core over a pinned quantized frame (the documented Q×N
     * baseline — [[ivfAdcTop1On]] is the pruned form).
