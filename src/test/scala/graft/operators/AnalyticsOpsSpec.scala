@@ -410,6 +410,22 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"the flat query×corpus product must be gone — every join equi:\n$plan")
   }
 
+  test("ann_pq_adc: the flat-baseline row fence trips loudly above the cap") {
+    // drop the cap below the fixture corpus: the fence must refuse the
+    // Q×N scan and point at ann_ivf_pq, never start it
+    System.setProperty("graft.pq.flatMaxRows", "10")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        ProductQuant.adcTop1(spark, sfDir)
+      }
+      assert(ex.getMessage.contains("ann_ivf_pq") &&
+        ex.getMessage.contains("flatMaxRows"),
+        s"fence message must route the user to the pruned form: ${ex.getMessage}")
+    } finally System.clearProperty("graft.pq.flatMaxRows")
+    // with the default cap (1e6) the fixture query stays green
+    assert(ProductQuant.adcTop1(spark, sfDir).count() > 0)
+  }
+
   test("collocations: integer lift ranking equals a local replay, support floor holds") {
     val got = graft.functions.TextOps.collocations(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
