@@ -154,6 +154,7 @@ object SparkEntry {
     "stream_windows_tumbling" -> (streaming.StreamingWindows.streamTumbling _),
     "stream_windows_session" -> (streaming.StreamingWindows.streamSession _),
     "stream_windows_sliding" -> (streaming.StreamingWindows.streamSliding _),
+    "stream_windows_late" -> (streaming.StreamingWindows.streamLate _),
     "stream_dedup" -> (streaming.StreamingWindows.streamDedup _),
     "stream_enrich_static" -> (streaming.StreamingWindows.streamEnrichStatic _),
     "stream_scd_enrich" -> (streaming.StreamingWindows.streamScdEnrich _),
@@ -1260,6 +1261,21 @@ object SparkEntry {
         |SELECT CAST(ws AS VARCHAR) AS window_start, event_type, n, value_sum
         |FROM b
         |WHERE ws + INTERVAL '1 hour' <= (SELECT max(ts) - INTERVAL '1 hour' FROM e)""".stripMargin,
+    // late-data drop: the oldest hour's even-user rows arrive AFTER the
+    // watermark passed their window end and are dropped — the oracle is
+    // the tumbling aggregate over the ON-TIME prefix only
+    "stream_windows_late" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+        |thr AS (SELECT time_bucket(INTERVAL '1 hour', min(ts)) + INTERVAL '1 hour' AS fhe,
+        |               max(ts) - INTERVAL '1 hour' AS wm FROM e),
+        |ontime AS (SELECT ts, event_type, value FROM e, thr
+        |           WHERE NOT (ts < thr.fhe AND user_id % 2 = 0)),
+        |b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |             count(*) AS n,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |      FROM ontime GROUP BY 1, 2)
+        |SELECT CAST(ws AS VARCHAR) AS window_start, event_type, n, value_sum
+        |FROM b, thr WHERE ws + INTERVAL '1 hour' <= thr.wm""".stripMargin,
     // two overlapping 1h-aligned buckets per event; finalized = window
     // end (start + 2h) at or before the terminal watermark max(ts) - 1h
     "stream_windows_sliding" ->

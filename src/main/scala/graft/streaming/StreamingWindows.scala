@@ -135,6 +135,94 @@ object StreamingWindows {
       .start()
   }
 
+  /** LATE-DATA DROP — the first event-time semantic a production user
+    * hits, proven end to end: rows that arrive AFTER the watermark has
+    * passed their window are dropped, exactly and silently, and the
+    * emitted windows are those of the on-time rows alone.
+    *
+    * The archive is staged so lateness is REAL, not simulated: the
+    * even-user rows of the stream's oldest hour are held back into a
+    * final chunk whose mtime is the NEWEST — the file source replays
+    * oldest-mtime-first, so by the time that chunk becomes a micro-batch
+    * the watermark already sits at max(ts) − 1 h (advanced by the
+    * previous chunk, which held the stream's maximum). Their window's
+    * end (oldest hour + 1 h) is far below it, so Structured Streaming's
+    * watermark filter drops every one of them before the aggregate.
+    *
+    * The query itself is [[tumblingFrame]] verbatim — same windows, same
+    * watermark — which is the point: the DELTA between this result and
+    * `stream_windows_tumbling`'s is precisely the held-back rows'
+    * contribution, and the DuckDB oracle replays the on-time prefix
+    * (`NOT (ts < oldest_hour_end AND user_id % 2 = 0)`) in batch.
+    */
+  def streamLate(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedLateEvents(spark, dir)
+    val sink = s"graft_stream_late_${sinkCounter.incrementAndGet()}"
+    val q = startTumbling(spark, staged, sink)
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  private val stagedLateMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedLateEvents(spark: SparkSession, dir: String): String =
+    stagedLateMemo.getOrElseUpdate(
+      spark.sparkContext.applicationId + "#" + dir, {
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_stream_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}/events_late"
+        stageLate(spark, dir, path)
+        path
+      })
+
+  /** Stage the events archive with the oldest hour's even-user rows held
+    * back into the newest-mtime chunk (see [[streamLate]]). On-time rows
+    * keep [[stage]]'s contract: ts-range chunks, mtime in range order.
+    */
+  def stageLate(spark: SparkSession, dir: String, outDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val ev = Tables.table(spark, dir, "events")
+      .select("ts", "user_id", "event_type", "value")
+    // two bounded driver scalars: the oldest hour's end (the late rows'
+    // window end) and the stream maximum (the terminal watermark + 1 h)
+    val bounds = ev.agg(
+      (date_trunc("hour", min(col("ts"))) + expr("INTERVAL 1 HOUR")).as("fhe"),
+      max(col("ts")).as("mx")).head()
+    val firstHourEnd = bounds.getTimestamp(0)
+    val maxTs = bounds.getTimestamp(1)
+    // the drop is only guaranteed when the watermark can pass the late
+    // rows' window end before they arrive — needs ≥ 2 h of event span
+    require(firstHourEnd.getTime <= maxTs.getTime - 3600000L,
+      s"stageLate: events span under 2 hours ($firstHourEnd .. $maxTs); " +
+        "the late chunk's window end would not be below the terminal watermark")
+    val lateCond = col("ts") < lit(firstHourEnd) && col("user_id") % 2 === 0
+    val tmp = outDir + ".staging"
+    ev.filter(!lateCond)
+      .repartitionByRange(2, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$tmp/ontime")
+    ev.filter(lateCond).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/late")
+    val out = Paths.get(outDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
+    Files.createDirectories(out)
+    val now = System.currentTimeMillis()
+    def parts(sub: String): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(Files.list(Paths.get(s"$tmp/$sub"))) { files =>
+        files.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+      }
+    val ordered = parts("ontime") ++ parts("late")
+    ordered.zipWithIndex.foreach { case (p, i) =>
+      val dest = out.resolve(s"chunk${i + 1}-${p.getFileName}")
+      Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          now - (ordered.size - 1 - i) * 60000L))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(tmp).toFile)
+  }
+
   /** Sliding windows (2 h length, 1 h slide — each event lands in two
     * windows) as a watermarked append-mode streaming query, completing the
     * tumbling/sliding/session triad. Distinct aggregation is not allowed

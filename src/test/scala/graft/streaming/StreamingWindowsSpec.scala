@@ -266,4 +266,33 @@ class StreamingWindowsSpec extends SparkSpec {
       _.listFiles().count(_.getName.startsWith("v")) >= 3),
       "expected one state version per micro-batch")
   }
+
+  test("late rows beyond the watermark are dropped, not aggregated") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+    val bounds = ev.agg(
+      (date_trunc("hour", min(col("ts"))) + expr("INTERVAL 1 HOUR")).as("fhe"),
+      max(col("ts")).as("mx")).head()
+    val fhe = bounds.getTimestamp(0)
+    val lateCond = col("ts") < lit(fhe) && col("user_id") % 2 === 0
+    val nLate = ev.filter(lateCond).count()
+    assert(nLate > 0, "the fixture must actually contain held-back rows")
+    val got = StreamingWindows.streamLate(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    // batch replay over the ON-TIME prefix, finalized windows only
+    def replay(rows: org.apache.spark.sql.DataFrame) = rows
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .crossJoin(ev.agg(max(col("ts")).as("mx")))
+      .filter(col("window.end") <= col("mx") - expr("INTERVAL 1 HOUR"))
+      .select(col("window.start").cast("string").as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+      .collect().map(_.toSeq).toSet
+    assert(got == replay(ev.filter(!lateCond)),
+      "the streaming result must equal the batch replay over on-time rows")
+    assert(got != replay(ev),
+      "the drop must be observable: all-rows replay differs (held-back " +
+        "rows land in a finalized window)")
+  }
 }
