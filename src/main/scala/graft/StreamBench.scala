@@ -41,6 +41,16 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Scale runs fold with the bucketed-table state spill ON (the bounded-
+    // memory story — IncrementalQ3's spill note): every compaction MERGEs
+    // the z-set states to disk, so the heap envelope is deltas-sized, not
+    // state-sized. `-Dgraft.ivm.spill.dir=off` opts back into the
+    // all-in-memory fold for A/B runs.
+    val spillDefault = System.getProperty("java.io.tmpdir") +
+      s"/graft_ivm_spill_${spark.sparkContext.applicationId}"
+    if (sys.props.get("graft.ivm.spill.dir").isEmpty)
+      sys.props("graft.ivm.spill.dir") = spillDefault
+    System.err.println(s"[streambench] state spill: ${sys.props("graft.ivm.spill.dir")}")
 
     val li = scaled(Tables.table(spark, sfDir, "lineitem"), Seq("l_orderkey"), scale)
     val or = scaled(Tables.table(spark, sfDir, "orders"),
@@ -56,7 +66,10 @@ object StreamBench {
     val top = IncrementalQ3.topN(fin).collect()
     val sec = (System.nanoTime() - t0) / 1e9
     require(top.isEmpty, "full cycle must converge to an empty aggregate")
-    println(f"""{"metric":"stream_events_per_sec","value":${nEvents / sec}%.0f,"unit":"events/sec","events":$nEvents,"seconds":$sec%.1f,"batches":$k,"scale":$scale}""")
+    val spill = sys.props.get("graft.ivm.spill.dir").filterNot(_ == "off")
+    println(f"""{"metric":"stream_events_per_sec","value":${nEvents / sec}%.0f,"unit":"events/sec","events":$nEvents,"seconds":$sec%.1f,"batches":$k,"scale":$scale,"spill":${spill.nonEmpty},"max_heap_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}}""")
+    spill.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     spark.stop()
   }
 }

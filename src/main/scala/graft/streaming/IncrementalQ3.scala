@@ -16,8 +16,8 @@ import graft.operators.Relational
   * dataflow is a per-micro-batch delta computation over z-set states:
   *
   * {{{
-  *   ΔCO  = ΔC ⋈ (O∪ΔO)  ∪  C ⋈ ΔO                  (custkey)
-  *   ΔJ   = ΔCO ⋈ (L∪ΔL) ∪  CO ⋈ ΔL                 (orderkey)
+  *   ΔCO  = ΔC⋈O  ∪ ΔC⋈ΔO  ∪ C⋈ΔO                   (custkey)
+  *   ΔJ   = ΔCO⋈L ∪ ΔCO⋈ΔL ∪ CO⋈ΔL                  (orderkey)
   *   ΔAgg = ΔJ groupBy (orderkey, orderdate, priority)
   *                agg sum(w·revenue), sum(w)
   *   Agg' = consolidate(Agg ∪ ΔAgg);  emit top-20 of Agg'
@@ -37,9 +37,12 @@ object IncrementalQ3 {
   /** All maintained state, each a z-set DataFrame with weight [[ZSet.W]].
     * `dirty` counts delete-carrying batches since the base states were
     * last compacted (see the amortized-compaction note in [[step]]).
+    * `spillHistory` is this fold's spill versions, newest first (at most
+    * the two newest stay on disk — see the spill note in [[step]]).
     */
   final case class State(c: DataFrame, o: DataFrame, l: DataFrame,
-                         co: DataFrame, agg: DataFrame, dirty: Int = 0) {
+                         co: DataFrame, agg: DataFrame, dirty: Int = 0,
+                         spillHistory: List[Long] = Nil) {
     def all: Seq[DataFrame] = Seq(c, o, l, co, agg)
   }
 
@@ -55,6 +58,62 @@ object IncrementalQ3 {
     */
   private val CompactEvery =
     Integer.getInteger("graft.compact.every", 4).intValue()
+
+  // --- state spill to bucketed tables (the 100× memory story) -----------
+  //
+  // By default the five states are localCheckpoint'd frames — executor
+  // storage memory (with BlockManager disk overflow), fine at driver-test
+  // scale but an unbounded envelope at 100×: the 153 M-event StreamBench
+  // run peaks above 100 M state rows. With `graft.ivm.spill.dir` set,
+  // every compaction instead MERGEs each consolidated state into a
+  // bucketed-by-join-key table (the `join_bucketed` zero-Exchange shape):
+  //  - memory holds only the deltas since the last compaction — the
+  //    envelope is CompactEvery × batch size, not accumulated state;
+  //  - the next batches' delta joins read the state scan pre-partitioned
+  //    on its join key, so only the batch-sized delta shuffles (the
+  //    three-term [[ZSet.deltaJoin]] keeps the scan directly under each
+  //    join for exactly this reason);
+  //  - at cluster scale the same writes target a transactional table
+  //    format; the z-set algebra above is unchanged.
+  // Spill dirs are versioned (v1, v2, …): a new version is fully written
+  // before the state rebinds to it, and only then is everything older
+  // than the PREVIOUS version deleted — a consumer holding last batch's
+  // State keeps readable files, same discipline as Snapshots.saveBatch.
+  private def spillRoot: Option[String] =
+    sys.props.get("graft.ivm.spill.dir").map(_.trim)
+      .filter(d => d.nonEmpty && d != "off")
+
+  private val SpillBuckets =
+    Integer.getInteger("graft.ivm.spill.buckets", 32).intValue()
+
+  private val spillVersion = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Bucket keys: each state's delta-join key ([[step]]'s joins), the
+    * aggregate's leading grain key.
+    */
+  private def spillKey(name: String, aggKeys: Seq[String]): String = name match {
+    case "c" => "c_custkey"
+    case "o" => "o_custkey"
+    case "l" => "l_orderkey"
+    case "co" => "o_orderkey"
+    case "agg" => aggKeys.head
+  }
+
+  private def spillState(spark: SparkSession, root: String, version: Long,
+                         name: String, key: String, df: DataFrame): DataFrame = {
+    val tbl = s"graft_ivm_${name}_v$version"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    df.write.mode("overwrite").option("path", s"$root/v$version/$name")
+      .bucketBy(SpillBuckets, key).sortBy(key).saveAsTable(tbl)
+    spark.table(tbl)
+  }
+
+  private def dropSpill(spark: SparkSession, root: String, version: Long): Unit = {
+    Seq("c", "o", "l", "co", "agg").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivm_${n}_v$version"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$root/v$version"))
+  }
 
   private val cutoff = to_date(lit(Relational.Q3Date))
 
@@ -192,18 +251,34 @@ object IncrementalQ3 {
     //      read it).
     dCO.count()
     val compact = hasDeletes && st.dirty + 1 >= CompactEvery
-    def upkeep(state: DataFrame, delta: DataFrame): DataFrame = {
+    val spark = lines.sparkSession
+    val spillTo = if (compact) spillRoot else None
+    val version = spillTo.map(_ => spillVersion.incrementAndGet())
+    def upkeep(name: String, state: DataFrame, delta: DataFrame): DataFrame = {
       val merged = state.unionByName(delta)
-      if (compact) ZSet.consolidate(merged).localCheckpoint(eager = false)
-      else merged
+      spillTo match {
+        case Some(root) => spillState(spark, root, version.get, name,
+          spillKey(name, aggKeys), ZSet.consolidate(merged))
+        case None if compact =>
+          ZSet.consolidate(merged).localCheckpoint(eager = false)
+        case None => merged
+      }
     }
+    val history = version.map(_ :: st.spillHistory).getOrElse(st.spillHistory)
     val next = State(
-      c = upkeep(st.c, dC),
-      o = upkeep(st.o, dO),
-      l = upkeep(st.l, dL),
-      co = upkeep(st.co, dCO),
-      agg = newAgg.localCheckpoint(eager = false),
-      dirty = if (compact) 0 else if (hasDeletes) st.dirty + 1 else st.dirty)
+      c = upkeep("c", st.c, dC),
+      o = upkeep("o", st.o, dO),
+      l = upkeep("l", st.l, dL),
+      co = upkeep("co", st.co, dCO),
+      agg = spillTo match {
+        case Some(root) => spillState(spark, root, version.get, "agg",
+          spillKey("agg", aggKeys), newAgg)
+        case None => newAgg.localCheckpoint(eager = false)
+      },
+      dirty = if (compact) 0 else if (hasDeletes) st.dirty + 1 else st.dirty,
+      spillHistory = history.take(2))
+    // everything older than the previous spill is now unreachable
+    spillTo.foreach(root => history.drop(2).foreach(dropSpill(spark, root, _)))
     // Materialize ONLY the frames this step newly checkpointed,
     // CONCURRENTLY (independent Spark jobs — wall time is the slowest,
     // not the sum). On a non-compacting batch c/o/l/co are plain unions
@@ -214,7 +289,12 @@ object IncrementalQ3 {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val wantSizes = java.lang.Boolean.getBoolean("graft.ivm.sizes")
-    val toPin = if (compact || wantSizes) next.all else Seq(next.agg)
+    // a spill batch already materialized every state as its table write —
+    // nothing to pin unless the sizes diagnostic wants the counts
+    val toPin =
+      if (spillTo.nonEmpty) (if (wantSizes) next.all else Seq.empty)
+      else if (compact || wantSizes) next.all
+      else Seq(next.agg)
     val sizes = Await.result(
       Future.sequence(toPin.map(df => Future { df.count() })), Duration.Inf)
     // the sizes diagnostic (z-set rows incl. not-yet-compacted ± pairs,

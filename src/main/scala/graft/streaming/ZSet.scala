@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *    `state.clear()`/`MapState.remove`, no_websocket.java:404–425).
   *
   * Every operation is a plain Catalyst plan — joins shuffle on their keys,
-  * aggregates get partial/final hash aggregation, all codegen'd. At cluster
-  * scale the per-batch state would live in a keyed store (bucketed tables /
-  * Delta MERGE); in this single-JVM engine states are cached DataFrames cut
-  * from their lineage via `localCheckpoint` each step.
+  * aggregates get partial/final hash aggregation, all codegen'd. State
+  * lives one of two ways: cached DataFrames cut from their lineage via
+  * `localCheckpoint` (the default, executor storage memory), or — with
+  * [[IncrementalQ3]]'s spill mode on — bucketed-by-join-key tables that
+  * each compaction MERGEs, bounding the memory envelope to the deltas
+  * since the last compaction while the delta joins read the state
+  * shuffle-free.
   */
 object ZSet {
   /** The weight column name, reserved on every z-set DataFrame. */
@@ -43,11 +46,20 @@ object ZSet {
   }
 
   /** Delta of `A ⋈ B` given old states and this batch's deltas (the bilinear
-    * delta rule Δ(A⋈B) = ΔA⋈(B∪ΔB) ∪ A⋈ΔB): everything the reference's
+    * delta rule Δ(A⋈B) = ΔA⋈B ∪ ΔA⋈ΔB ∪ A⋈ΔB): everything the reference's
     * two-sided symmetric-join state machine computes record-at-a-time
-    * (no_websocket.java:378–512), as two batch joins per micro-batch.
+    * (no_websocket.java:378–512), as three batch joins per micro-batch.
+    *
+    * Spelled fully distributed (three joins, not `ΔA⋈(B∪ΔB)` two) so each
+    * STATE side sits directly under its join: when the state is a bucketed
+    * table ([[IncrementalQ3]]'s spill mode) the join inherits its
+    * partitioning and only the batch-sized delta shuffles — a union above
+    * the state scan would erase the bucketing and reshuffle the whole
+    * state every batch.
     */
   def deltaJoin(aOld: DataFrame, dA: DataFrame,
                 bOld: DataFrame, dB: DataFrame, cond: Column): DataFrame =
-    join(dA, bOld.unionByName(dB), cond).unionByName(join(aOld, dB, cond))
+    join(dA, bOld, cond)
+      .unionByName(join(dA, dB, cond))
+      .unionByName(join(aOld, dB, cond))
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The bucketed-table state spill ([[IncrementalQ3]]'s 100× memory story):
+  *  - SEMANTICS: a spilled fold is bit-identical to the in-memory fold at
+  *    every batch boundary, including exact empty convergence;
+  *  - PHYSICS: after a compaction the spilled state is a bucketed scan,
+  *    so a delta join against it shuffles ONLY the delta side;
+  *  - HYGIENE: at most the two newest spill versions stay on disk.
+  *
+  * The changelog is capacity-windowed so deletes interleave mid-stream
+  * and a compaction (hence a spill) fires well before teardown ends.
+  */
+class IncrementalSpillSpec extends SparkSpec {
+
+  private val K = 8
+
+  private lazy val events: DataFrame =
+    Changelog.generate(spark, sfDir, capacity = Some(1500L)).localCheckpoint()
+
+  private def fold(onBatch: (Int, IncrementalQ3.State) => Unit)
+      : IncrementalQ3.State =
+    IncrementalQ3.runBatches(spark, events, K, onBatch = onBatch)
+
+  private def tops(): Seq[Seq[Seq[Any]]] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    fold((_, st) => buf += IncrementalQ3.topN(st).collect().map(_.toSeq).toSeq)
+    buf.toSeq
+  }
+
+  test("spilled fold ≡ in-memory fold at every batch; versions pruned to two") {
+    val plain = tops()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivm-spill").toString
+    System.setProperty("graft.ivm.spill.dir", root)
+    val spilled = try tops()
+    finally System.clearProperty("graft.ivm.spill.dir")
+    assert(spilled == plain,
+      "state spill is a storage change, never a semantic one")
+    assert(plain.last.isEmpty, "full cycle converges to exactly-empty state")
+    val versions = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith("v")).map(_.getName)
+    assert(versions.nonEmpty,
+      "interleaved deletes must have compacted — and so spilled — mid-fold")
+    assert(versions.length <= 2, s"stale spill versions not pruned: ${versions.toSeq}")
+  }
+
+  test("delta join against a spilled state shuffles only the delta side") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivm-spill-plan").toString
+    System.setProperty("graft.ivm.spill.dir", root)
+    // capture states exactly AT a compaction: spillHistory just grew, so
+    // every state frame is a pure bucketed-table scan (later batches
+    // union fresh deltas on top, which rightly erases the bucketing)
+    val atSpill = scala.collection.mutable.ArrayBuffer.empty[IncrementalQ3.State]
+    var seen = 0
+    try fold { (_, st) =>
+      if (st.spillHistory.length > seen) { seen = st.spillHistory.length; atSpill += st }
+    } finally System.clearProperty("graft.ivm.spill.dir")
+    val st = atSpill.find(!_.o.isEmpty).getOrElse(
+      fail("no compaction with live rows — capacity too large?"))
+    // a batch-sized delta equi-joined on the state's bucket key: the
+    // state side must inherit the bucketing — exactly one Exchange (the
+    // delta's), never a re-shuffle of the state
+    val delta = spark.range(50)
+      .select(col("id").as("d_custkey"), lit(1L).as(ZSet.W))
+    val j = ZSet.join(delta.hint("merge"), st.o,
+      col("d_custkey") === col("o_custkey"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"the state side must plan as a bucketed scan:\n$plan")
+    // every Exchange in the plan repartitions the DELTA (d_custkey); the
+    // state's rows never move — that is the whole point of the spill shape
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(_.contains("d_custkey")),
+      s"only the delta side may shuffle:\n$plan")
+  }
+}
