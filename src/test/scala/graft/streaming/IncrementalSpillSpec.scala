@@ -80,4 +80,32 @@ class IncrementalSpillSpec extends SparkSpec {
     assert(exchangeLines.nonEmpty && exchangeLines.forall(_.contains("d_custkey")),
       s"only the delta side may shuffle:\n$plan")
   }
+
+  test("snapshot save/load composes with spill: resume ≡ uninterrupted") {
+    // operability × memory-bound together: a fold running WITH spill is
+    // snapshotted mid-stream (its states are bucketed-table scans),
+    // reloaded, and folded on — still bit-equal and still exactly empty
+    val tMax = events.agg(max(col("t"))).head().getLong(0)
+    val batched = events.withColumn("batch",
+      least(expr(s"CAST(((t - 1L) * ${K}L) DIV ${tMax}L AS INT)"), lit(K - 1)))
+      .localCheckpoint()
+    val bs = (0 until K).map(i => batched.filter(col("batch") === i).select("line"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivm-spill-snap").toString
+    System.setProperty("graft.ivm.spill.dir", s"$root/spill")
+    try {
+      val direct = bs.foldLeft(IncrementalQ3.init(spark))(IncrementalQ3.step(_, _))
+      val half = bs.take(K / 2 + 1)
+        .foldLeft(IncrementalQ3.init(spark))(IncrementalQ3.step(_, _))
+      assert(half.spillHistory.nonEmpty,
+        "the snapshot must be taken AFTER a spill to exercise the composition")
+      Snapshots.save(half, s"$root/snap")
+      val resumed = bs.drop(K / 2 + 1)
+        .foldLeft(Snapshots.load(spark, s"$root/snap"))(IncrementalQ3.step(_, _))
+      val a = IncrementalQ3.topN(direct).collect().map(_.toSeq).toSeq
+      val b = IncrementalQ3.topN(resumed).collect().map(_.toSeq).toSeq
+      assert(a == b, "spilled-fold resume must equal the uninterrupted fold")
+      assert(b.isEmpty, "full cycle still cancels to exactly empty")
+    } finally System.clearProperty("graft.ivm.spill.dir")
+  }
 }
