@@ -41,16 +41,20 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Scale runs fold with the bucketed-table state spill ON (the bounded-
-    // memory story — IncrementalQ3's spill note): every compaction MERGEs
-    // the z-set states to disk, so the heap envelope is deltas-sized, not
-    // state-sized. `-Dgraft.ivm.spill.dir=off` opts back into the
-    // all-in-memory fold for A/B runs.
+    // Large-scale runs fold with the bucketed-table state spill ON (the
+    // bounded-memory story — IncrementalQ3's spill note): every compaction
+    // MERGEs the z-set states to disk, so the heap envelope is deltas-
+    // sized, not state-sized. The default is SCALE-AWARE — measured on
+    // this harness, the crossover is between SF-1 (scale 10: in-memory
+    // 51 s vs spilled 65 s — the table writes cost more than the modest
+    // state saves) and SF-10 (scale 100: spilled 339 s under a 32 g cap
+    // vs 413 s in-memory at 64 g) — so spill turns on above scale 10.
+    // Override either way: `-Dgraft.ivm.spill.dir=off` or an explicit dir.
     val spillDefault = System.getProperty("java.io.tmpdir") +
       s"/graft_ivm_spill_${spark.sparkContext.applicationId}"
-    if (sys.props.get("graft.ivm.spill.dir").isEmpty)
+    if (sys.props.get("graft.ivm.spill.dir").isEmpty && scale > 10)
       sys.props("graft.ivm.spill.dir") = spillDefault
-    System.err.println(s"[streambench] state spill: ${sys.props("graft.ivm.spill.dir")}")
+    System.err.println(s"[streambench] state spill: ${sys.props.getOrElse("graft.ivm.spill.dir", "off (in-memory fold)")}")
 
     val li = scaled(Tables.table(spark, sfDir, "lineitem"), Seq("l_orderkey"), scale)
     val or = scaled(Tables.table(spark, sfDir, "orders"),
