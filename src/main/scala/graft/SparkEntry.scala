@@ -73,6 +73,7 @@ object SparkEntry {
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
+    "stream_q3_spilled" -> (streaming.StreamQueries.q3SpilledCycle _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
     "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
     "agg_cm_frequencies" -> (operators.Sketches.cmFrequencyBound _),
@@ -619,6 +620,15 @@ object SparkEntry {
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 20""".stripMargin,
     "stream_q3_full_cycle" ->
+      """SELECT CAST(NULL AS BIGINT) AS l_orderkey,
+        |       CAST(NULL AS VARCHAR) AS o_orderdate,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |       CAST(NULL AS DOUBLE) AS revenue
+        |WHERE 1 = 0""".stripMargin,
+    // the spilled-state fold shares full_cycle's exact-cancellation
+    // contract: every insert is eventually retracted, so the converged
+    // aggregate — reconstructed through bucketed-table state — is EMPTY
+    "stream_q3_spilled" ->
       """SELECT CAST(NULL AS BIGINT) AS l_orderkey,
         |       CAST(NULL AS VARCHAR) AS o_orderdate,
         |       CAST(NULL AS VARCHAR) AS o_orderpriority,

@@ -108,6 +108,11 @@ object IncrementalQ3 {
     spark.table(tbl)
   }
 
+  /** End-of-query cleanup: drop a finished fold's live spill versions. */
+  private[graft] def cleanupSpill(spark: SparkSession, root: String,
+                                  st: State): Unit =
+    st.spillHistory.foreach(dropSpill(spark, root, _))
+
   private def dropSpill(spark: SparkSession, root: String, version: Long): Unit = {
     Seq("c", "o", "l", "co", "agg").foreach(n =>
       spark.sql(s"DROP TABLE IF EXISTS graft_ivm_${n}_v$version"))

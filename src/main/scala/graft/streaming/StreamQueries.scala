@@ -107,6 +107,41 @@ object StreamQueries {
   def q3FullCycle(spark: SparkSession, dir: String): DataFrame =
     asDf(spark, fullCycleFold(spark, dir), _.converged)
 
+  /** FULL ± CYCLE FOLDED THROUGH THE SPILLED STATE PATH — the same
+    * exact-cancellation contract as [[q3FullCycle]], but with the z-set
+    * states MERGEd into bucketed tables at every compaction
+    * (`graft.ivm.spill.dir`, [[IncrementalQ3]]'s bounded-memory mode) so
+    * the driver's oracle gate exercises the 100×-scale storage path, not
+    * just the in-memory fold. The changelog is capacity-windowed (nL/4)
+    * so deletes interleave from early on and the fold compacts — hence
+    * spills — mid-stream; a fold that never spilled would silently test
+    * nothing, so that is a loud failure. Converged answer: exactly empty,
+    * reconstructed THROUGH two generations of bucketed-table state.
+    */
+  def q3SpilledCycle(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivm-spill-q").toString
+    val prev = sys.props.get("graft.ivm.spill.dir")
+    sys.props("graft.ivm.spill.dir") = root
+    val fin = try {
+      val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+      val ev = Changelog.generate(spark, dir,
+        capacity = Some(math.max(1L, nL / 4))).localCheckpoint()
+      IncrementalQ3.runBatches(spark, ev, 6)
+    } finally prev match {
+      case Some(p) => sys.props("graft.ivm.spill.dir") = p
+      case None => sys.props.remove("graft.ivm.spill.dir")
+    }
+    require(fin.spillHistory.nonEmpty,
+      "stream_q3_spilled: the fold never compacted — the spill path went unexercised")
+    val conv = topAsStrings(fin)
+    val rows = conv.collect().toIndexedSeq // materialize BEFORE dropping tables
+    IncrementalQ3.cleanupSpill(spark, root, fin)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, conv.schema)
+  }
+
   /** MID-STREAM snapshot: the top-20 after batch 2-of-3 of the SAME fold
     * [[q3FullCycle]] consumes — mid-teardown, with ~nL/3 of the deletes
     * applied. This is the reference's defining behavior (continuous
