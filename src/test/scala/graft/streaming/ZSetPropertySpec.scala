@@ -47,4 +47,33 @@ class ZSetPropertySpec extends SparkSpec {
         s"trial $i (delFrac=$delFrac, nBatches=$nBatches) diverged")
     }
   }
+
+  test("property: deltaJoin satisfies Δ(A⋈B) = (A∪ΔA)⋈(B∪ΔB) − A⋈B") {
+    // the defining equation of the bilinear delta rule, pinned directly on
+    // random signed multisets (weights in ±1..±3, duplicate keys, keys
+    // private to one side) — independent of the Q3 fold above
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def zset(rnd: scala.util.Random, n: Int, tag: String) =
+      Seq.fill(n)((rnd.nextInt(6).toLong,
+          (rnd.nextInt(5) - 2).toLong match { case 0L => 1L; case w => w }))
+        .map { case (k, w) => (k, w) }
+        .toDF(s"${tag}_k", ZSet.W)
+    (1 to 3).foreach { i =>
+      val rnd = new scala.util.Random(77L + i)
+      val (a, da) = (zset(rnd, 8, "a"), zset(rnd, 5, "a"))
+      val (b, db) = (zset(rnd, 8, "b"), zset(rnd, 5, "b"))
+      val cond = col("a_k") === col("b_k")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        ZSet.consolidate(df).orderBy("a_k", "b_k")
+          .collect().map(_.toSeq).toSeq
+      val delta = rows(ZSet.deltaJoin(a, da, b, db, cond))
+      val negAB = ZSet.join(a, b, cond)
+        .withColumn(ZSet.W, -col(ZSet.W))
+      val defining = rows(
+        ZSet.join(a.unionByName(da), b.unionByName(db), cond)
+          .unionByName(negAB))
+      assert(delta == defining, s"trial $i: bilinear delta rule violated")
+    }
+  }
 }
