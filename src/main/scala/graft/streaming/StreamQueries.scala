@@ -124,9 +124,18 @@ object StreamQueries {
     val prev = sys.props.get("graft.ivm.spill.dir")
     sys.props("graft.ivm.spill.dir") = root
     val fin = try {
-      val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
-      val ev = Changelog.generate(spark, dir,
-        capacity = Some(math.max(1L, nL / 4))).localCheckpoint()
+      // the capacity-windowed changelog is DISK-staged once per
+      // (session, fixture) — generateCached's memo would be wiped by the
+      // bench's per-query resetSession (its checkpoint blocks are
+      // unrecoverable after a bulk unpersist), while a parquet staging
+      // survives it, so re-measures pay the fold, not the generation
+      val staged = graft.sources.Staging.ensure(
+        graft.sources.Staging.dirFor(spark, "q3spill", dir)) { out =>
+        val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+        Changelog.generate(spark, dir, capacity = Some(math.max(1L, nL / 4)))
+          .write.mode("overwrite").parquet(out)
+      }
+      val ev = spark.read.parquet(staged)
       IncrementalQ3.runBatches(spark, ev, 6)
     } finally prev match {
       case Some(p) => sys.props("graft.ivm.spill.dir") = p
