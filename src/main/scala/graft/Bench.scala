@@ -91,8 +91,15 @@ object Bench {
       sec
     }
     val quietFirst = awaitQuiet("first pass", 120)
-    var meas: Map[String, Vector[Double]] = SparkEntry.queries.map { case (name, fn) =>
+    // Name-sorted first pass: Map iteration order is hash-arbitrary and a
+    // future key addition could put stream_q3_prefix_snapshot BEFORE
+    // stream_q3_full_cycle — the memo read would then be misattributed
+    // (full_cycle sub-second, prefix carrying the fold cost). Sorting puts
+    // full_cycle first deterministically, and the fold-memo invalidation
+    // below makes its measurement a genuine execution regardless.
+    var meas: Map[String, Vector[Double]] = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMillis
+      if (foldMemoized(name)) streaming.StreamQueries.invalidateFold(spark)
       val sec = timed(name, fn)
       // Per-query isolation (outside the timed window): queries checkpoint
       // intermediates and never unpersist — 45 queries of leaked blocks
@@ -105,7 +112,7 @@ object Bench {
         System.err.println(f"[bench-debug] $name%-28s ${sec}%8.1f s  gc=${gcMillis - gc0}%6d ms  heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%6d MB")
       }
       name -> Vector(sec)
-    }
+    }.toMap
     val loadMain = loadavg
     // tail re-run of the slowest 10: same JVM, clean pool, a later
     // quiet-gated moment in host time — a contended first pass shows up

@@ -66,17 +66,21 @@ object Association {
       .crossJoin(total)
       .select(col("ante"), col("cons"), col("n_ab").as("support_ct"),
         expr("n_ab * 1000000 DIV n_a").as("confidence_ppm"),
-        // Lift numerator width guard (the dpoPairs raise_error
-        // discipline): n_ab·n·10⁶ must fit int64, so require
-        // n_ab ≤ ⌊(2⁶³−1)/10⁶⌋ DIV n — the guard itself divides first
-        // and so never overflows, and n_ab ≤ floor(L/n) ⟹ n_ab·n ≤ L
+        // Lift width guards (the dpoPairs raise_error discipline): BOTH
+        // sides of the division must fit int64 — numerator n_ab·n·10⁶
+        // (require n_ab ≤ ⌊(2⁶³−1)/10⁶⌋ DIV n) and denominator n_a·n_c
+        // (require n_a ≤ (2⁶³−1) DIV n_c). Each guard divides first and
+        // so never overflows itself, and x ≤ floor(L/y) ⟹ x·y ≤ L
         // exactly. Trips loudly at ~3·10⁹ baskets instead of silently
-        // wrapping to a negative lift under non-ANSI eval.
-        expr("""CASE WHEN n_ab <= 9223372036854 DIV n
-                THEN n_ab * n * 1000000 DIV (n_a * n_c)
-                ELSE raise_error(CONCAT(
+        // wrapping to a wrong-sign lift under non-ANSI eval.
+        expr("""CASE
+                WHEN n_ab > 9223372036854 DIV n THEN raise_error(CONCAT(
                   'basketRules: lift numerator n_ab*n*1e6 exceeds int64 (n_ab=',
-                  n_ab, ', n=', n, ')')) END""").as("lift_ppm"))
+                  n_ab, ', n=', n, ')'))
+                WHEN n_a > 9223372036854775807 DIV n_c THEN raise_error(CONCAT(
+                  'basketRules: lift denominator n_a*n_c exceeds int64 (n_a=',
+                  n_a, ', n_c=', n_c, ')'))
+                ELSE n_ab * n * 1000000 DIV (n_a * n_c) END""").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("confidence_ppm").desc,
         col("ante"), col("cons"))
       .limit(20)

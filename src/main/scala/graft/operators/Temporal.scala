@@ -432,9 +432,13 @@ object Temporal {
       .select(col("user_id"), col("d"), guardedCents(col("cents_raw")),
         col("n_events"), col("n_purchases"))
 
-  /** `|cents| < 2⁴³ ? cents : raise_error` — see [[decayedPartials]]. */
+  /** `|cents| < 2⁴³ ? cents : raise_error` — see [[decayedPartials]].
+    * NULL passes through (an all-NULL value group sums to NULL, which the
+    * pre-guard code propagated); only a PRESENT out-of-width value is
+    * corrupt input worth stopping for.
+    */
   private def guardedCents(cents: Column): Column =
-    when(abs(cents) < lit(8796093022208L), cents)
+    when(cents.isNull || abs(cents) < lit(8796093022208L), cents)
       .otherwise(raise_error(concat(
         lit("decayedSum: |cents_sum| exceeds 2^43 for user "),
         col("user_id"), lit(" on "), col("d").cast("string"))))

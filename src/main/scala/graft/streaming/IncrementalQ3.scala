@@ -86,7 +86,22 @@ object IncrementalQ3 {
   private val SpillBuckets =
     Integer.getInteger("graft.ivm.spill.buckets", 32).intValue()
 
-  private val spillVersion = new java.util.concurrent.atomic.AtomicLong(0)
+  // Version allocation is PER ROOT and seeded from whatever v<N> dirs
+  // already exist there — a resumed process (Snapshots restores
+  // spillHistory, but the JVM counter restarts) must never re-issue a
+  // version that still has files on disk.
+  private val spillCounters = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+
+  private def nextSpillVersion(root: String): Long =
+    spillCounters.getOrElseUpdate(root, {
+      val existing = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => if (f.getName.startsWith("v"))
+          f.getName.stripPrefix("v").toLongOption else None)
+      new java.util.concurrent.atomic.AtomicLong(
+        if (existing.isEmpty) 0L else existing.max)
+    }).incrementAndGet()
 
   /** Bucket keys: each state's delta-join key ([[step]]'s joins), the
     * aggregate's leading grain key.
@@ -99,23 +114,36 @@ object IncrementalQ3 {
     case "agg" => aggKeys.head
   }
 
+  /** Catalog names are root-scoped (versions are per-root, so two roots
+    * in one session would otherwise both own a `…_v1`).
+    */
+  private def spillTable(root: String, name: String, version: Long): String =
+    s"graft_ivm_${Integer.toHexString(root.hashCode)}_${name}_v$version"
+
   private def spillState(spark: SparkSession, root: String, version: Long,
                          name: String, key: String, df: DataFrame): DataFrame = {
-    val tbl = s"graft_ivm_${name}_v$version"
+    val tbl = spillTable(root, name, version)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     df.write.mode("overwrite").option("path", s"$root/v$version/$name")
       .bucketBy(SpillBuckets, key).sortBy(key).saveAsTable(tbl)
     spark.table(tbl)
   }
 
-  /** End-of-query cleanup: drop a finished fold's live spill versions. */
-  private[graft] def cleanupSpill(spark: SparkSession, root: String,
-                                  st: State): Unit =
-    st.spillHistory.foreach(dropSpill(spark, root, _))
+  /** End-of-query cleanup: drop EVERY spill version under `root` (scanned
+    * from disk, not from a State — so it also reaps versions left by a
+    * fold that failed mid-stream) and the root itself.
+    */
+  private[graft] def cleanupSpillRoot(spark: SparkSession, root: String): Unit = {
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => if (f.getName.startsWith("v"))
+        f.getName.stripPrefix("v").toLongOption else None)
+      .foreach(dropSpill(spark, root, _))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 
   private def dropSpill(spark: SparkSession, root: String, version: Long): Unit = {
     Seq("c", "o", "l", "co", "agg").foreach(n =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_ivm_${n}_v$version"))
+      spark.sql(s"DROP TABLE IF EXISTS ${spillTable(root, n, version)}"))
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(s"$root/v$version"))
   }
@@ -258,7 +286,7 @@ object IncrementalQ3 {
     val compact = hasDeletes && st.dirty + 1 >= CompactEvery
     val spark = lines.sparkSession
     val spillTo = if (compact) spillRoot else None
-    val version = spillTo.map(_ => spillVersion.incrementAndGet())
+    val version = spillTo.map(nextSpillVersion)
     def upkeep(name: String, state: DataFrame, delta: DataFrame): DataFrame = {
       val merged = state.unionByName(delta)
       spillTo match {

@@ -23,13 +23,19 @@ object Snapshots {
 
   private val parts = Seq("c", "o", "l", "co", "agg")
 
-  /** Persist every state z-set plus the compaction counter. */
+  /** Persist every state z-set plus the compaction counter and the spill
+    * version history — without the history a resumed spilled fold would
+    * restart pruning from scratch and leak every pre-snapshot spill
+    * version forever (the at-most-two-on-disk invariant).
+    */
   def save(st: IncrementalQ3.State, dir: String): Unit = {
     parts.zip(st.all).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$name")
     }
     Files.write(Paths.get(s"$dir/dirty"),
       st.dirty.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$dir/spill_history"),
+      st.spillHistory.mkString(",").getBytes(StandardCharsets.UTF_8))
   }
 
   /** Load a snapshot; the returned state folds on via [[IncrementalQ3.step]].
@@ -43,9 +49,16 @@ object Snapshots {
   def load(spark: SparkSession, dir: String): IncrementalQ3.State = {
     val Seq(c, o, l, co, agg) =
       parts.map(name => spark.read.parquet(s"$dir/$name").localCheckpoint())
+    // spill_history may be absent in pre-spill snapshots — default Nil
+    val histFile = Paths.get(s"$dir/spill_history")
+    val history =
+      if (!Files.exists(histFile)) Nil
+      else new String(Files.readAllBytes(histFile), StandardCharsets.UTF_8)
+        .split(",").toList.flatMap(_.trim.toLongOption)
     IncrementalQ3.State(c, o, l, co, agg,
       new String(Files.readAllBytes(Paths.get(s"$dir/dirty")),
-        StandardCharsets.UTF_8).trim.toInt)
+        StandardCharsets.UTF_8).trim.toInt,
+      spillHistory = history)
   }
 
   // --- per-batch snapshots for the continuous query (auto-resume) ------

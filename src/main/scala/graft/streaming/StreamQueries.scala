@@ -121,34 +121,36 @@ object StreamQueries {
   def q3SpilledCycle(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-spill-q").toString
-    val prev = sys.props.get("graft.ivm.spill.dir")
-    sys.props("graft.ivm.spill.dir") = root
-    val fin = try {
-      // the capacity-windowed changelog is DISK-staged once per
-      // (session, fixture) — generateCached's memo would be wiped by the
-      // bench's per-query resetSession (its checkpoint blocks are
-      // unrecoverable after a bulk unpersist), while a parquet staging
-      // survives it, so re-measures pay the fold, not the generation
-      val staged = graft.sources.Staging.ensure(
-        graft.sources.Staging.dirFor(spark, "q3spill", dir)) { out =>
-        val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
-        Changelog.generate(spark, dir, capacity = Some(math.max(1L, nL / 4)))
-          .write.mode("overwrite").parquet(out)
+    try {
+      val prev = sys.props.get("graft.ivm.spill.dir")
+      sys.props("graft.ivm.spill.dir") = root
+      val fin = try {
+        // the capacity-windowed changelog is DISK-staged once per
+        // (session, fixture) — generateCached's memo would be wiped by the
+        // bench's per-query resetSession (its checkpoint blocks are
+        // unrecoverable after a bulk unpersist), while a parquet staging
+        // survives it, so re-measures pay the fold, not the generation
+        val staged = graft.sources.Staging.ensure(
+          graft.sources.Staging.dirFor(spark, "q3spill", dir)) { out =>
+          val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+          Changelog.generate(spark, dir, capacity = Some(math.max(1L, nL / 4)))
+            .write.mode("overwrite").parquet(out)
+        }
+        val ev = spark.read.parquet(staged)
+        IncrementalQ3.runBatches(spark, ev, 6)
+      } finally prev match {
+        case Some(p) => sys.props("graft.ivm.spill.dir") = p
+        case None => sys.props.remove("graft.ivm.spill.dir")
       }
-      val ev = spark.read.parquet(staged)
-      IncrementalQ3.runBatches(spark, ev, 6)
-    } finally prev match {
-      case Some(p) => sys.props("graft.ivm.spill.dir") = p
-      case None => sys.props.remove("graft.ivm.spill.dir")
-    }
-    require(fin.spillHistory.nonEmpty,
-      "stream_q3_spilled: the fold never compacted — the spill path went unexercised")
-    val conv = topAsStrings(fin)
-    val rows = conv.collect().toIndexedSeq // materialize BEFORE dropping tables
-    IncrementalQ3.cleanupSpill(spark, root, fin)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, conv.schema)
+      require(fin.spillHistory.nonEmpty,
+        "stream_q3_spilled: the fold never compacted — the spill path went unexercised")
+      val conv = topAsStrings(fin)
+      val rows = conv.collect().toIndexedSeq // materialize BEFORE dropping tables
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, conv.schema)
+    } finally
+      // scans the root, so a fold that failed mid-stream is reaped too
+      IncrementalQ3.cleanupSpillRoot(spark, root)
   }
 
   /** MID-STREAM snapshot: the top-20 after batch 2-of-3 of the SAME fold

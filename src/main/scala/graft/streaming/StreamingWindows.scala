@@ -28,8 +28,6 @@ object StreamingWindows {
     * its event-time order.
     */
   def stage(spark: SparkSession, dir: String, outDir: String, nFiles: Int = 3): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     // One range-partitioned write job: nFiles part files in strict ts-range
     // order (no global-window ntile — that plan is a single-partition sort
     // of the whole table; range chunks are ~even by sampling and, unlike
@@ -40,23 +38,42 @@ object StreamingWindows {
       .repartitionByRange(nFiles, col("ts"))
       .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(tmp)
+    // part-file name order = range order; back-date mtimes in that order
+    publishChunks(outDir, partFiles(tmp))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  /** Part files of one staged write, in part-file-name (= range) order. */
+  private def partFiles(dir: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { files =>
+      files.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString)
+    }
+  }
+
+  /** THE replay-order contract, in one place: move `parts` into `outDir`
+    * as `chunk<i>-…` with mtimes back-dated in rank order, so the file
+    * stream source (oldest-mtime-first) replays them in exactly the given
+    * order. Shared by [[stage]] and [[stageLate]] — the ordering rule
+    * must never fork between the on-time and late archives.
+    */
+  private def publishChunks(outDir: String,
+                            parts: Seq[java.nio.file.Path]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val out = Paths.get(outDir)
     org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
     Files.createDirectories(out)
     val now = System.currentTimeMillis()
-    // part-file name order = range order; back-date mtimes in that order
-    scala.util.Using.resource(Files.list(Paths.get(tmp))) { files =>
-      files.iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toSeq
-        .sortBy(_.getFileName.toString)
-        .zipWithIndex.foreach { case (p, i) =>
-          val dest = out.resolve(s"chunk${i + 1}-${p.getFileName}")
-          Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(now - (nFiles - 1 - i) * 60000L))
-        }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dest = out.resolve(s"chunk${i + 1}-${p.getFileName}")
+      Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          now - (parts.size - 1 - i) * 60000L))
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(tmp).toFile)
   }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -179,8 +196,6 @@ object StreamingWindows {
     * keep [[stage]]'s contract: ts-range chunks, mtime in range order.
     */
   def stageLate(spark: SparkSession, dir: String, outDir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     val ev = Tables.table(spark, dir, "events")
       .select("ts", "user_id", "event_type", "value")
     // two bounded driver scalars: the oldest hour's end (the late rows'
@@ -202,25 +217,9 @@ object StreamingWindows {
       .write.mode("overwrite").parquet(s"$tmp/ontime")
     ev.filter(lateCond).coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/late")
-    val out = Paths.get(outDir)
-    org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
-    Files.createDirectories(out)
-    val now = System.currentTimeMillis()
-    def parts(sub: String): Seq[java.nio.file.Path] =
-      scala.util.Using.resource(Files.list(Paths.get(s"$tmp/$sub"))) { files =>
-        files.iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq
-          .sortBy(_.getFileName.toString)
-      }
-    val ordered = parts("ontime") ++ parts("late")
-    ordered.zipWithIndex.foreach { case (p, i) =>
-      val dest = out.resolve(s"chunk${i + 1}-${p.getFileName}")
-      Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(
-          now - (ordered.size - 1 - i) * 60000L))
-    }
-    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(tmp).toFile)
+    // on-time chunks first, the late chunk last (newest mtime)
+    publishChunks(outDir, partFiles(s"$tmp/ontime") ++ partFiles(s"$tmp/late"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
   /** Sliding windows (2 h length, 1 h slide — each event lands in two

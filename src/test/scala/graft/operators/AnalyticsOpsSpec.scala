@@ -799,5 +799,14 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("lift numerator"),
       s"expected the width guard, got: ${ex.getMessage}")
+    // denominator side: n_a·n_c = 4e9·4e9 ≫ 2⁶³ while the numerator fits
+    val ex2 = intercept[Exception] {
+      Association.rulesFrom(
+        Seq((1L, 2L, 2L)).toDF("a", "b", "n_ab"),
+        Seq((1L, 4000000000L), (2L, 4000000000L)).toDF("p", "n_i"),
+        Seq(10L).toDF("n")).collect()
+    }
+    assert(ex2.getMessage.contains("lift denominator"),
+      s"expected the denominator guard, got: ${ex2.getMessage}")
   }
 }

@@ -100,8 +100,12 @@ class IncrementalSpillSpec extends SparkSpec {
       assert(half.spillHistory.nonEmpty,
         "the snapshot must be taken AFTER a spill to exercise the composition")
       Snapshots.save(half, s"$root/snap")
+      val loaded = Snapshots.load(spark, s"$root/snap")
+      assert(loaded.spillHistory == half.spillHistory,
+        "the snapshot must carry the spill history, or a resumed fold " +
+          "leaks every pre-snapshot version forever")
       val resumed = bs.drop(K / 2 + 1)
-        .foldLeft(Snapshots.load(spark, s"$root/snap"))(IncrementalQ3.step(_, _))
+        .foldLeft(loaded)(IncrementalQ3.step(_, _))
       val a = IncrementalQ3.topN(direct).collect().map(_.toSeq).toSeq
       val b = IncrementalQ3.topN(resumed).collect().map(_.toSeq).toSeq
       assert(a == b, "spilled-fold resume must equal the uninterrupted fold")
