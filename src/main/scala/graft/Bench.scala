@@ -53,7 +53,10 @@ object Bench {
     // foreign. The gate can time out (the wait is capped); whether each
     // pass started quiet lands in the record.
     val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "4.0").toDouble
-    def awaitQuiet(label: String, maxWaitSec: Int): Boolean = {
+    // Boolean? — None means "unknown": some platforms report loadavg as -1,
+    // and recording that as a quiet window would make the record read
+    // quieter than known (ADVICE r10). The JSON prints null for it.
+    def awaitQuiet(label: String, maxWaitSec: Int): Option[Boolean] = {
       val deadline = System.nanoTime() + maxWaitSec * 1000000000L
       var l = loadavg
       while (l >= quietLoad && System.nanoTime() < deadline) {
@@ -61,7 +64,7 @@ object Bench {
         Thread.sleep(10000)
         l = loadavg
       }
-      l < quietLoad
+      if (l < 0) None else Some(l < quietLoad)
     }
     val loadStart = loadavg
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -134,9 +137,17 @@ object Bench {
       } => n
     }.toSeq.sorted
     var correctiveRounds = 0
-    var quietCorrective = true
+    // None until a corrective pass actually runs — a record claiming
+    // "corrective: true" with zero corrective passes read quieter than
+    // known (ADVICE r10); None also absorbs an unknown loadavg
+    var quietCorrective: Option[Boolean] = None
     while (correctiveRounds < 2 && discordant.nonEmpty) {
-      quietCorrective &= awaitQuiet(s"corrective pass ${correctiveRounds + 1}", 240)
+      val q = awaitQuiet(s"corrective pass ${correctiveRounds + 1}", 240)
+      quietCorrective = (quietCorrective, q) match {
+        case (None, v) => v
+        case (v, None) => v
+        case (Some(a), Some(b)) => Some(a && b)
+      }
       discordant.foreach { n => meas = meas.updated(n, meas(n) :+ remeasure(n)) }
       correctiveRounds += 1
     }
@@ -176,8 +187,10 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     def fmtLoad(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // Option[Boolean] → JSON true/false/null (null = not run or unknown)
+    def fmtQuiet(v: Option[Boolean]): String = v.map(_.toString).getOrElse("null")
     val quietStamp =
-      s""""quiet_gate":{"threshold":$quietLoad,"first_pass":$quietFirst,"rerun":$quietRerun,"corrective":$quietCorrective,"corrective_rounds":$correctiveRounds}"""
+      s""""quiet_gate":{"threshold":$quietLoad,"first_pass":${fmtQuiet(quietFirst)},"rerun":${fmtQuiet(quietRerun)},"corrective":${fmtQuiet(quietCorrective)},"corrective_rounds":$correctiveRounds}"""
     val pacedStamp = pacedQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val contentionStamp =

@@ -178,10 +178,14 @@ object ProductQuant {
     * to `ann_ivf_pq`. A def, not a lazy val: the property is re-read per
     * call so a harness can raise it for one deliberate oversized run.
     */
-  private[graft] def flatAdcMaxRows: Long = {
-    val v = sys.props.get("graft.pq.flatMaxRows").map(_.toLong).getOrElse(1000000L)
-    require(v >= 1, s"graft.pq.flatMaxRows must be positive, got $v"); v
-  }
+  private[graft] def flatAdcMaxRows: Long =
+    sys.props.get("graft.pq.flatMaxRows").map { raw =>
+      // fail loudly WITH the property name and raw value (same convention
+      // as bpeMinFrequency / SPARK_GRAFT_CPUS) — a bare .toLong would
+      // throw an uncontextualized NumberFormatException
+      raw.trim.toLongOption.filter(_ >= 1).getOrElse(sys.error(
+        s"graft.pq.flatMaxRows must be a positive long, got '$raw'"))
+    }.getOrElse(1000000L)
 
   def adcTop1(spark: SparkSession, dir: String): DataFrame = {
     val q = vecs(spark, dir).localCheckpoint()

@@ -53,25 +53,33 @@ class IncrementalSpillSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-spill-plan").toString
     System.setProperty("graft.ivm.spill.dir", root)
-    // capture states exactly AT a compaction: spillHistory just grew, so
-    // every state frame is a pure bucketed-table scan (later batches
-    // union fresh deltas on top, which rightly erases the bucketing)
-    val atSpill = scala.collection.mutable.ArrayBuffer.empty[IncrementalQ3.State]
+    // Run the probe INSIDE the hook, at the first compaction with live
+    // rows: spillHistory just grew, so the state frame is a pure
+    // bucketed-table scan (later batches union fresh deltas on top, which
+    // rightly erases the bucketing) AND its version is guaranteed live —
+    // executing a stashed old State after the fold ends would race
+    // version pruning once the fixture produces 3+ compactions
+    // (ADVICE r10: latent FileNotFound flake).
+    var plan0: Option[String] = None
     var seen = 0
     try fold { (_, st) =>
-      if (st.spillHistory.length > seen) { seen = st.spillHistory.length; atSpill += st }
+      if (st.spillHistory.length > seen) {
+        seen = st.spillHistory.length
+        if (plan0.isEmpty && !st.o.isEmpty) {
+          // a batch-sized delta equi-joined on the state's bucket key: the
+          // state side must inherit the bucketing — exactly one Exchange
+          // (the delta's), never a re-shuffle of the state
+          val delta = spark.range(50)
+            .select(col("id").as("d_custkey"), lit(1L).as(ZSet.W))
+          val j = ZSet.join(delta.hint("merge"), st.o,
+            col("d_custkey") === col("o_custkey"))
+          j.collect()
+          plan0 = Some(j.queryExecution.executedPlan.toString)
+        }
+      }
     } finally System.clearProperty("graft.ivm.spill.dir")
-    val st = atSpill.find(!_.o.isEmpty).getOrElse(
+    val plan = plan0.getOrElse(
       fail("no compaction with live rows — capacity too large?"))
-    // a batch-sized delta equi-joined on the state's bucket key: the
-    // state side must inherit the bucketing — exactly one Exchange (the
-    // delta's), never a re-shuffle of the state
-    val delta = spark.range(50)
-      .select(col("id").as("d_custkey"), lit(1L).as(ZSet.W))
-    val j = ZSet.join(delta.hint("merge"), st.o,
-      col("d_custkey") === col("o_custkey"))
-    j.collect()
-    val plan = j.queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"),
       s"the state side must plan as a bucketed scan:\n$plan")
     // every Exchange in the plan repartitions the DELTA (d_custkey); the
