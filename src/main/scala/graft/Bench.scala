@@ -75,13 +75,15 @@ object Bench {
       // failed queries report -1, never a healthy-looking elapsed time
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // stream_q3_prefix_snapshot shares q3FullCycle's session fold memo BY
-    // DESIGN (one fold serves both driver queries — StreamQueries
-    // .foldCache), so its re-run is a memo read (0.046 s for a 15 s
-    // query): never re-measured. stream_q3_full_cycle IS re-measurable:
+    // Two shared-fold pairs BY DESIGN (one fold serves both driver
+    // queries — StreamQueries.foldCache/convCache): q3_full_cycle +
+    // prefix_snapshot share the ±cycle fold, and agg_priority +
+    // q3_converged share the two-grain insert-only fold. In each pair the
+    // name-sorted FIRST query pays the fold; the second is a memo read
+    // (~0.05 s): never re-measured. The payers ARE re-measurable:
     // invalidateFold forces a genuine second execution.
-    val memoRead = Set("stream_q3_prefix_snapshot")
-    val foldMemoized = Set("stream_q3_full_cycle")
+    val memoRead = Set("stream_q3_prefix_snapshot", "stream_q3_converged")
+    val foldMemoized = Set("stream_q3_full_cycle", "stream_agg_priority")
     // stream_socket_ingest is wall-clock TRIGGER CADENCE of the socket
     // transport, not engine work — kept in the record (the pacing number
     // is real and useful) but excluded from the headline total and from

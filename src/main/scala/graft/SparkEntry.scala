@@ -70,11 +70,17 @@ object SparkEntry {
     // --- §2.8 changelog streaming (signed-weight incremental Q3) ---
     "changelog_counts" -> (streaming.StreamQueries.changelogCounts _),
     "stream_socket_ingest" -> (streaming.SocketIngest.socketChangelogCounts _),
+    // exactly-once over the REPLAYABLE transport: DSv2 offset source,
+    // killed mid-stream and resumed from its checkpoint
+    "stream_replay_exactly_once" -> (streaming.ReplayIngest.replayExactlyOnce _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
     "stream_q3_spilled" -> (streaming.StreamQueries.q3SpilledCycle _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
+    // event-time watermarking over the changelog: late deletes dropped
+    // and ACCOUNTED, on-time prefix ≡ the batch answer
+    "stream_q3_event_time" -> (streaming.StreamQueries.q3EventTime _),
     "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
     "agg_cm_frequencies" -> (operators.Sketches.cmFrequencyBound _),
     "stream_cm_frequencies" -> ((s, d) => streaming.StreamingCm.streamCmFrequencies(s, d)),
@@ -119,6 +125,9 @@ object SparkEntry {
     // default regimes have full recall, so they share brute-force's oracle.
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
+    // the NON-full-recall regime, oracle-gated: a deliberately weak
+    // md5-seeded family whose recall histogram DuckDB reproduces exactly
+    "ann_lsh_recall" -> (Similarity.annLshRecall _),
     "ann_mmr" -> (Similarity.annMmr _),
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
@@ -554,6 +563,17 @@ object SparkEntry {
         |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
         |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
         |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
+    // kill-and-resume over the replayable offset source must ALSO land on
+    // the identical totals: a lost batch under-counts, a double-applied
+    // one over-counts — the counts oracle IS the exactly-once check
+    "stream_replay_exactly_once" ->
+      """SELECT relation, action, n FROM (
+        |  SELECT 'customer' AS relation, 'Insert' AS action, COUNT(*) AS n FROM customer
+        |  UNION ALL SELECT 'customer', 'Delete', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'orders', 'Insert', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
     // the socket-served changelog must accumulate to the identical totals
     // — a sum of per-batch counts is batching-invariant, so the unbounded
     // transport shares the file path's oracle verbatim
@@ -572,6 +592,38 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    // Event-time Q3: the watermark before the deliberately-late batch is
+    // nL (the final customer/orders inserts always fire at trigger nL);
+    // lineitem's event time is its all-columns rank, so the dropped set is
+    // exactly {l_orderkey % 10 = 3 ∧ rank < nL} and the answer is Q3 over
+    // the complement, with the dropped count carried on every row.
+    "stream_q3_event_time" ->
+      """WITH
+        |  nn AS (SELECT (SELECT count(*) FROM lineitem) AS nl),
+        |  li AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_partkey,
+        |             l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax, l_returnflag, l_linestatus,
+        |             l_shipdate) AS rk
+        |         FROM lineitem),
+        |  lat AS (SELECT count(*) AS dl FROM li, nn
+        |          WHERE l_orderkey % 10 = 3 AND rk < nl),
+        |  liv AS (SELECT li.* FROM li, nn
+        |          WHERE NOT (l_orderkey % 10 = 3 AND rk < nl))
+        |SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       (SELECT dl FROM lat) AS dropped_late
+        |FROM customer, orders, liv
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -983,6 +1035,56 @@ object SparkEntry {
     // the approximate paths must reproduce the exact top-K bit-for-bit.
     "ann_lsh" -> annTopKOracle,
     "ann_ivf" -> annTopKOracle,
+    // Recall<1 gate: DuckDB REGENERATES the weak md5-derived hash family
+    // (same strings, same md5, same '0'..'7'→+1 sign rule), re-runs the
+    // bucket→candidate→exact-rerank pipeline, scores it against the exact
+    // top-K, and must land on the IDENTICAL per-query recall histogram.
+    // Projections are the same left-fold double sums on both engines
+    // (list_sum∘list_zip ≡ the codegen'd DotProduct), so the sign bits —
+    // and hence the candidate sets — cannot diverge.
+    "ann_lsh_recall" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |coefs AS (
+        |  SELECT r1.t, r2.b, r3.i,
+        |         CASE WHEN substr(md5('graft_lsh_' || r1.t || '_' || r2.b || '_' || r3.i), 1, 1) < '8'
+        |              THEN 1.0 ELSE -1.0 END AS coef
+        |  FROM range(${Similarity.RecallTables}) r1(t), range(${Similarity.RecallBits}) r2(b), range(${Similarity.RecallDim}) r3(i)),
+        |coefl AS (SELECT t, b, list(coef ORDER BY i) AS cl FROM coefs GROUP BY t, b),
+        |sig AS (
+        |  SELECT v.vec_id, c.t,
+        |         sum(CASE WHEN list_sum(list_transform(list_zip(v.e, c.cl), x -> x[1]*x[2])) >= 0
+        |                  THEN 1 << c.b ELSE 0 END) AS bucket
+        |  FROM v, coefl c GROUP BY v.vec_id, c.t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM sig q JOIN sig n ON n.t = q.t AND n.bucket = q.bucket AND n.vec_id != q.vec_id
+        |  WHERE q.vec_id < ${Similarity.NumQueries}),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
+        |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+        |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
+        |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+        |              JOIN v n ON n.vec_id = c.neighbor_id),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |         FROM scored) t WHERE rnk <= 5),
+        |px AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.e, n.e), x -> x[1]*x[2]))
+        |         / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+        |            * sqrt(list_sum(list_transform(n.e, x -> x*x)))) AS c
+        |  FROM v q JOIN v n ON n.vec_id != q.vec_id WHERE q.vec_id < ${Similarity.NumQueries}),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |         FROM px) t WHERE rnk <= 5),
+        |hit AS (
+        |  SELECT e.query_id, count(a.neighbor_id) AS hits
+        |  FROM ex e LEFT JOIN ap a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  GROUP BY e.query_id)
+        |SELECT CAST(hits AS INTEGER) AS hits, count(*) AS n_queries
+        |FROM hit GROUP BY hits ORDER BY hits""".stripMargin,
     "ann_mmr" -> Similarity.annMmrOracleSql,
     // REAL-codec features (r6): bin-6 of the 16-bin histogram over DECODED
     // channel values covers values 96–111; the oracle recomputes the

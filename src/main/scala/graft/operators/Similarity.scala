@@ -430,6 +430,89 @@ object Similarity {
       (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
   }
 
+  // --- oracle-gated NON-FULL-RECALL regime (r10 verdict item 3) ----------
+
+  /** The deliberately-WEAK LSH family for [[annLshRecall]]: few tables,
+    * few bits, NO multi-probe — the regime a billion-vector user actually
+    * runs, where recall < 1 and the contract is a recall FLOOR, not
+    * equality. Its ±1 hyperplane components derive from md5 (not the
+    * engine's seed-42 PRNG) so the DuckDB oracle can regenerate the exact
+    * same family in SQL and reproduce the approximate result set —
+    * turning "approximate" into an oracle-checkable deterministic
+    * function.
+    */
+  private[graft] val RecallTables = 4
+  private[graft] val RecallBits = 2
+  private[graft] val RecallDim = Dim
+  private[graft] def recallCoef(t: Int, b: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"graft_lsh_${t}_${b}_${i}".getBytes("UTF-8"))
+    // first hex char of the lowercase digest: '0'..'7' → +1, else −1 —
+    // spelled so DuckDB's substr(md5(..), 1, 1) < '8' is the same test
+    if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** `ann_lsh_recall` — the approximate path EXERCISED AS APPROXIMATE and
+    * still oracle-gated: run the weak md5-seeded family (exact-bucket
+    * probing only), exact-rerank its candidates, and score the result
+    * against the exact top-K. Output is the per-query recall histogram
+    * `(hits ∈ 0..K, n_queries)` — deterministic because both engines
+    * compute bit-identical projections (±1.0 coefficients, the same
+    * left-fold double sum) and break ties on neighbor_id. A loud guard
+    * pins the regime: total recall must land in [0.5, 1) — a fixture
+    * drift to full recall would silently stop testing the approximate
+    * path, so that is a failure, not a pass.
+    */
+  def annLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    val v = vectors(spark, dir).localCheckpoint()
+    def proj(t: Int, b: Int): Column =
+      dot(col("e"), typedLit((0 until Dim).map(i => recallCoef(t, b, i))))
+    val bucketed = v.select(col("vec_id") +: (0 until RecallTables).map { t =>
+        (0 until RecallBits).map { b =>
+          when(proj(t, b) >= 0, lit(1L << b)).otherwise(0L)
+        }.reduce[Column](_ bitwiseOR _).as(s"bucket$t")
+      }: _*).localCheckpoint()
+      .select(col("vec_id"),
+        posexplode(array((0 until RecallTables).map(t => col(s"bucket$t")): _*)))
+      .toDF("vec_id", "table", "bucket")
+    val qids = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("table").as("qt"),
+        col("bucket").as("qb"))
+    val candIds = bucketed.join(qids,
+        col("table") === col("qt") && col("bucket") === col("qb") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val cand = candIds
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          col("e").as("qe"), col("nrm").as("qn"))), "query_id")
+    val approx = topK(cand.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
+    val exact = bruteForceOn(v)
+    val matched = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).cast("int").as("hits"))
+    val perQuery = exact.select("query_id").distinct()
+      .join(matched, Seq("query_id"), "left")
+      .select(coalesce(col("hits"), lit(0)).as("hits"))
+    val hist = perQuery.groupBy("hits").agg(count(lit(1)).as("n_queries"))
+      .orderBy("hits").localCheckpoint()
+    val stats = hist.agg(
+      sum(col("hits").cast("long") * col("n_queries")).as("h"),
+      sum(col("n_queries")).as("n")).head()
+    val recall = stats.getLong(0).toDouble / (K * stats.getLong(1))
+    require(recall < 1.0 && recall >= 0.5, f"ann_lsh_recall regime drifted " +
+      f"out of its approximate band: recall@$K = $recall%.4f must be in " +
+      "[0.5, 1) — below, the family is too weak to be useful; at 1.0 the " +
+      "query stops exercising the non-full-recall path it exists to gate")
+    hist
+  }
+
   /** Delta-vs-base LSH top-K — the primitive [[graft.streaming
     * .StreamingAnn]] runs per micro-batch: the QUERY frame's bucket rows
     * (with the same Hamming-1 multi-probe schedule as [[annLsh]]) join a

@@ -1,0 +1,289 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader, RandomAccessFile}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REPLAYABLE unbounded transport — the exactly-once half of the
+  * "Kafka-shaped" ingest story (r10 verdict item 2; the at-most-once half
+  * is [[graft.streaming.SocketIngest]]'s plain socket).
+  *
+  * [[ReplayServer]] is the broker stand-in: it stages the ordered event
+  * stream once (driver-side, partition-bounded via `toLocalIterator`) and
+  * serves ARBITRARY OFFSET RANGES over TCP, any number of times — the
+  * replayability contract a broker provides and a bare socket cannot.
+  *
+  * [[ReplayProvider]] is a full DataSource V2 `MicroBatchStream` over that
+  * protocol (the Spark-first upgrade of the reference's `SourceFunction`
+  * surface, no_websocket.java:248–326): offsets are event sequence
+  * numbers, checkpointed by Structured Streaming's offset log, and
+  * `planInputPartitions(start, end)` fans the range out to parallel
+  * readers — so a killed-and-restarted query resumes from its committed
+  * offset and re-reads exactly the events an in-flight batch had, which is
+  * what makes end-to-end exactly-once composable on top (the snapshot-skip
+  * protocol, [[graft.streaming.ReplayIngest]]). Admission control
+  * (`ReadLimit.maxRows`) paces the stream into real micro-batches instead
+  * of one giant catch-up batch.
+  */
+object ReplayServer {
+
+  /** A live replay server: `port` to connect to, `expected` total events,
+    * `close()` to shut down (also deletes the staging file).
+    */
+  final case class Handle(port: Int, expected: Long,
+                          private[ReplayServer] val server: ServerSocket,
+                          private[ReplayServer] val staged: java.nio.file.Path) {
+    def close(): Unit = {
+      try server.close() catch { case _: Throwable => () }
+      Files.deleteIfExists(staged)
+    }
+  }
+
+  /** Stage `lines` (one string column, already ordered) and serve them.
+    *
+    * Protocol, one request line per connection:
+    *  - `COUNT`            → one line: the total number of events
+    *  - `RANGE <from> <to>` → events [from, to) as lines, then EOF
+    *
+    * The staging is a local text file plus an in-memory byte-offset index
+    * (8 B/event — the price of random access; a production broker keeps
+    * this per-segment). Requests are served on a thread per connection:
+    * concurrent partition readers of one batch never serialize behind
+    * each other.
+    */
+  def serve(lines: DataFrame): Handle = {
+    val staged = Files.createTempFile("graft-replay", ".txt")
+    val index = scala.collection.mutable.ArrayBuffer[Long](0L)
+    val out = Files.newOutputStream(staged)
+    try {
+      var pos = 0L
+      val it = lines.toLocalIterator()
+      while (it.hasNext) {
+        val b = (it.next().getString(0) + "\n").getBytes(StandardCharsets.UTF_8)
+        out.write(b)
+        pos += b.length
+        index += pos
+      }
+    } finally out.close()
+    val n = index.length - 1
+    val idx = index.toArray
+    val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    val acceptor = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          val worker = new Thread(() => handle(sock, staged, idx, n),
+            "graft-replay-worker")
+          worker.setDaemon(true)
+          worker.start()
+        }
+      } catch { case _: Throwable => () /* server closed */ }
+    }, "graft-replay-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    Handle(server.getLocalPort, n.toLong, server, staged)
+  }
+
+  private def handle(sock: Socket, staged: java.nio.file.Path,
+                     idx: Array[Long], n: Int): Unit = {
+    try {
+      val in = new BufferedReader(new InputStreamReader(
+        sock.getInputStream, StandardCharsets.UTF_8))
+      val req = Option(in.readLine()).getOrElse("")
+      val out = sock.getOutputStream
+      req.split("\\s+").toSeq match {
+        case Seq("COUNT") =>
+          out.write(s"$n\n".getBytes(StandardCharsets.UTF_8))
+        case Seq("RANGE", from, to) =>
+          val a = math.max(0L, from.toLong).min(n.toLong).toInt
+          val b = math.max(a.toLong, to.toLong).min(n.toLong).toInt
+          if (b > a) {
+            val raf = new RandomAccessFile(staged.toFile, "r")
+            try {
+              raf.seek(idx(a))
+              val buf = new Array[Byte](8192)
+              var remaining = idx(b) - idx(a)
+              while (remaining > 0) {
+                val got = raf.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+                if (got < 0) remaining = 0
+                else { out.write(buf, 0, got); remaining -= got }
+              }
+            } finally raf.close()
+          }
+        case _ => () // unknown request: close with no payload
+      }
+      out.flush()
+    } catch { case _: Throwable => () /* client gone */
+    } finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  /** One client fetch of [from, to) — shared by the partition reader and
+    * specs (re-fetching a range twice MUST return identical lines).
+    */
+  def fetch(host: String, port: Int, from: Long, to: Long): Iterator[String] = {
+    val sock = new Socket(host, port)
+    val out = sock.getOutputStream
+    out.write(s"RANGE $from $to\n".getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    val in = new BufferedReader(new InputStreamReader(
+      sock.getInputStream, StandardCharsets.UTF_8))
+    new Iterator[String] {
+      private var nextLine = in.readLine()
+      override def hasNext: Boolean = {
+        val has = nextLine != null
+        if (!has) { try sock.close() catch { case _: Throwable => () } }
+        has
+      }
+      override def next(): String = {
+        val l = nextLine; nextLine = in.readLine(); l
+      }
+    }
+  }
+
+  def count(host: String, port: Int): Long = {
+    val sock = new Socket(host, port)
+    try {
+      sock.getOutputStream.write("COUNT\n".getBytes(StandardCharsets.UTF_8))
+      sock.getOutputStream.flush()
+      new BufferedReader(new InputStreamReader(
+        sock.getInputStream, StandardCharsets.UTF_8)).readLine().trim.toLong
+    } finally sock.close()
+  }
+}
+
+/** Event-sequence-number offset (json = the number). */
+final case class ReplayOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** `spark.readStream.format(classOf[ReplayProvider].getName)` with options
+  * `host`, `port` (a [[ReplayServer]]), `batchSize` (events admitted per
+  * trigger), `splits` (partitions per batch). Schema: `value STRING`.
+  */
+class ReplayProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-replay"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplayProvider.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ReplayTable
+}
+
+object ReplayProvider {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+}
+
+class ReplayTable extends Table with SupportsRead {
+  override def name(): String = "graft_replay"
+  override def schema(): StructType = ReplayProvider.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def req(k: String): String = {
+      val v = options.get(k)
+      require(v != null && v.nonEmpty, s"graft-replay: option '$k' is required")
+      v
+    }
+    val host = Option(options.get("host")).getOrElse("127.0.0.1")
+    val port = req("port").toInt
+    val batchSize = Option(options.get("batchsize")).map(_.toLong).getOrElse(10000L)
+    val splits = Option(options.get("splits")).map(_.toInt).getOrElse(4)
+    () => new ReplayScan(host, port, batchSize, splits)
+  }
+}
+
+class ReplayScan(host: String, port: Int, batchSize: Long, splits: Int)
+    extends Scan {
+  override def readSchema(): StructType = ReplayProvider.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ReplayStream(host, port, batchSize, splits)
+}
+
+class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  // the total is the server's COUNT — cached: this harness's server is
+  // fully staged up front (an arrival-driven server would grow it, and
+  // this would poll instead)
+  private lazy val total: Long = ReplayServer.count(host, port)
+
+  override def initialOffset(): Offset = ReplayOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    ReplayOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+
+  // admission-controlled form: pace the stream into real micro-batches
+  // (start + maxRows), never one giant catch-up batch
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ReplayOffset].n
+    val max = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => batchSize
+    }
+    ReplayOffset(math.min(total, from + max))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-replay uses admission control: latestOffset(start, limit)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[ReplayOffset].n
+    val b = end.asInstanceOf[ReplayOffset].n
+    val k = math.max(1, math.min(splits.toLong, b - a)).toInt
+    (0 until k).map { i =>
+      val from = a + (b - a) * i / k
+      val to = a + (b - a) * (i + 1) / k
+      ReplayRange(host, port, from, to): InputPartition
+    }.filter { case ReplayRange(_, _, f, t) => t > f }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayReaderFactory
+
+  override def commit(end: Offset): Unit = () // the server retains all —
+                                              // replayability IS the point
+  override def stop(): Unit = ()
+}
+
+final case class ReplayRange(host: String, port: Int, from: Long, to: Long)
+    extends InputPartition
+
+class ReplayReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ReplayRange(host, port, from, to) = partition: @unchecked
+    new PartitionReader[InternalRow] {
+      private val it = ReplayServer.fetch(host, port, from, to)
+      private var row: InternalRow = _
+      private var served = 0L
+      override def next(): Boolean =
+        if (it.hasNext) {
+          row = InternalRow(UTF8String.fromString(it.next()))
+          served += 1
+          true
+        } else {
+          // the offset range is a CONTRACT: short delivery would silently
+          // drop events and break exactly-once — fail loudly instead
+          require(served == to - from,
+            s"replay range [$from,$to) delivered $served of ${to - from} events")
+          false
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

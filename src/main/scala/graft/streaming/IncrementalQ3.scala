@@ -18,10 +18,15 @@ import graft.operators.Relational
   * {{{
   *   ΔCO  = ΔC⋈O  ∪ ΔC⋈ΔO  ∪ C⋈ΔO                   (custkey)
   *   ΔJ   = ΔCO⋈L ∪ ΔCO⋈ΔL ∪ CO⋈ΔL                  (orderkey)
-  *   ΔAgg = ΔJ groupBy (orderkey, orderdate, priority)
-  *                agg sum(w·revenue), sum(w)
-  *   Agg' = consolidate(Agg ∪ ΔAgg);  emit top-20 of Agg'
+  *   for each GRAIN g:   ΔAgg_g = ΔJ groupBy g agg sum(w·revenue), sum(w)
+  *                       Agg_g' = consolidate(Agg_g ∪ ΔAgg_g)
+  *   emit top-20 of Agg_0'
   * }}}
+  *
+  * The aggregation grain is a PARAMETER, and since r11 a state maintains
+  * ANY NUMBER of grains off ONE shared ΔJ per batch — the multi-query IVM
+  * shape a real deployment runs (N dashboards over one changelog pay one
+  * delta-join pipeline, not N).
   *
   * Revenue is kept as exact decimal so insert/delete pairs cancel to
   * EXACTLY zero and the converged streaming answer is bit-equal to the
@@ -34,27 +39,54 @@ import graft.operators.Relational
   */
 object IncrementalQ3 {
 
-  /** All maintained state, each a z-set DataFrame with weight [[ZSet.W]].
-    * `dirty` counts delete-carrying batches since the base states were
-    * last compacted (see the amortized-compaction note in [[step]]).
-    * `spillHistory` is this fold's spill versions, newest first (at most
-    * the two newest stay on disk — see the spill note in [[step]]).
+  /** Spill bookkeeping carried between compactions (spill mode only):
+    * which buckets each state has dirtied since `version` was written, and
+    * the per-state delta frames accumulated since then (references to the
+    * already-checkpointed per-batch deltas — no extra storage). Together
+    * they let the next compaction rewrite ONLY the dirty buckets: input =
+    * `readBuckets(version, dirty) ∪ pending ∪ batch delta`, everything
+    * else carried forward unrewritten.
+    */
+  final case class SpillMeta(root: String, version: Long,
+                             dirty: Map[String, Set[Int]],
+                             pending: Map[String, Vector[DataFrame]])
+
+  /** All maintained state. `c/o/l/co` are z-set DataFrames with weight
+    * [[ZSet.W]]; `aggs` is one maintained aggregate per grain (key list →
+    * z-set frame), all served by the shared ΔJ. `dirty` counts batches
+    * since the base states were last compacted (see the
+    * amortized-compaction note in [[step]]). `spillHistory` is this fold's
+    * spill versions, newest first (at most the two newest stay on disk —
+    * see the spill note in [[step]]); `spillMeta` is the dirty-bucket
+    * bookkeeping since the newest version.
     */
   final case class State(c: DataFrame, o: DataFrame, l: DataFrame,
-                         co: DataFrame, agg: DataFrame, dirty: Int = 0,
-                         spillHistory: List[Long] = Nil) {
-    def all: Seq[DataFrame] = Seq(c, o, l, co, agg)
+                         co: DataFrame,
+                         aggs: Vector[(Seq[String], DataFrame)],
+                         dirty: Int = 0,
+                         spillHistory: List[Long] = Nil,
+                         spillMeta: Option[SpillMeta] = None) {
+    /** The primary grain's aggregate (what [[topN]] emits). */
+    def agg: DataFrame = aggs.head._2
+    def all: Seq[DataFrame] = Seq(c, o, l, co) ++ aggs.map(_._2)
+    /** Spill state names, aligned with [[all]]: base states + one per grain. */
+    def names: Seq[String] = Seq("c", "o", "l", "co") ++
+      aggs.indices.map(aggName)
   }
 
-  /** Compact the base states after this many delete-carrying batches. A
+  private[streaming] def aggName(i: Int): String = s"agg$i"
+
+  /** Compact the base states after this many delete-carrying batches (or,
+    * under spill, after this many batches of ANY kind — see below). A
     * z-set with canceling ±1 pairs is still correct — only the AGGREGATE
     * needs per-batch consolidation (it drives emission) — so base-state
-    * compaction is purely a size/cost trade: every compaction is a full
-    * groupBy-rewrite of all state (O(state) shuffle), while skipping it
-    * leaves dead pairs that enlarge the next delta joins. Amortizing over
-    * N batches turns "state-sized shuffle per delete batch" into
-    * "state-sized shuffle per N batches" — the difference between 95K and
-    * ~150K events/s at fine batching (k=8, 15.3M events).
+    * compaction is purely a size/cost trade: every compaction rewrites the
+    * state (O(state) shuffle in-memory; O(dirty buckets) when spilled),
+    * while skipping it leaves dead pairs that enlarge the next delta
+    * joins. Amortizing over N batches turns "state-sized shuffle per
+    * delete batch" into "state-sized shuffle per N batches" — the
+    * difference between 95K and ~150K events/s at fine batching (k=8,
+    * 15.3M events).
     */
   private val CompactEvery =
     Integer.getInteger("graft.compact.every", 4).intValue()
@@ -64,27 +96,35 @@ object IncrementalQ3 {
   // By default the five states are localCheckpoint'd frames — executor
   // storage memory (with BlockManager disk overflow), fine at driver-test
   // scale but an unbounded envelope at 100×: the 153 M-event StreamBench
-  // run peaks above 100 M state rows. With `graft.ivm.spill.dir` set,
-  // every compaction instead MERGEs each consolidated state into a
-  // bucketed-by-join-key table (the `join_bucketed` zero-Exchange shape):
+  // run peaks above 100 M state rows. With a spill dir set (the
+  // `spillDir` parameter of [[step]]/[[runBatches]], defaulting to
+  // `-Dgraft.ivm.spill.dir`), every compaction instead MERGEs each state
+  // into a bucketed-by-join-key table (the `join_bucketed` zero-Exchange
+  // shape) through the [[SpillFormat]] seam:
   //  - memory holds only the deltas since the last compaction — the
-  //    envelope is CompactEvery × batch size, not accumulated state;
+  //    envelope is CompactEvery × batch size, not accumulated state
+  //    (under spill, compaction fires every CompactEvery batches even on
+  //    insert-only streams, so the envelope claim holds without deletes);
   //  - the next batches' delta joins read the state scan pre-partitioned
   //    on its join key, so only the batch-sized delta shuffles (the
   //    three-term [[ZSet.deltaJoin]] keeps the scan directly under each
   //    join for exactly this reason);
-  //  - at cluster scale the same writes target a transactional table
-  //    format; the z-set algebra above is unchanged.
+  //  - a compaction after the first rewrites ONLY the buckets the deltas
+  //    since the last spill touched ([[SpillMeta]]); untouched buckets
+  //    carry forward as hard links — at 100 TB state with trigger-sized
+  //    deltas the write is O(delta keys), never O(state). Locally the
+  //    format is bucketed parquet ([[BucketedParquetSpill]]); at cluster
+  //    scale the same seam targets a transactional table format.
   // Spill dirs are versioned (v1, v2, …): a new version is fully written
   // before the state rebinds to it, and only then is everything older
   // than the PREVIOUS version deleted — a consumer holding last batch's
-  // State keeps readable files, same discipline as Snapshots.saveBatch.
-  private def spillRoot: Option[String] =
+  // State keeps readable files (hard links keep carried-forward content
+  // alive across pruning), same discipline as Snapshots.saveBatch.
+  private[streaming] def spillRoot: Option[String] =
     sys.props.get("graft.ivm.spill.dir").map(_.trim)
       .filter(d => d.nonEmpty && d != "off")
 
-  private val SpillBuckets =
-    Integer.getInteger("graft.ivm.spill.buckets", 32).intValue()
+  private def spillFmt: SpillFormat = BucketedParquetSpill
 
   // Version allocation is PER ROOT and seeded from whatever v<N> dirs
   // already exist there — a resumed process (Snapshots restores
@@ -93,12 +133,16 @@ object IncrementalQ3 {
   private val spillCounters = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.atomic.AtomicLong]
 
+  private def versionsOnDisk(root: String): Seq[Long] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .toIndexedSeq
+      .flatMap(f => if (f.getName.startsWith("v"))
+        f.getName.stripPrefix("v").toLongOption else None)
+
   private def nextSpillVersion(root: String): Long =
     spillCounters.getOrElseUpdate(root, {
-      val existing = Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .flatMap(f => if (f.getName.startsWith("v"))
-          f.getName.stripPrefix("v").toLongOption else None)
+      val existing = versionsOnDisk(root)
       new java.util.concurrent.atomic.AtomicLong(
         if (existing.isEmpty) 0L else existing.max)
     }).incrementAndGet()
@@ -106,27 +150,12 @@ object IncrementalQ3 {
   /** Bucket keys: each state's delta-join key ([[step]]'s joins), the
     * aggregate's leading grain key.
     */
-  private def spillKey(name: String, aggKeys: Seq[String]): String = name match {
+  private def spillKey(name: String, grains: Seq[Seq[String]]): String = name match {
     case "c" => "c_custkey"
     case "o" => "o_custkey"
     case "l" => "l_orderkey"
     case "co" => "o_orderkey"
-    case "agg" => aggKeys.head
-  }
-
-  /** Catalog names are root-scoped (versions are per-root, so two roots
-    * in one session would otherwise both own a `…_v1`).
-    */
-  private def spillTable(root: String, name: String, version: Long): String =
-    s"graft_ivm_${Integer.toHexString(root.hashCode)}_${name}_v$version"
-
-  private def spillState(spark: SparkSession, root: String, version: Long,
-                         name: String, key: String, df: DataFrame): DataFrame = {
-    val tbl = spillTable(root, name, version)
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    df.write.mode("overwrite").option("path", s"$root/v$version/$name")
-      .bucketBy(SpillBuckets, key).sortBy(key).saveAsTable(tbl)
-    spark.table(tbl)
+    case a => grains(a.stripPrefix("agg").toInt).head
   }
 
   /** End-of-query cleanup: drop EVERY spill version under `root` (scanned
@@ -134,18 +163,19 @@ object IncrementalQ3 {
     * fold that failed mid-stream) and the root itself.
     */
   private[graft] def cleanupSpillRoot(spark: SparkSession, root: String): Unit = {
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .flatMap(f => if (f.getName.startsWith("v"))
-        f.getName.stripPrefix("v").toLongOption else None)
-      .foreach(dropSpill(spark, root, _))
+    versionsOnDisk(root).foreach(dropSpill(spark, root, _))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   private def dropSpill(spark: SparkSession, root: String, version: Long): Unit = {
-    Seq("c", "o", "l", "co", "agg").foreach(n =>
-      spark.sql(s"DROP TABLE IF EXISTS ${spillTable(root, n, version)}"))
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"$root/v$version"))
+    // state dirs are scanned from disk, not assumed: a root written by a
+    // different grain list (or the pre-r11 single "agg" layout) is reaped
+    // all the same
+    val vDir = new java.io.File(s"$root/v$version")
+    val names = Option(vDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+    names.foreach(spillFmt.drop(spark, root, version, _))
+    org.apache.commons.io.FileUtils.deleteQuietly(vDir)
   }
 
   private val cutoff = to_date(lit(Relational.Q3Date))
@@ -154,9 +184,9 @@ object IncrementalQ3 {
 
   /** Q3's native aggregation grain. The grain is a PARAMETER of the
     * engine, not part of it: any subset of the join output's dimension
-    * columns maintains the same way (see [[StreamQueries
-    * .priorityRevenueConverged]] for the per-priority grain — only the key
-    * list differs).
+    * columns maintains the same way, and one State maintains several at
+    * once (see [[StreamQueries.convergedFold]], where the Q3 grain and
+    * the per-priority grain share one fold).
     */
   val DefaultAggKeys: Seq[String] =
     Seq("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -171,8 +201,12 @@ object IncrementalQ3 {
       StructType(fields.map { case (n, t) => StructField(n, t) } :+
         StructField(ZSet.W, LongType)))
 
+  private def emptyAgg(spark: SparkSession, keys: Seq[String]): DataFrame =
+    empty(spark, keys.map(k => k -> keyTypes(k)) :+
+      ("revenue" -> DataType.fromDDL(revType)) :+ ("cnt" -> (LongType: DataType)): _*)
+
   def init(spark: SparkSession,
-           aggKeys: Seq[String] = DefaultAggKeys): State = State(
+           grains: Seq[Seq[String]] = Seq(DefaultAggKeys)): State = State(
     c = empty(spark, "c_custkey" -> LongType),
     o = empty(spark, "o_orderkey" -> LongType, "o_custkey" -> LongType,
       "o_orderdate" -> DateType, "o_orderpriority" -> StringType),
@@ -180,8 +214,7 @@ object IncrementalQ3 {
       "revenue" -> DataType.fromDDL(revType)),
     co = empty(spark, "o_orderkey" -> LongType, "o_orderdate" -> DateType,
       "o_orderpriority" -> StringType),
-    agg = empty(spark, aggKeys.map(k => k -> keyTypes(k)) :+
-      ("revenue" -> DataType.fromDDL(revType)) :+ ("cnt" -> (LongType: DataType)): _*))
+    aggs = grains.toVector.map(keys => keys -> emptyAgg(spark, keys)))
 
   /** Q3's pushed-down filters + projections on the delta, mirroring the
     * reference's pre-join filter placement (no_websocket.java:192–201) and
@@ -203,12 +236,15 @@ object IncrementalQ3 {
     (dC, dO, dL)
   }
 
-  /** Apply one micro-batch of raw changelog lines to the state.
-    * `aggKeys` sets the maintained aggregate's grain (must match the
-    * `init` that produced `st`).
+  /** Apply one micro-batch of raw changelog lines to the state. The
+    * maintained grains come from `st` (set at [[init]]); `spillDir`
+    * bounds the memory envelope via bucketed-table state spill (default:
+    * the `graft.ivm.spill.dir` system property — threaded as a parameter
+    * so concurrent folds in one JVM never share a mutable global).
     */
   def step(st: State, lines: DataFrame,
-           aggKeys: Seq[String] = DefaultAggKeys): State = {
+           spillDir: Option[String] = spillRoot): State = {
+    val grains = st.aggs.map(_._1)
     // ONE pass over the raw text: parse into a cached tagged z-set, then
     // derive the three relation deltas from the cached blocks. (Checkpointing
     // the deltas individually instead would re-run the line parse once per
@@ -228,96 +264,212 @@ object IncrementalQ3 {
         col("c_custkey") === col("o_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col(ZSet.W))
       .localCheckpoint(eager = false)
-    val dJ = ZSet.deltaJoin(st.co, dCO, st.l, dL,
+    val dJ0 = ZSet.deltaJoin(st.co, dCO, st.l, dL,
       col("o_orderkey") === col("l_orderkey"))
-    val dAgg = dJ
-      .groupBy(aggKeys.map(col): _*)
-      .agg(sum(col(ZSet.W) * col("revenue")).cast(revType).as("revenue"),
-        sum(col(ZSet.W)).as("cnt"))
+    // the shared ΔJ: with several grains each reads it once — checkpoint so
+    // the delta joins run ONCE per batch, not once per grain; with a single
+    // grain the extra pin would be pure storage cost
+    val dJ = if (grains.size > 1) dJ0.localCheckpoint(eager = false) else dJ0
 
     val strict = java.lang.Boolean.getBoolean("graft.strict")
-    val merged0 = st.agg.unionByName(
-        dAgg.withColumn(ZSet.W, lit(1L)).select(st.agg.columns.toIndexedSeq.map(col): _*))
-      .groupBy(aggKeys.map(col): _*)
-      .agg(sum(col("revenue")).cast(revType).as("revenue"), sum(col("cnt")).as("cnt"))
-    // checkpoint under strict mode so the invariant count and newAgg share
-    // one computation of the merge instead of running it twice
-    val merged = if (strict) merged0.localCheckpoint(eager = false) else merged0
-    // A well-formed changelog's deletes mirror their inserts exactly, so a
-    // group whose membership count reaches 0 must also have revenue exactly
-    // 0 — dropping it is then pure compaction. Strict mode (tests:
-    // -Dgraft.strict=true) checks the invariant loudly instead of silently
-    // discarding a residue left by a malformed stream (ADVICE r1).
-    if (strict) {
-      val bad = merged.filter(col("cnt") === 0 && col("revenue") =!= 0).count()
-      require(bad == 0,
-        s"malformed changelog: $bad zero-count groups carry nonzero revenue")
+    val newAggs: Vector[DataFrame] = st.aggs.map { case (keys, agg) =>
+      val dAgg = dJ
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(ZSet.W) * col("revenue")).cast(revType).as("revenue"),
+          sum(col(ZSet.W)).as("cnt"))
+      val merged0 = agg.unionByName(
+          dAgg.withColumn(ZSet.W, lit(1L)).select(agg.columns.toIndexedSeq.map(col): _*))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("revenue")).cast(revType).as("revenue"), sum(col("cnt")).as("cnt"))
+      // checkpoint under strict mode so the invariant count and the new agg
+      // share one computation of the merge instead of running it twice
+      val merged = if (strict) merged0.localCheckpoint(eager = false) else merged0
+      // A well-formed changelog's deletes mirror their inserts exactly, so a
+      // group whose membership count reaches 0 must also have revenue exactly
+      // 0 — dropping it is then pure compaction. Strict mode (tests:
+      // -Dgraft.strict=true) checks the invariant loudly instead of silently
+      // discarding a residue left by a malformed stream (ADVICE r1).
+      if (strict) {
+        val bad = merged.filter(col("cnt") === 0 && col("revenue") =!= 0).count()
+        require(bad == 0,
+          s"malformed changelog: $bad zero-count groups carry nonzero revenue")
+      }
+      merged
+        .filter(col("cnt") =!= 0)
+        .withColumn(ZSet.W, lit(1L))
     }
-    val newAgg = merged
-      .filter(col("cnt") =!= 0)
-      .withColumn(ZSet.W, lit(1L))
 
     // State upkeep, cheapest-sufficient form per state and batch:
-    //  - batch carries retractions → consolidate + checkpoint (compaction
-    //    rewrite, so retracted rows actually leave the state);
-    //  - insert-only batch → a plain union over the already-cached delta
-    //    blocks: NOTHING is rewritten (the reference's per-record state
-    //    insert, amortized). The union chain stays shallow because every
-    //    link is a checkpointed delta; a long-running deployment compacts
-    //    periodically (or uses a real state store).
+    //  - compacting batch → consolidate + checkpoint (or spill-table MERGE),
+    //    so retracted rows actually leave the state;
+    //  - otherwise → a plain union over the already-cached delta blocks:
+    //    NOTHING is rewritten (the reference's per-record state insert,
+    //    amortized). The union chain stays shallow because every link is a
+    //    checkpointed delta.
     // Materialize the SHARED plan parents in dependency order BEFORE the
     // concurrent per-state fan-out below. Concurrent Spark jobs do not
     // share in-flight computation — five futures racing over the same
     // un-checkpointed parents each re-run the parse and the delta joins
-    // (observed: escalating per-batch times on the delete phase). A
-    // count() per layer pins each layer's blocks exactly once:
+    // (observed: escalating per-batch times on the delete phase). One
+    // action per layer pins each layer's blocks exactly once:
     //   1. full text parse FIRST, as its own serial action (count, never
     //      isEmpty — isEmpty short-circuits and leaves most partitions
     //      uncached). Folding this into the deltas action below re-runs
     //      the parse up to 3× concurrently (one per union branch racing
     //      before the cache fills) — measured 233K → 145K events/s at k=8;
     val hasDeletes = parsed.filter(col(ZSet.W) < 0).count() > 0
-    //   2. the three relation deltas, in ONE action over the cached parse;
-    dC.select(col(ZSet.W)).unionByName(dO.select(col(ZSet.W)))
-      .unionByName(dL.select(col(ZSet.W))).count()
-    //   3. the first delta join (both branches of ΔJ and the co upkeep
-    //      read it).
-    dCO.count()
-    val compact = hasDeletes && st.dirty + 1 >= CompactEvery
     val spark = lines.sparkSession
-    val spillTo = if (compact) spillRoot else None
+    val bucketN = BucketedParquetSpill.buckets
+    def bucketExpr(key: String) = pmod(hash(col(key)), lit(bucketN)).cast("int")
+    //   2. the three relation deltas, in ONE action over the cached parse.
+    //      Under spill that action IS the dirty-bucket probe — the same
+    //      full scan that pins the delta blocks also returns which state
+    //      buckets this batch touches;
+    //   3. the first delta join (both branches of ΔJ and the co upkeep
+    //      read it) — likewise doubling as the co/agg bucket probe.
+    // The agg grains' buckets are a SUPERSET probe: ΔAgg's keys come from
+    // ΔJ = ΔCO⋈L ∪ ΔCO⋈ΔL ∪ CO⋈ΔL, so for the Q3-family grains (leading
+    // key l_orderkey) buckets(ΔAgg) ⊆ buckets(ΔCO.o_orderkey) ∪
+    // buckets(ΔL.l_orderkey) — no extra delta-join run. Grains with any
+    // other leading key are marked all-dirty (full agg rewrite — those
+    // grains are dimension-sized, e.g. 5 priorities, so nothing is lost).
+    val batchBuckets: Map[String, Set[Int]] =
+      if (spillDir.isEmpty) {
+        dC.select(col(ZSet.W)).unionByName(dO.select(col(ZSet.W)))
+          .unionByName(dL.select(col(ZSet.W))).count()
+        dCO.count()
+        Map.empty
+      } else {
+        val all = (0 until bucketN).toSet
+        val deltaProbe = dC.select(lit("c").as("s"), bucketExpr("c_custkey").as("b"))
+          .unionByName(dO.select(lit("o").as("s"), bucketExpr("o_custkey").as("b")))
+          .unionByName(dL.select(lit("l").as("s"), bucketExpr("l_orderkey").as("b")))
+          .distinct().collect()
+          .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getInt(1)).toSet }
+        val coBuckets = dCO.select(bucketExpr("o_orderkey").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val aggBuckets = grains.indices.map { i =>
+          aggName(i) -> (if (grains(i).head == "l_orderkey")
+            deltaProbe.getOrElse("l", Set.empty) ++ coBuckets
+          else all)
+        }
+        (deltaProbe ++ Map("co" -> coBuckets) ++ aggBuckets)
+          .withDefaultValue(Set.empty[Int])
+      }
+    // Under spill, compaction fires every CompactEvery batches whether or
+    // not deletes arrived (ADVICE r10): an insert-only build-up phase must
+    // still flush its deltas to the tables, or the "memory envelope is
+    // deltas-since-last-compaction" claim only holds once deletes
+    // interleave. In-memory mode keeps the delete-triggered cadence —
+    // insert-only unions are already O(1) there and a rewrite buys nothing.
+    val countsTowardCompaction = hasDeletes || spillDir.nonEmpty
+    val compact = countsTowardCompaction && st.dirty + 1 >= CompactEvery
+    val spillTo = if (compact) spillDir else None
     val version = spillTo.map(nextSpillVersion)
-    def upkeep(name: String, state: DataFrame, delta: DataFrame): DataFrame = {
-      val merged = state.unionByName(delta)
-      spillTo match {
-        case Some(root) => spillState(spark, root, version.get, name,
-          spillKey(name, aggKeys), ZSet.consolidate(merged))
-        case None if compact =>
-          ZSet.consolidate(merged).localCheckpoint(eager = false)
-        case None => merged
+
+    // accumulated dirty buckets / pending deltas since the last spill,
+    // INCLUDING this batch (this batch's delta is part of the compaction
+    // input, so its buckets are dirty too)
+    def dirtySince(name: String): Set[Int] =
+      st.spillMeta.map(_.dirty.getOrElse(name, Set.empty)).getOrElse(Set.empty) ++
+        batchBuckets.getOrElse(name, Set.empty)
+    def pendingSince(name: String): Vector[DataFrame] =
+      st.spillMeta.map(_.pending.getOrElse(name, Vector.empty)).getOrElse(Vector.empty)
+
+    /** Spill `name` at `version`: incremental (dirty buckets only, clean
+      * ones carried forward) when the previous version is known and the
+      * batch left any bucket untouched; full rewrite otherwise.
+      */
+    def spill(root: String, name: String, key: String,
+              fullRows: => DataFrame, delta: => DataFrame): DataFrame = {
+      val dirty = dirtySince(name)
+      st.spillMeta match {
+        case Some(meta) if meta.root == root && dirty.size < bucketN =>
+          val prev = spillFmt.readBuckets(spark, root, meta.version, name,
+            fullRows.schema, dirty)
+          val rows = ZSet.consolidate(
+            (prev +: pendingSince(name)).reduce(_ unionByName _)
+              .unionByName(delta))
+          spillFmt.write(spark, root, version.get, name, key, rows,
+            carry = Some((meta.version, dirty)))
+        case _ =>
+          spillFmt.write(spark, root, version.get, name, key,
+            fullRows, carry = None)
       }
     }
+
+    def upkeep(name: String, state: DataFrame, delta: DataFrame): DataFrame =
+      spillTo match {
+        case Some(root) =>
+          spill(root, name, spillKey(name, grains),
+            fullRows = ZSet.consolidate(state.unionByName(delta)), delta = delta)
+        case None if compact =>
+          ZSet.consolidate(state.unionByName(delta)).localCheckpoint(eager = false)
+        case None => state.unionByName(delta)
+      }
+
+    // The agg states are consolidated EVERY batch (they drive emission), so
+    // the incremental spill input is the new agg RESTRICTED to its dirty
+    // buckets — groups in untouched buckets are value-identical to the
+    // previous version's (no ΔAgg reached them since the last spill) and
+    // carry forward as links.
+    def upkeepAgg(i: Int, keys: Seq[String], newAgg: DataFrame): DataFrame =
+      spillTo match {
+        case Some(root) =>
+          val name = aggName(i)
+          val dirty = dirtySince(name)
+          st.spillMeta match {
+            case Some(meta) if meta.root == root && dirty.size < bucketN =>
+              spillFmt.write(spark, root, version.get, name, keys.head,
+                newAgg.filter(bucketExpr(keys.head)
+                  .isin(dirty.toSeq.map(Integer.valueOf): _*)),
+                carry = Some((meta.version, dirty)))
+            case _ =>
+              spillFmt.write(spark, root, version.get, name, keys.head,
+                newAgg, carry = None)
+          }
+        case None => newAgg.localCheckpoint(eager = false)
+      }
+
     val history = version.map(_ :: st.spillHistory).getOrElse(st.spillHistory)
+    val nextMeta: Option[SpillMeta] = (spillTo, version) match {
+      case (Some(root), Some(v)) =>
+        // fresh bookkeeping window starting at the just-written version
+        Some(SpillMeta(root, v, Map.empty, Map.empty))
+      case _ => st.spillMeta match {
+        case Some(meta) if spillDir.contains(meta.root) =>
+          // accumulate this batch's buckets + delta references
+          val deltas = Map("c" -> dC, "o" -> dO, "l" -> dL, "co" -> dCO)
+          Some(meta.copy(
+            dirty = (st.names.map(n => n -> dirtySince(n))).toMap,
+            pending = deltas.map { case (n, d) =>
+              n -> (meta.pending.getOrElse(n, Vector.empty) :+ d)
+            }))
+        case _ => None // no spill version yet (or dir changed): first
+                       // compaction full-writes, nothing to track
+      }
+    }
     val next = State(
       c = upkeep("c", st.c, dC),
       o = upkeep("o", st.o, dO),
       l = upkeep("l", st.l, dL),
       co = upkeep("co", st.co, dCO),
-      agg = spillTo match {
-        case Some(root) => spillState(spark, root, version.get, "agg",
-          spillKey("agg", aggKeys), newAgg)
-        case None => newAgg.localCheckpoint(eager = false)
+      aggs = st.aggs.zip(newAggs).zipWithIndex.map {
+        case (((keys, _), newAgg), i) => keys -> upkeepAgg(i, keys, newAgg)
       },
-      dirty = if (compact) 0 else if (hasDeletes) st.dirty + 1 else st.dirty,
-      spillHistory = history.take(2))
-    // everything older than the previous spill is now unreachable
+      dirty = if (compact) 0
+        else if (countsTowardCompaction) st.dirty + 1 else st.dirty,
+      spillHistory = history.take(2),
+      spillMeta = nextMeta)
+    // everything older than the previous spill is now unreachable (carried-
+    // forward files survive as hard links under the newer versions)
     spillTo.foreach(root => history.drop(2).foreach(dropSpill(spark, root, _)))
     // Materialize ONLY the frames this step newly checkpointed,
     // CONCURRENTLY (independent Spark jobs — wall time is the slowest,
     // not the sum). On a non-compacting batch c/o/l/co are plain unions
     // over already-pinned delta blocks: counting them each batch re-scans
     // the whole accumulated state for nothing (O(k²) cached-block scans
-    // over a k-batch fold); only the new agg checkpoint needs a job.
+    // over a k-batch fold); only the new agg checkpoints need jobs.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -327,14 +479,14 @@ object IncrementalQ3 {
     val toPin =
       if (spillTo.nonEmpty) (if (wantSizes) next.all else Seq.empty)
       else if (compact || wantSizes) next.all
-      else Seq(next.agg)
+      else next.aggs.map(_._2)
     val sizes = Await.result(
       Future.sequence(toPin.map(df => Future { df.count() })), Duration.Inf)
     // the sizes diagnostic (z-set rows incl. not-yet-compacted ± pairs,
-    // for capacity planning) counts all five regardless
+    // for capacity planning) counts all states regardless
     if (wantSizes)
       System.err.println("[ivm] state rows " +
-        Seq("c", "o", "l", "co", "agg").zip(sizes)
+        next.names.zip(sizes)
           .map { case (n, s) => s"$n=$s" }.mkString(" "))
     parsed.unpersist(blocking = false)
     next
@@ -358,8 +510,9 @@ object IncrementalQ3 {
     * re-folding its prefix) read intermediate state there.
     */
   def runBatches(spark: SparkSession, events: DataFrame, k: Int,
-                 aggKeys: Seq[String] = DefaultAggKeys,
+                 grains: Seq[Seq[String]] = Seq(DefaultAggKeys),
                  tMaxKnown: Option[Long] = None,
+                 spillDir: Option[String] = spillRoot,
                  onBatch: (Int, State) => Unit = (_, _) => ()): State = {
     val tMax = tMaxKnown.getOrElse(events.agg(max(col("t"))).head().getLong(0))
     // NO re-checkpoint here: both call sites (generateCached, StreamBench)
@@ -368,9 +521,9 @@ object IncrementalQ3 {
     // to attach it cost more than every per-batch filter combined.
     val batched = events.withColumn("batch",
       least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
-    val fin = (0 until k).foldLeft(init(spark, aggKeys)) { (st, b) =>
+    val fin = (0 until k).foldLeft(init(spark, grains)) { (st, b) =>
       val t0 = System.nanoTime()
-      val r = step(st, batched.filter(col("batch") === b).select("line"), aggKeys)
+      val r = step(st, batched.filter(col("batch") === b).select("line"), spillDir)
       System.err.println(f"[ivm] batch $b: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       onBatch(b, r)
       r

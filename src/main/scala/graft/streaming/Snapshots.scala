@@ -21,17 +21,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Snapshots {
 
-  private val parts = Seq("c", "o", "l", "co", "agg")
+  private val baseParts = Seq("c", "o", "l", "co")
 
-  /** Persist every state z-set plus the compaction counter and the spill
+  /** Persist every state z-set (base states + one dir per aggregate
+    * grain), the grain key lists, the compaction counter, and the spill
     * version history — without the history a resumed spilled fold would
     * restart pruning from scratch and leak every pre-snapshot spill
-    * version forever (the at-most-two-on-disk invariant).
+    * version forever (the at-most-two-on-disk invariant). The dirty-bucket
+    * bookkeeping ([[IncrementalQ3.SpillMeta]]) is deliberately NOT
+    * persisted: a resumed fold's first compaction falls back to a full
+    * rewrite (correct, just not incremental once), then tracking resumes.
     */
   def save(st: IncrementalQ3.State, dir: String): Unit = {
+    val parts = baseParts ++ st.aggs.indices.map(IncrementalQ3.aggName)
     parts.zip(st.all).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$name")
     }
+    Files.write(Paths.get(s"$dir/grains"),
+      st.aggs.map(_._1.mkString(",")).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(s"$dir/dirty"),
       st.dirty.toString.getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(s"$dir/spill_history"),
@@ -47,26 +55,39 @@ object Snapshots {
     * parquet files the live state still scans.
     */
   def load(spark: SparkSession, dir: String): IncrementalQ3.State = {
-    val Seq(c, o, l, co, agg) =
-      parts.map(name => spark.read.parquet(s"$dir/$name").localCheckpoint())
+    // grain list: from the grains file; pre-r11 snapshots had a single
+    // implicit Q3 grain stored under "agg"
+    val grainsFile = Paths.get(s"$dir/grains")
+    val (grains, aggDirs) =
+      if (Files.exists(grainsFile)) {
+        val gs = new String(Files.readAllBytes(grainsFile), StandardCharsets.UTF_8)
+          .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+          .map(_.split(",").toIndexedSeq.map(_.trim))
+        (gs, gs.indices.map(IncrementalQ3.aggName))
+      } else
+        (IndexedSeq(IncrementalQ3.DefaultAggKeys.toIndexedSeq), IndexedSeq("agg"))
+    def part(name: String) =
+      spark.read.parquet(s"$dir/$name").localCheckpoint()
+    val Seq(c, o, l, co) = baseParts.map(part)
     // spill_history may be absent in pre-spill snapshots — default Nil
     val histFile = Paths.get(s"$dir/spill_history")
     val history =
       if (!Files.exists(histFile)) Nil
       else new String(Files.readAllBytes(histFile), StandardCharsets.UTF_8)
         .split(",").toList.flatMap(_.trim.toLongOption)
-    IncrementalQ3.State(c, o, l, co, agg,
-      new String(Files.readAllBytes(Paths.get(s"$dir/dirty")),
+    IncrementalQ3.State(c, o, l, co,
+      aggs = grains.zip(aggDirs).map { case (keys, d) => (keys: Seq[String]) -> part(d) }.toVector,
+      dirty = new String(Files.readAllBytes(Paths.get(s"$dir/dirty")),
         StandardCharsets.UTF_8).trim.toInt,
       spillHistory = history)
   }
 
   // --- per-batch snapshots for the continuous query (auto-resume) ------
   //
-  // Layout: $dir/b<batchId>/{c,o,l,co,agg,dirty} plus a LATEST pointer
-  // file holding the last fully-written batch id. The pointer is flipped
-  // by ATOMIC_MOVE only AFTER the snapshot directory is complete, so a
-  // crash mid-save leaves LATEST at the previous consistent snapshot.
+  // Layout: $dir/b<batchId>/{c,o,l,co,agg*,grains,dirty} plus a LATEST
+  // pointer file holding the last fully-written batch id. The pointer is
+  // flipped by ATOMIC_MOVE only AFTER the snapshot directory is complete,
+  // so a crash mid-save leaves LATEST at the previous consistent snapshot.
   // Snapshots older than LATEST are pruned after the flip — at any moment
   // at most two live on disk (the one being written + the last good one).
 

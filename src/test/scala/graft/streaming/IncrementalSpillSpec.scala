@@ -89,6 +89,105 @@ class IncrementalSpillSpec extends SparkSpec {
       s"only the delta side may shuffle:\n$plan")
   }
 
+  test("bucket probe contract: pmod(hash(k), n) IS the writer's bucket id") {
+    // The dirty-bucket compaction classifies buckets with
+    // pmod(hash(key), n); the writer places rows by HashPartitioning's
+    // partitionIdExpression. These are the same Murmur3(seed 42) + pmod —
+    // this test pins the contract LOUDLY: if a Spark upgrade ever changed
+    // the writer's hash, a clean-classified bucket could silently hold
+    // delta rows and the carry-forward would corrupt state.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bucket-contract").toString
+    val df = spark.range(500).select(col("id").as("k"), lit(1L).as(ZSet.W))
+    val written = BucketedParquetSpill.write(
+      spark, root, 1L, "probe", "k", df, carry = None)
+    assert(written.count() == 500)
+    val files = Option(new java.io.File(s"$root/v1/probe").listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => BucketedParquetSpill.bucketOf(f.getName).map(f -> _))
+    assert(files.nonEmpty, "bucketed write produced no parseable data files")
+    val n = BucketedParquetSpill.buckets
+    files.foreach { case (f, declaredBucket) =>
+      val probed = spark.read.parquet(f.getPath)
+        .select(pmod(hash(col("k")), lit(n)).cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(probed == Set(declaredBucket),
+        s"file ${f.getName}: writer bucket $declaredBucket but probe says $probed")
+    }
+    BucketedParquetSpill.drop(spark, root, 1L, "probe")
+  }
+
+  test("dirty-bucket compaction: untouched buckets carry forward unrewritten") {
+    // Key-churn fixture: a broad first compaction (full write), then four
+    // batches touching a HANDFUL of lineitem keys — the second compaction
+    // must rewrite only those keys' buckets and hard-link every other
+    // bucket's files from the previous version (byte-identical by
+    // construction: same inode). This is the O(delta keys) write the 100×
+    // story needs; the sf-fixture folds can't show it because their
+    // per-batch deltas touch every bucket.
+    import spark.implicits._
+    def cu(ck: Long) = s"+CU|$ck|c$ck|0|100.0|BUILDING"
+    def or(ok: Long, ck: Long) = s"+OR|$ok|$ck|O|100.0|1995-01-01|1-URGENT"
+    def li(ok: Long, sign: String = "+") =
+      s"${sign}LI|$ok|1|1|1|1.0|100.0|0.05|0.02|N|O|1995-06-01"
+    val batches: Seq[Seq[String]] = Seq(
+      (1L to 40L).flatMap(k => Seq(cu(k), or(k, k), li(k))),      // broad base
+      Seq(li(100)), Seq(li(101)), Seq(li(102)),                   // → compaction 1 (full)
+      Seq(li(100, "-")), Seq(li(200)), Seq(li(201)), Seq(li(200, "-")) // → compaction 2 (dirty-only)
+    )
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivm-dirty").toString
+    val fin = batches.foldLeft(IncrementalQ3.init(spark)) { (st, ls) =>
+      IncrementalQ3.step(st, ls.toDF("line"), spillDir = Some(root))
+    }
+    assert(fin.spillHistory.length == 2,
+      s"expected two compactions, got history ${fin.spillHistory}")
+    val List(v2, v1) = fin.spillHistory
+    def filesOf(v: Long, name: String): Map[String, java.io.File] =
+      Option(new java.io.File(s"$root/v$v/$name").listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => BucketedParquetSpill.bucketOf(f.getName).map(_ => f.getName -> f))
+        .toMap
+    def sameInode(a: java.io.File, b: java.io.File): Boolean =
+      java.nio.file.Files.isSameFile(a.toPath, b.toPath)
+    // states with NO deltas in batches 5–8 (c, o, co): every v1 file must
+    // reappear in v2 as the SAME file (hard link), none rewritten
+    for (name <- Seq("c", "o", "co")) {
+      val (f1, f2) = (filesOf(v1, name), filesOf(v2, name))
+      assert(f1.nonEmpty, s"$name@v$v1 has no data files")
+      assert(f1.keySet.subsetOf(f2.keySet),
+        s"$name: v1 files ${f1.keySet} not all carried into v2 ${f2.keySet}")
+      f1.foreach { case (n, f) => assert(sameInode(f, f2(n)),
+        s"$name/$n was rewritten despite zero deltas") }
+    }
+    // the lineitem state: buckets of the churned keys (100, 200, 201)
+    // rewritten, everything else carried forward
+    val n = BucketedParquetSpill.buckets
+    val touched = Seq(100L, 200L, 201L)
+      .toDF("k").select(pmod(hash(col("k")), lit(n)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    val (l1, l2) = (filesOf(v1, "l"), filesOf(v2, "l"))
+    val carried = l1.filter { case (n2, f) =>
+      l2.contains(n2) && sameInode(f, l2(n2)) }
+    val untouchedV1 = l1.filterNot { case (_, f) =>
+      spark.read.parquet(f.getPath)
+        .select(pmod(hash(col("l_orderkey")), lit(n)).cast("int")).distinct()
+        .collect().map(_.getInt(0)).exists(touched) }
+    assert(untouchedV1.nonEmpty, "fixture bug: every l bucket was touched")
+    untouchedV1.foreach { case (n2, f) =>
+      assert(l2.contains(n2) && sameInode(f, l2(n2)),
+        s"l/$n2 holds no churned key but was rewritten") }
+    // and the churn is SEMANTICALLY applied: the spilled fold equals the
+    // same batches folded in memory, exactly
+    val plainFin = batches.foldLeft(IncrementalQ3.init(spark)) { (st, ls) =>
+      IncrementalQ3.step(st, ls.toDF("line"), spillDir = None)
+    }
+    val a = fin.agg.orderBy("l_orderkey").collect().map(_.toSeq).toSeq
+    val b = plainFin.agg.orderBy("l_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b, "dirty-bucket compaction changed the maintained aggregate")
+    IncrementalQ3.cleanupSpillRoot(spark, root)
+  }
+
   test("snapshot save/load composes with spill: resume ≡ uninterrupted") {
     // operability × memory-bound together: a fold running WITH spill is
     // snapshotted mid-stream (its states are bucketed-table scans),
