@@ -58,17 +58,39 @@ object ScaleData {
       "events" -> copies(t("events"), scale)(shiftCols("event_id", "user_id")),
       "documents" -> copies(t("documents"), scale) { (df, off) =>
         val d = shiftCols("doc_id")(df, off)
+        // per-copy TOKEN RENAME (not a suffix token — r11's first sweep
+        // appended one trailing token, which leaves every interior shingle
+        // identical across copies: each doc then has 9 true J≈0.97
+        // near-duplicates and the dedup family pays a genuine 45× pair
+        // blowup that reads as an engine cliff but is fixture semantics).
+        // Suffixing EVERY token maps each copy's vocabulary injectively:
+        // within-copy tf/df/shingle structure is isomorphic to the
+        // original (same dedup/IR problem, 10× over), cross-copy shingle
+        // overlap is exactly zero.
         if (off == 0) d
-        else d.withColumn("text", concat(col("text"), lit(s" c$off")))
-          .withColumn("n_chars", col("n_chars") + lit(s" c$off".length))
+        else {
+          val tag = s"c${off / Off}"
+          d.withColumn("text",
+              expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$tag')), ' ')"))
+            .withColumn("n_chars", length(col("text")))
+        }
       },
       "embeddings" -> copies(t("embeddings"), scale) { (df, off) =>
         val d = shiftCols("vec_id")(df, off)
+        // per-copy ISOMETRY: flip each dimension's sign by a deterministic
+        // per-(copy, dim) pattern. Sign flips applied to every vector of a
+        // copy preserve all WITHIN-copy dot products and norms exactly (the
+        // copy is the same ANN problem), while CROSS-copy similarities
+        // decorrelate — so a 10× corpus has 10× independent structure, not
+        // 10-way near-duplicate clusters that would turn bucketed ANN
+        // quadratic and read as an engine cliff
         if (off == 0) d
-        else d.withColumn("embedding",
-          concat(array((col("embedding").getItem(0) +
-              lit((off / Off).toDouble * 1e-3)).cast("float")),
-            slice(col("embedding"), 2, 63)))
+        else {
+          val copyIdx = (off / Off).toInt
+          d.withColumn("embedding",
+            expr(s"transform(embedding, (x, i) -> CAST(CASE WHEN " +
+              s"pmod(hash(i * 97 + $copyIdx), 2) = 0 THEN x ELSE -x END AS FLOAT))"))
+        }
       }
     )
     scaled.foreach { case (name, df) =>

@@ -300,7 +300,7 @@ object Profiling {
     * Exactness discipline: the five co-moments per pair (n, Σx, Σy, Σx²,
     * Σy², Σxy) are aggregated as EXACT decimals (money cast to
     * decimal(18,2) first — the repo-wide money rule) and exported as
-    * scaled BIGINTs, so the only doubles are the final closed-form r
+    * scaled exact DECIMAL(38,4)s, so the only doubles are the final closed-form r
     * computed from identical integer inputs through an identical IEEE
     * expression tree on both engines — every *, −, /, sqrt is
     * correctly-rounded and therefore bit-identical, and the emitted value
@@ -309,34 +309,37 @@ object Profiling {
     *
     * Scale shape: ONE map-side-combined hash aggregate over one scan
     * computes all nine sums for the three pairs; the per-pair stack runs
-    * on the k-row aggregate. (The ×10⁴ BIGINT export is fixture-scale
-    * honest — a 100 TB run widens the export to decimal(38,4), same
-    * plan.)
+    * on the k-row aggregate. (The export was scaled BIGINT through r10;
+    * the r11 two-scale sweep tripped its overflow fence at 10× data —
+    * Σ(price²)·10⁴ passes int64 around SF-1 — so the decimal(38,4)
+    * spelling the fence pointed to is now the only spelling.)
     */
   def profileCorrelation(spark: SparkSession, dir: String): DataFrame =
     correlationFinish(
       correlationSums(graft.sources.Tables.table(spark, dir, "lineitem")))
 
   /** The nine decimal-exact co-moment sums per return flag, exported as
-    * scaled BIGINTs. Scaling is linear and the sums exact, so these
+    * scaled exact DECIMAL(38,4)s. Scaling is linear and the sums exact, so these
     * partials are MERGEABLE by plain addition — which is what
     * [[graft.streaming.StreamingProfile]] exploits to maintain the
     * profile incrementally over a stream.
     */
   def correlationSums(li: DataFrame): DataFrame = {
     def m(c: String) = col(c).cast("decimal(18,2)")
-    // The scaled export must FAIL LOUDLY on overflow (ADVICE r7): around
-    // sf~1 Σ(price²)·10⁴ exceeds Long.MaxValue and the non-ANSI
-    // decimal→long cast would yield NULL — which downstream getLong turns
-    // into an opaque NPE. Range-assert before the cast; the 100 TB
-    // spelling widens the export to decimal(38,4) instead.
+    // The export is exact DECIMAL(38,4) (r11): the two-scale sweep's 10×
+    // run tripped the previous int64 fence exactly as designed —
+    // Σ(price²)·10⁴ passes Long.MaxValue around SF-1 — so the export now
+    // IS the wide spelling that fence's message named (headroom ~10³⁴,
+    // beyond any 100 TB corpus; the values stay exact integers of the
+    // scaled units, so the partials remain mergeable by plain addition).
+    // Keep ADVICE r7's fail-loudly discipline: a decimal overflow in
+    // non-ANSI mode yields NULL, which this guard turns into an error
+    // instead of an opaque downstream NPE.
     def guarded(c: Column): Column = {
       val wide = c.cast("decimal(38,4)")
-      when(wide.between(Long.MinValue, Long.MaxValue), wide.cast("long"))
-        .otherwise(raise_error(concat(
-          lit("correlationSums: scaled co-moment overflows int64 ("),
-          wide.cast("string"),
-          lit(") — widen the export to decimal(38,4)"))).cast("long"))
+      when(wide.isNotNull, wide).otherwise(
+        raise_error(lit("correlationSums: co-moment overflows decimal(38,4)"))
+          .cast("decimal(38,4)"))
     }
     def e4(c: Column) = guarded(c * 10000)
     def e2(c: Column) = guarded(c * 100)
@@ -377,7 +380,15 @@ object Profiling {
            |  ${corr("p_e2", "d_e2", "pd_e4", "pp_e4", "dd_e4")})
            |AS (pair, sum_x_e2, sum_y_e2, sum_xy_e4, corr_ppm)""".stripMargin)
       .select(col("returnflag"), col("pair"), col("n"),
-        col("sum_x_e2"), col("sum_y_e2"), col("sum_xy_e4"), col("corr_ppm"))
+        // the EXPORTED sums cross the output boundary as doubles: the
+        // decimal(38,4) internal type is the exact/mergeable state, but
+        // decimal stringification differs between engines' dataframe
+        // bridges ('…0000' vs '…0') and the driver's gate hashes strings;
+        // decimal→double is correctly rounded identically on both sides
+        col("sum_x_e2").cast("double").as("sum_x_e2"),
+        col("sum_y_e2").cast("double").as("sum_y_e2"),
+        col("sum_xy_e4").cast("double").as("sum_xy_e4"),
+        col("corr_ppm"))
       .orderBy(col("returnflag"), col("pair"))
   }
 
@@ -385,27 +396,35 @@ object Profiling {
     * same double expression tree.
     */
   val correlationOracleSql: String = {
+    // every sum→double conversion goes through HUGEINT: DuckDB's wide
+    // DECIMAL→DOUBLE divides in floating point and is not correctly
+    // rounded, while the sums are integral in scaled units — HUGEINT is
+    // exact and its DOUBLE cast matches Spark's BigDecimal.doubleValue
+    def d(x: String) = s"CAST(CAST($x AS HUGEINT) AS DOUBLE)"
     def corr(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
-      s"""CAST(floor((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
-         | - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
-         | / (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
-         |         - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
-         |    * sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
-         |           - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))
+      s"""CAST(floor((CAST(n AS DOUBLE) * ${d(sxy)}
+         | - ${d(sx)} * ${d(sy)})
+         | / (sqrt(CAST(n AS DOUBLE) * ${d(sxx)}
+         |         - ${d(sx)} * ${d(sx)})
+         |    * sqrt(CAST(n AS DOUBLE) * ${d(syy)}
+         |           - ${d(sy)} * ${d(sy)}))
          | * 1000000.0) AS BIGINT)""".stripMargin.replaceAll("\n", " ")
     s"""WITH s AS (
        |  SELECT l_returnflag AS returnflag, count(*) AS n,
-       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS q_e2,
-       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS p_e2,
-       |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS d_e2,
-       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS qq_e4,
-       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS pp_e4,
-       |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS dd_e4,
-       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS qp_e4,
-       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS qd_e4,
-       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS pd_e4
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS DECIMAL(38,4)) AS q_e2,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,4)) AS p_e2,
+       |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS DECIMAL(38,4)) AS d_e2,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,4)) AS qq_e4,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,4)) AS pp_e4,
+       |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,4)) AS dd_e4,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,4)) AS qp_e4,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,4)) AS qd_e4,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,4)) AS pd_e4
        |  FROM lineitem GROUP BY 1)
-       |SELECT returnflag, pair, n, sum_x_e2, sum_y_e2, sum_xy_e4, corr_ppm FROM (
+       |SELECT returnflag, pair, n,
+       |       CAST(CAST(sum_x_e2 AS HUGEINT) AS DOUBLE) AS sum_x_e2,
+       |       CAST(CAST(sum_y_e2 AS HUGEINT) AS DOUBLE) AS sum_y_e2,
+       |       CAST(CAST(sum_xy_e4 AS HUGEINT) AS DOUBLE) AS sum_xy_e4, corr_ppm FROM (
        |  SELECT returnflag, n, 'quantity_x_extendedprice' AS pair,
        |         q_e2 AS sum_x_e2, p_e2 AS sum_y_e2, qp_e4 AS sum_xy_e4,
        |         ${corr("q_e2", "p_e2", "qp_e4", "qq_e4", "pp_e4")} AS corr_ppm FROM s

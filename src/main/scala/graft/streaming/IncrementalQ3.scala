@@ -62,17 +62,42 @@ object IncrementalQ3 {
     */
   final case class State(c: DataFrame, o: DataFrame, l: DataFrame,
                          co: DataFrame,
-                         aggs: Vector[(Seq[String], DataFrame)],
+                         aggsRaw: Vector[(Seq[String], DataFrame)],
                          dirty: Int = 0,
                          spillHistory: List[Long] = Nil,
-                         spillMeta: Option[SpillMeta] = None) {
+                         spillMeta: Option[SpillMeta] = None,
+                         aggDepth: Int = 0) {
+    /** The maintained aggregates, one per grain, CONSOLIDATED on read.
+      * Internally (`aggsRaw`) each grain is a chain of per-batch delta
+      * partials — consolidating only at compaction and at emission is
+      * what makes a non-compacting batch fully DELTA-sized (the per-batch
+      * full-aggregate merge was the last O(state) step each batch paid).
+      * Consolidation is an associative re-grouping, so the view equals
+      * the eagerly-merged aggregate exactly (sum over partials ≡ sum over
+      * rows; a net-cnt-0 group carries exactly-0 revenue by the changelog
+      * invariant, so dropping it at any consolidation point is sound).
+      */
+    def aggs: Vector[(Seq[String], DataFrame)] =
+      aggsRaw.map { case (keys, df) => keys -> consolidateAgg(keys, df) }
     /** The primary grain's aggregate (what [[topN]] emits). */
     def agg: DataFrame = aggs.head._2
-    def all: Seq[DataFrame] = Seq(c, o, l, co) ++ aggs.map(_._2)
+    /** Raw frames, aligned with [[names]] — what gets pinned/persisted. */
+    def all: Seq[DataFrame] = Seq(c, o, l, co) ++ aggsRaw.map(_._2)
     /** Spill state names, aligned with [[all]]: base states + one per grain. */
     def names: Seq[String] = Seq("c", "o", "l", "co") ++
-      aggs.indices.map(aggName)
+      aggsRaw.indices.map(aggName)
   }
+
+  /** Merge a chain of aggregate partials at `keys` grain: sum the
+    * additive measures per group, drop groups whose membership count
+    * nets to zero, restore the z-set weight column.
+    */
+  private[streaming] def consolidateAgg(keys: Seq[String], df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col("revenue")).cast(revType).as("revenue"),
+        sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .withColumn(ZSet.W, lit(1L))
 
   private[streaming] def aggName(i: Int): String = s"agg$i"
 
@@ -214,7 +239,7 @@ object IncrementalQ3 {
       "revenue" -> DataType.fromDDL(revType)),
     co = empty(spark, "o_orderkey" -> LongType, "o_orderdate" -> DateType,
       "o_orderpriority" -> StringType),
-    aggs = grains.toVector.map(keys => keys -> emptyAgg(spark, keys)))
+    aggsRaw = grains.toVector.map(keys => keys -> emptyAgg(spark, keys)))
 
   /** Q3's pushed-down filters + projections on the delta, mirroring the
     * reference's pre-join filter placement (no_websocket.java:192–201) and
@@ -244,7 +269,7 @@ object IncrementalQ3 {
     */
   def step(st: State, lines: DataFrame,
            spillDir: Option[String] = spillRoot): State = {
-    val grains = st.aggs.map(_._1)
+    val grains = st.aggsRaw.map(_._1)
     // ONE pass over the raw text: parse into a cached tagged z-set, then
     // derive the three relation deltas from the cached blocks. (Checkpointing
     // the deltas individually instead would re-run the line parse once per
@@ -272,31 +297,36 @@ object IncrementalQ3 {
     val dJ = if (grains.size > 1) dJ0.localCheckpoint(eager = false) else dJ0
 
     val strict = java.lang.Boolean.getBoolean("graft.strict")
-    val newAggs: Vector[DataFrame] = st.aggs.map { case (keys, agg) =>
-      val dAgg = dJ
-        .groupBy(keys.map(col): _*)
+    // Per grain, ONLY the delta aggregate is computed per batch — partials
+    // at the grain, weights folded into the additive measures. The state
+    // is a CHAIN of these (consolidated at compaction and on read via
+    // State.aggs), so a non-compacting batch's aggregate work is
+    // delta-sized — the per-batch full-aggregate merge was the last
+    // O(state) step every batch paid (r11). Each partial is checkpointed:
+    // it is the one link holding this batch's contribution, and later
+    // consolidations must hit cached blocks, never re-run the delta joins.
+    val dAggs: Vector[DataFrame] = st.aggsRaw.map { case (keys, agg) =>
+      dJ.groupBy(keys.map(col): _*)
         .agg(sum(col(ZSet.W) * col("revenue")).cast(revType).as("revenue"),
           sum(col(ZSet.W)).as("cnt"))
-      val merged0 = agg.unionByName(
-          dAgg.withColumn(ZSet.W, lit(1L)).select(agg.columns.toIndexedSeq.map(col): _*))
-        .groupBy(keys.map(col): _*)
-        .agg(sum(col("revenue")).cast(revType).as("revenue"), sum(col("cnt")).as("cnt"))
-      // checkpoint under strict mode so the invariant count and the new agg
-      // share one computation of the merge instead of running it twice
-      val merged = if (strict) merged0.localCheckpoint(eager = false) else merged0
-      // A well-formed changelog's deletes mirror their inserts exactly, so a
-      // group whose membership count reaches 0 must also have revenue exactly
-      // 0 — dropping it is then pure compaction. Strict mode (tests:
-      // -Dgraft.strict=true) checks the invariant loudly instead of silently
-      // discarding a residue left by a malformed stream (ADVICE r1).
-      if (strict) {
-        val bad = merged.filter(col("cnt") === 0 && col("revenue") =!= 0).count()
-        require(bad == 0,
-          s"malformed changelog: $bad zero-count groups carry nonzero revenue")
-      }
-      merged
-        .filter(col("cnt") =!= 0)
         .withColumn(ZSet.W, lit(1L))
+        .select(agg.columns.toIndexedSeq.map(col): _*)
+        .localCheckpoint(eager = false)
+    }
+    // A well-formed changelog's deletes mirror their inserts exactly, so a
+    // group whose membership count reaches 0 must also have revenue exactly
+    // 0 — dropping it at a consolidation point is then pure compaction.
+    // Strict mode (tests: -Dgraft.strict=true) re-derives the invariant on
+    // the full merge EVERY batch, loudly, instead of silently discarding a
+    // residue left by a malformed stream (ADVICE r1) — test-only cost.
+    if (strict) st.aggsRaw.zip(dAggs).foreach { case ((keys, agg), dAgg) =>
+      val merged = agg.unionByName(dAgg)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("revenue")).cast(revType).as("revenue"),
+          sum(col("cnt")).as("cnt"))
+      val bad = merged.filter(col("cnt") === 0 && col("revenue") =!= 0).count()
+      require(bad == 0,
+        s"malformed changelog: $bad zero-count groups carry nonzero revenue")
     }
 
     // State upkeep, cheapest-sufficient form per state and batch:
@@ -378,58 +408,52 @@ object IncrementalQ3 {
 
     /** Spill `name` at `version`: incremental (dirty buckets only, clean
       * ones carried forward) when the previous version is known and the
-      * batch left any bucket untouched; full rewrite otherwise.
+      * batch left any bucket untouched; full rewrite otherwise. `cons` is
+      * the state's consolidator — [[ZSet.consolidate]] for the base
+      * z-sets, the grain's additive [[consolidateAgg]] for aggregates;
+      * both are sound on a bucket-restricted subset because a row's
+      * duplicates/partials can only live in its own key's bucket.
       */
     def spill(root: String, name: String, key: String,
-              fullRows: => DataFrame, delta: => DataFrame): DataFrame = {
+              cons: DataFrame => DataFrame,
+              state: DataFrame, delta: DataFrame): DataFrame = {
       val dirty = dirtySince(name)
       st.spillMeta match {
         case Some(meta) if meta.root == root && dirty.size < bucketN =>
           val prev = spillFmt.readBuckets(spark, root, meta.version, name,
-            fullRows.schema, dirty)
-          val rows = ZSet.consolidate(
+            state.schema, dirty)
+          val rows = cons(
             (prev +: pendingSince(name)).reduce(_ unionByName _)
               .unionByName(delta))
           spillFmt.write(spark, root, version.get, name, key, rows,
             carry = Some((meta.version, dirty)))
         case _ =>
           spillFmt.write(spark, root, version.get, name, key,
-            fullRows, carry = None)
+            cons(state.unionByName(delta)), carry = None)
       }
     }
 
-    def upkeep(name: String, state: DataFrame, delta: DataFrame): DataFrame =
+    // The agg chains consolidate on their OWN cadence (every CompactEvery
+    // batches, deletes or not): unlike the base z-sets — whose insert-only
+    // unions are free — an unconsolidated agg chain grows the EMISSION
+    // plan per batch, so a long-running insert-only live query would pay
+    // ever-deeper union plans at every topN. Depth-capping bounds both
+    // the plan and the per-emission scan at CompactEvery partials.
+    val aggCompact = compact || st.aggDepth + 1 >= CompactEvery
+
+    def upkeepWith(name: String, key: String, cons: DataFrame => DataFrame,
+                   state: DataFrame, delta: DataFrame,
+                   consolidateNow: Boolean): DataFrame =
       spillTo match {
-        case Some(root) =>
-          spill(root, name, spillKey(name, grains),
-            fullRows = ZSet.consolidate(state.unionByName(delta)), delta = delta)
-        case None if compact =>
-          ZSet.consolidate(state.unionByName(delta)).localCheckpoint(eager = false)
+        case Some(root) => spill(root, name, key, cons, state, delta)
+        case None if consolidateNow =>
+          cons(state.unionByName(delta)).localCheckpoint(eager = false)
         case None => state.unionByName(delta)
       }
 
-    // The agg states are consolidated EVERY batch (they drive emission), so
-    // the incremental spill input is the new agg RESTRICTED to its dirty
-    // buckets — groups in untouched buckets are value-identical to the
-    // previous version's (no ΔAgg reached them since the last spill) and
-    // carry forward as links.
-    def upkeepAgg(i: Int, keys: Seq[String], newAgg: DataFrame): DataFrame =
-      spillTo match {
-        case Some(root) =>
-          val name = aggName(i)
-          val dirty = dirtySince(name)
-          st.spillMeta match {
-            case Some(meta) if meta.root == root && dirty.size < bucketN =>
-              spillFmt.write(spark, root, version.get, name, keys.head,
-                newAgg.filter(bucketExpr(keys.head)
-                  .isin(dirty.toSeq.map(Integer.valueOf): _*)),
-                carry = Some((meta.version, dirty)))
-            case _ =>
-              spillFmt.write(spark, root, version.get, name, keys.head,
-                newAgg, carry = None)
-          }
-        case None => newAgg.localCheckpoint(eager = false)
-      }
+    def upkeep(name: String, state: DataFrame, delta: DataFrame): DataFrame =
+      upkeepWith(name, spillKey(name, grains), ZSet.consolidate, state, delta,
+        consolidateNow = compact)
 
     val history = version.map(_ :: st.spillHistory).getOrElse(st.spillHistory)
     val nextMeta: Option[SpillMeta] = (spillTo, version) match {
@@ -438,8 +462,10 @@ object IncrementalQ3 {
         Some(SpillMeta(root, v, Map.empty, Map.empty))
       case _ => st.spillMeta match {
         case Some(meta) if spillDir.contains(meta.root) =>
-          // accumulate this batch's buckets + delta references
-          val deltas = Map("c" -> dC, "o" -> dO, "l" -> dL, "co" -> dCO)
+          // accumulate this batch's buckets + delta references (the agg
+          // grains' pendings are their per-batch delta PARTIALS)
+          val deltas = Map("c" -> dC, "o" -> dO, "l" -> dL, "co" -> dCO) ++
+            dAggs.zipWithIndex.map { case (d, i) => aggName(i) -> d }
           Some(meta.copy(
             dirty = (st.names.map(n => n -> dirtySince(n))).toMap,
             pending = deltas.map { case (n, d) =>
@@ -454,13 +480,16 @@ object IncrementalQ3 {
       o = upkeep("o", st.o, dO),
       l = upkeep("l", st.l, dL),
       co = upkeep("co", st.co, dCO),
-      aggs = st.aggs.zip(newAggs).zipWithIndex.map {
-        case (((keys, _), newAgg), i) => keys -> upkeepAgg(i, keys, newAgg)
+      aggsRaw = st.aggsRaw.zip(dAggs).zipWithIndex.map {
+        case (((keys, raw), dAgg), i) =>
+          keys -> upkeepWith(aggName(i), keys.head,
+            consolidateAgg(keys, _), raw, dAgg, consolidateNow = aggCompact)
       },
       dirty = if (compact) 0
         else if (countsTowardCompaction) st.dirty + 1 else st.dirty,
       spillHistory = history.take(2),
-      spillMeta = nextMeta)
+      spillMeta = nextMeta,
+      aggDepth = if (spillTo.nonEmpty || aggCompact) 0 else st.aggDepth + 1)
     // everything older than the previous spill is now unreachable (carried-
     // forward files survive as hard links under the newer versions)
     spillTo.foreach(root => history.drop(2).foreach(dropSpill(spark, root, _)))
@@ -469,17 +498,26 @@ object IncrementalQ3 {
     // not the sum). On a non-compacting batch c/o/l/co are plain unions
     // over already-pinned delta blocks: counting them each batch re-scans
     // the whole accumulated state for nothing (O(k²) cached-block scans
-    // over a k-batch fold); only the new agg checkpoints need jobs.
+    // over a k-batch fold); only the new DELTA-sized agg partials need
+    // jobs. With several grains, pin the shared ΔJ serially FIRST —
+    // concurrent partial pins racing over an unmaterialized dJ would each
+    // recompute the delta joins (the same no-shared-in-flight-computation
+    // rule as the parse/delta layers above).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    if (grains.size > 1 && spillTo.isEmpty) dJ.count()
     val wantSizes = java.lang.Boolean.getBoolean("graft.ivm.sizes")
     // a spill batch already materialized every state as its table write —
     // nothing to pin unless the sizes diagnostic wants the counts
     val toPin =
       if (spillTo.nonEmpty) (if (wantSizes) next.all else Seq.empty)
       else if (compact || wantSizes) next.all
-      else next.aggs.map(_._2)
+      else if (aggCompact) next.aggsRaw.map(_._2) // agg-only consolidation
+      else dAggs // the only frames this batch newly checkpointed: the
+                 // delta-sized partials (the chain's older links are
+                 // already pinned; counting the whole chain per batch
+                 // would be the O(k²) trap the comment above names)
     val sizes = Await.result(
       Future.sequence(toPin.map(df => Future { df.count() })), Duration.Inf)
     // the sizes diagnostic (z-set rows incl. not-yet-compacted ± pairs,

@@ -33,12 +33,12 @@ object Snapshots {
     * rewrite (correct, just not incremental once), then tracking resumes.
     */
   def save(st: IncrementalQ3.State, dir: String): Unit = {
-    val parts = baseParts ++ st.aggs.indices.map(IncrementalQ3.aggName)
+    val parts = baseParts ++ st.aggsRaw.indices.map(IncrementalQ3.aggName)
     parts.zip(st.all).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$name")
     }
     Files.write(Paths.get(s"$dir/grains"),
-      st.aggs.map(_._1.mkString(",")).mkString("\n")
+      st.aggsRaw.map(_._1.mkString(",")).mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(s"$dir/dirty"),
       st.dirty.toString.getBytes(StandardCharsets.UTF_8))
@@ -76,7 +76,7 @@ object Snapshots {
       else new String(Files.readAllBytes(histFile), StandardCharsets.UTF_8)
         .split(",").toList.flatMap(_.trim.toLongOption)
     IncrementalQ3.State(c, o, l, co,
-      aggs = grains.zip(aggDirs).map { case (keys, d) => (keys: Seq[String]) -> part(d) }.toVector,
+      aggsRaw = grains.zip(aggDirs).map { case (keys, d) => (keys: Seq[String]) -> part(d) }.toVector,
       dirty = new String(Files.readAllBytes(Paths.get(s"$dir/dirty")),
         StandardCharsets.UTF_8).trim.toInt,
       spillHistory = history)

@@ -104,8 +104,12 @@ object SocketIngest {
       .start()
     try {
       // the application-side termination decision: all expected events
-      // arrived (sum of counts — batching-invariant), or a hard timeout
-      val deadline = System.nanoTime() + 180L * 1000000000L
+      // arrived (sum of counts — batching-invariant), or a hard timeout.
+      // The timeout scales with the stream: the socket transport drains
+      // at trigger cadence (~5–12K events/s observed), so a fixed 180 s
+      // works at sf0.1 (153K events) but times out a 10× sweep mid-drain
+      val deadline = System.nanoTime() +
+        (180L + expected / 5000L) * 1000000000L
       while (consumed.get() < expected && q.isActive &&
              System.nanoTime() < deadline) Thread.sleep(50)
       require(consumed.get() == expected,

@@ -445,9 +445,11 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("correlation profile: co-moments reconcile and r is within [-1, 1]") {
+    // the internal sums are exact decimal(38,4) since r11; the OUTPUT
+    // crosses the boundary as correctly-rounded doubles
     val rows = Profiling.profileCorrelation(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
     assert(rows.nonEmpty && rows.length % 3 == 0)
     rows.foreach { case (_, pair, nn, _, _, _, ppm) =>
       assert(nn > 0)
@@ -464,25 +466,35 @@ class AnalyticsOpsSpec extends SparkSpec {
         BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
         BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
         BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
-    def corrPpm(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long, syy: Long): Long =
-      math.floor((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble)
-        / (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
-          * math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    def corrPpm(n: Long, sx: Double, sy: Double, sxy: Double,
+                sxx: Double, syy: Double): Long =
+      math.floor((n.toDouble * sxy - sx * sy)
+        / (math.sqrt(n.toDouble * sxx - sx * sx)
+          * math.sqrt(n.toDouble * syy - sy * sy))
         * 1000000.0).toLong
     li.groupBy(_._1).foreach { case (flag, g) =>
       val n = g.length.toLong
       def e2(f: ((String, BigDecimal, BigDecimal, BigDecimal)) => BigDecimal) =
-        (g.map(f).sum * 100).toLongExact
+        (g.map(f).sum * 100).setScale(4)
       def e4(f: ((String, BigDecimal, BigDecimal, BigDecimal)) => BigDecimal) =
-        (g.map(f).sum * 10000).toLongExact
+        (g.map(f).sum * 10000).setScale(4)
       val (q, p, d) = (e2(_._2), e2(_._3), e2(_._4))
       val qq = e4(t => t._2 * t._2); val pp = e4(t => t._3 * t._3)
       val dd = e4(t => t._4 * t._4); val qp2 = e4(t => t._2 * t._3)
       val qd = e4(t => t._2 * t._4); val pd = e4(t => t._3 * t._4)
+      // the closed form casts the exact decimal sums to double — replicate
+      // with the identical correctly-rounded conversion
+      def cp(sx: BigDecimal, sy: BigDecimal, sxy: BigDecimal,
+             sxx: BigDecimal, syy: BigDecimal): Long =
+        corrPpm(n, sx.toDouble, sy.toDouble, sxy.toDouble,
+          sxx.toDouble, syy.toDouble)
       val want = Map(
-        "quantity_x_extendedprice" -> (q, p, qp2, corrPpm(n, q, p, qp2, qq, pp)),
-        "quantity_x_discount" -> (q, d, qd, corrPpm(n, q, d, qd, qq, dd)),
-        "extendedprice_x_discount" -> (p, d, pd, corrPpm(n, p, d, pd, pp, dd)))
+        "quantity_x_extendedprice" -> (q.toDouble, p.toDouble, qp2.toDouble,
+          cp(q, p, qp2, qq, pp)),
+        "quantity_x_discount" -> (q.toDouble, d.toDouble, qd.toDouble,
+          cp(q, d, qd, qq, dd)),
+        "extendedprice_x_discount" -> (p.toDouble, d.toDouble, pd.toDouble,
+          cp(p, d, pd, pp, dd)))
       rows.filter(_._1 == flag).foreach { case (_, pair, nn, sx, sy, sxy, ppm) =>
         val (wx, wy, wxy, wppm) = want(pair)
         assert(nn == n && sx == wx && sy == wy && sxy == wxy && ppm == wppm,
@@ -518,18 +530,33 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   test("correlation export overflow fails loudly, never NULLs (ADVICE r7 pin)") {
     import spark.implicits._
-    // Σ(price²)·10⁴ > Long.MaxValue but well inside decimal(38,4): the
-    // GUARD must fire (not the decimal cast) — price 9.99e9 ⇒ p²·10⁴ ≈
-    // 4e24 ≫ 9.2e18, ≪ 10³⁴
-    val big = Seq.fill(4)(("A", 1.0, 9.99e9, 0.05)).toDF(
+    // The r11 export is decimal(38,4) (the r10 int64 fence tripped at the
+    // two-scale sweep's 10× data, as designed, and the widening it named
+    // landed) — the loud-failure pin moves with it: Σ(price²)·10⁴ past
+    // ~10³⁴ would NULL under non-ANSI decimal overflow, and the guard
+    // must turn that into the named error. price 9.99e15 (max for
+    // decimal(18,2)) ⇒ Σp² ≈ 4e32, ·10⁴ ≈ 4e36 ≫ 10³⁴.
+    val big = Seq.fill(4)(("A", 1.0, 9.99e15, 0.05)).toDF(
       "l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
     val e = intercept[Exception] {
       Profiling.correlationSums(big).collect()
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("overflows int64")),
-      s"must raise the named overflow error, got: ${messages(e).mkString(" | ")}")
+    // two loud paths, both acceptable: under ANSI (Spark 4's default) the
+    // decimal multiply itself throws NUMERIC_VALUE_OUT_OF_RANGE before the
+    // guard evaluates; under non-ANSI the overflow NULLs and the guard
+    // raises the named error. What is PINNED is that neither mode can
+    // silently emit NULL sums.
+    assert(messages(e).exists(m => m.contains("overflows decimal(38,4)") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+        m.contains("cannot be represented as Decimal(38, 4)")),
+      s"must raise a loud overflow error, got: ${messages(e).mkString(" | ")}")
+    // and the REAL sf-1 magnitude that used to trip the int64 fence now
+    // just works: Σ(price²)·10⁴ ≈ 4e24 sits comfortably inside the export
+    val sf1ish = Seq.fill(4)(("A", 1.0, 9.99e9, 0.05)).toDF(
+      "l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+    assert(Profiling.correlationSums(sf1ish).collect().length == 1)
   }
 
   test("winsorize: fences bound the mean, clip counts stay in the 1% tails") {
