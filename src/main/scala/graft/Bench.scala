@@ -139,20 +139,21 @@ object Bench {
       } => n
     }.toSeq.sorted
     var correctiveRounds = 0
-    // None until a corrective pass actually runs — a record claiming
-    // "corrective: true" with zero corrective passes read quieter than
-    // known (ADVICE r10); None also absorbs an unknown loadavg
-    var quietCorrective: Option[Boolean] = None
+    // Per-pass quiet values, reduced at the end: null (None) until a
+    // corrective pass actually runs (ADVICE r10 — zero passes must not
+    // claim quiet), and ANY pass with an unreadable loadavg makes the
+    // whole answer unknown (ADVICE r11 — a known value must never absorb
+    // an unknown one; the record must never read quieter than known).
+    val quietPasses = scala.collection.mutable.ArrayBuffer.empty[Option[Boolean]]
     while (correctiveRounds < 2 && discordant.nonEmpty) {
-      val q = awaitQuiet(s"corrective pass ${correctiveRounds + 1}", 240)
-      quietCorrective = (quietCorrective, q) match {
-        case (None, v) => v
-        case (v, None) => v
-        case (Some(a), Some(b)) => Some(a && b)
-      }
+      quietPasses += awaitQuiet(s"corrective pass ${correctiveRounds + 1}", 240)
       discordant.foreach { n => meas = meas.updated(n, meas(n) :+ remeasure(n)) }
       correctiveRounds += 1
     }
+    val quietCorrective: Option[Boolean] =
+      if (quietPasses.isEmpty) None
+      else if (quietPasses.exists(_.isEmpty)) None
+      else Some(quietPasses.forall(_.contains(true)))
     val loadEnd = loadavg
     // the headline per-query number is the min over measurements: the best
     // available estimate of code cost on this host; every raw measurement

@@ -129,28 +129,40 @@ object ReplayServer {
     } finally { try sock.close() catch { case _: Throwable => () } }
   }
 
-  /** One client fetch of [from, to) — shared by the partition reader and
-    * specs (re-fetching a range twice MUST return identical lines).
+  /** One client fetch of [from, to) — an Iterator that ALSO exposes
+    * `close()`: the partition reader must be able to release the socket on
+    * task cancellation (a kill mid-range would otherwise leak the client
+    * socket and leave a server worker blocked writing to it — ADVICE r11),
+    * not only at natural exhaustion.
     */
-  def fetch(host: String, port: Int, from: Long, to: Long): Iterator[String] = {
-    val sock = new Socket(host, port)
-    val out = sock.getOutputStream
-    out.write(s"RANGE $from $to\n".getBytes(StandardCharsets.UTF_8))
-    out.flush()
-    val in = new BufferedReader(new InputStreamReader(
-      sock.getInputStream, StandardCharsets.UTF_8))
-    new Iterator[String] {
-      private var nextLine = in.readLine()
-      override def hasNext: Boolean = {
-        val has = nextLine != null
-        if (!has) { try sock.close() catch { case _: Throwable => () } }
-        has
-      }
-      override def next(): String = {
-        val l = nextLine; nextLine = in.readLine(); l
-      }
+  final class Fetch(host: String, port: Int, from: Long, to: Long)
+      extends Iterator[String] with AutoCloseable {
+    private val sock = new Socket(host, port)
+    private val in = {
+      val out = sock.getOutputStream
+      out.write(s"RANGE $from $to\n".getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      new BufferedReader(new InputStreamReader(
+        sock.getInputStream, StandardCharsets.UTF_8))
     }
+    private var nextLine = in.readLine()
+    override def hasNext: Boolean = {
+      val has = nextLine != null
+      if (!has) close()
+      has
+    }
+    override def next(): String = {
+      val l = nextLine; nextLine = in.readLine(); l
+    }
+    override def close(): Unit =
+      try sock.close() catch { case _: Throwable => () }
   }
+
+  /** Shared by the partition reader and specs (re-fetching a range twice
+    * MUST return identical lines).
+    */
+  def fetch(host: String, port: Int, from: Long, to: Long): Fetch =
+    new Fetch(host, port, from, to)
 
   def count(host: String, port: Int): Long = {
     val sock = new Socket(host, port)
@@ -283,7 +295,10 @@ class ReplayReaderFactory extends PartitionReaderFactory {
           false
         }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      // a cancelled/early-terminated task (the deliberate mid-stream kill
+      // in replayExactlyOnce) must release its socket, or the server-side
+      // worker stays blocked writing to it (ADVICE r11)
+      override def close(): Unit = it.close()
     }
   }
 }

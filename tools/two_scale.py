@@ -20,7 +20,14 @@ for name in sorted(qb):
         continue
     ta, tb = qa[name], qb[name]
     if ta is None or tb is None or ta < 0 or tb < 0:
-        rows.append((float("inf"), name, ta, tb, "FAILED" if (tb or -1) < 0 else ""))
+        # normalize missing timings to a sentinel so the formatted print
+        # below never sees None; FAILED means the sfx run itself errored
+        # (negative timing) -- a legitimate 0.0 timing is not a failure
+        failed = tb is not None and tb < 0
+        rows.append((float("inf"), name,
+                     -1.0 if ta is None else ta,
+                     -1.0 if tb is None else tb,
+                     "FAILED" if failed else ""))
         continue
     # sub-second sf0.1 queries are dominated by fixed plan/jit overhead;
     # ratio against max(ta, 1s) avoids flagging 0.2s -> 2.5s as a cliff
