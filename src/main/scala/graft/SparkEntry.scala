@@ -73,14 +73,24 @@ object SparkEntry {
     // exactly-once over the REPLAYABLE transport: DSv2 offset source,
     // killed mid-stream and resumed from its checkpoint
     "stream_replay_exactly_once" -> (streaming.ReplayIngest.replayExactlyOnce _),
+    // the full production composition: replay transport → spilled IVM fold
+    // → mid-stream kill → snapshot resume → converged Q3 ≡ batch oracle
+    "stream_q3_replay_resume" -> (streaming.ReplayIngest.q3ReplayResume _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
     "stream_q3_spilled" -> (streaming.StreamQueries.q3SpilledCycle _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
+    // third grain on the SAME shared fold — fact-sized (per order date),
+    // the shape the per-grain dirty-bucket probe exists for
+    "stream_agg_orderdate" -> (streaming.StreamQueries.orderdateRevenueConverged _),
     // event-time watermarking over the changelog: late deletes dropped
     // and ACCOUNTED, on-time prefix ≡ the batch answer
     "stream_q3_event_time" -> (streaming.StreamQueries.q3EventTime _),
+    // the SAME semantics served by the LIVE engine path: readStream over
+    // arrival-ordered files, watermark split + drop accounting resumable
+    // across a kill (EventTimeLiveSpec) — identical oracle
+    "stream_q3_event_time_live" -> (streaming.StreamingEventTime.q3EventTimeLive _),
     "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
     "agg_cm_frequencies" -> (operators.Sketches.cmFrequencyBound _),
     "stream_cm_frequencies" -> ((s, d) => streaming.StreamingCm.streamCmFrequencies(s, d)),
@@ -128,6 +138,9 @@ object SparkEntry {
     // the NON-full-recall regime, oracle-gated: a deliberately weak
     // md5-seeded family whose recall histogram DuckDB reproduces exactly
     "ann_lsh_recall" -> (Similarity.annLshRecall _),
+    // the second approximate family gated as approximate: IVF at
+    // nprobe < exact cover, data-derived quantizer DuckDB regenerates
+    "ann_ivf_recall" -> (Similarity.annIvfRecall _),
     "ann_mmr" -> (Similarity.annMmr _),
     // --- multimodal plumbing ---
     "multimodal_ingest" -> (Multimodal.ingestMeta _),
@@ -293,6 +306,38 @@ object SparkEntry {
         |  AND len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  // Event-time Q3 (shared by the batch-simulated and LIVE paths): the
+  // watermark before the deliberately-late batch is nL, lineitem's event
+  // time is its all-columns rank, so late ≡ deferred ∧ rank < nL and the
+  // answer is Q3 over the complement with the dropped count on every row.
+  private val q3EventTimeOracle: String =
+    """WITH
+      |  nn AS (SELECT (SELECT count(*) FROM lineitem) AS nl),
+      |  li AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_partkey,
+      |             l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+      |             l_discount, l_tax, l_returnflag, l_linestatus,
+      |             l_shipdate) AS rk
+      |         FROM lineitem),
+      |  lat AS (SELECT count(*) AS dl FROM li, nn
+      |          WHERE l_orderkey % 10 = 3 AND rk < nl),
+      |  liv AS (SELECT li.* FROM li, nn
+      |          WHERE NOT (l_orderkey % 10 = 3 AND rk < nl))
+      |SELECT l_orderkey,
+      |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+      |       o_orderpriority,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       (SELECT dl FROM lat) AS dropped_late
+      |FROM customer, orders, liv
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+      |LIMIT 20""".stripMargin
 
   // top-20 recomputed straight from documents (tf, df >= 5, bm25 idf,
   // per-term round6 then exact-decimal sum) - shared by the in-flight
@@ -585,6 +630,24 @@ object SparkEntry {
         |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
         |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
         |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
+    // the killed-and-resumed replay-fed IVM fold must converge to the SAME
+    // batch Q3 top-20: a lost batch loses revenue, a double-applied one
+    // doubles it — the oracle match IS the end-to-end exactly-once proof
+    "stream_q3_replay_resume" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
     "stream_q3_converged" ->
       """SELECT l_orderkey,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
@@ -605,33 +668,9 @@ object SparkEntry {
     // lineitem's event time is its all-columns rank, so the dropped set is
     // exactly {l_orderkey % 10 = 3 ∧ rank < nL} and the answer is Q3 over
     // the complement, with the dropped count carried on every row.
-    "stream_q3_event_time" ->
-      """WITH
-        |  nn AS (SELECT (SELECT count(*) FROM lineitem) AS nl),
-        |  li AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_partkey,
-        |             l_suppkey, l_linenumber, l_quantity, l_extendedprice,
-        |             l_discount, l_tax, l_returnflag, l_linestatus,
-        |             l_shipdate) AS rk
-        |         FROM lineitem),
-        |  lat AS (SELECT count(*) AS dl FROM li, nn
-        |          WHERE l_orderkey % 10 = 3 AND rk < nl),
-        |  liv AS (SELECT li.* FROM li, nn
-        |          WHERE NOT (l_orderkey % 10 = 3 AND rk < nl))
-        |SELECT l_orderkey,
-        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
-        |       o_orderpriority,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |       (SELECT dl FROM lat) AS dropped_late
-        |FROM customer, orders, liv
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND c_custkey = o_custkey
-        |  AND l_orderkey = o_orderkey
-        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
-        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
-        |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
-        |LIMIT 20""".stripMargin,
+    "stream_q3_event_time" -> q3EventTimeOracle,
+    // the live engine path must land the identical answer — same oracle
+    "stream_q3_event_time_live" -> q3EventTimeOracle,
     // The mid-stream state, reconstructed in SQL from the generator's
     // closed-form trigger arithmetic: at prefix boundary T = ceil(4·nL/3)
     // (end of batch 2 of 3, capacity = nL) every insert has fired and the
@@ -700,6 +739,21 @@ object SparkEntry {
         |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // fact-sized grain (per order date) off the same fold; n_items is the
+    // maintained membership count (sum of z-set weights at the grain)
+    "stream_agg_orderdate" ->
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // non-invertible aggregates under retraction: converged insert-only
     // support = the whole orders table, so extrema equal the batch ones
     "stream_agg_extrema" ->
@@ -1082,6 +1136,54 @@ object SparkEntry {
         |  SELECT e.query_id, count(a.neighbor_id) AS hits
         |  FROM ex e LEFT JOIN ap a
         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  GROUP BY e.query_id)
+        |SELECT CAST(hits AS INTEGER) AS hits, count(*) AS n_queries
+        |FROM hit GROUP BY hits ORDER BY hits""".stripMargin,
+    // IVF recall<1 gate: the quantizer is DATA-derived (centroid j = the
+    // vector at vec_id 7j+3), so DuckDB regenerates it from the same
+    // table, replays assign → probe-2 → exact-rerank with the identical
+    // argmax-cosine tie rule (cc DESC, cell ASC), and must land on the
+    // identical per-query recall histogram.
+    "ann_ivf_recall" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |c AS (SELECT CAST((vec_id - 3) // 7 AS INTEGER) AS cell, e AS ce, nrm AS cn
+        |      FROM n WHERE vec_id >= 3 AND vec_id < 3 + 7 * ${Similarity.IvfRecallCells}
+        |        AND (vec_id - 3) % 7 = 0),
+        |cc AS (SELECT n.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+        |           / (n.nrm * c.cn) AS cc
+        |       FROM n, c),
+        |a AS (SELECT vec_id, cell FROM (
+        |        SELECT vec_id, cell,
+        |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+        |        FROM cc) t WHERE rn = 1),
+        |p AS (SELECT vec_id AS query_id, cell FROM (
+        |        SELECT vec_id, cell,
+        |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+        |        FROM cc WHERE vec_id < ${Similarity.NumQueries}) t
+        |      WHERE rn <= ${Similarity.IvfRecallProbes}),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |         FROM p JOIN a USING (cell) WHERE a.vec_id != p.query_id),
+        |scored AS (SELECT cand.query_id, cand.neighbor_id,
+        |         list_sum(list_transform(list_zip(q.e, b.e), x -> x[1]*x[2]))
+        |           / (q.nrm * b.nrm) AS cs
+        |       FROM cand JOIN n q ON q.vec_id = cand.query_id
+        |                 JOIN n b ON b.vec_id = cand.neighbor_id),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |         FROM scored) t WHERE rnk <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |                  list_sum(list_transform(list_zip(q.e, b.e), x -> x[1]*x[2]))
+        |                    / (q.nrm * b.nrm) DESC, b.vec_id) AS rnk
+        |         FROM n q JOIN n b ON b.vec_id != q.vec_id
+        |         WHERE q.vec_id < ${Similarity.NumQueries}) t WHERE rnk <= 5),
+        |hit AS (
+        |  SELECT e.query_id, count(a2.neighbor_id) AS hits
+        |  FROM ex e LEFT JOIN ap a2
+        |    ON a2.query_id = e.query_id AND a2.neighbor_id = e.neighbor_id
         |  GROUP BY e.query_id)
         |SELECT CAST(hits AS INTEGER) AS hits, count(*) AS n_queries
         |FROM hit GROUP BY hits ORDER BY hits""".stripMargin,

@@ -319,7 +319,9 @@ object Dedup {
   //   > 10 M      4       65 536         3
   //
   // -Dgraft.simhash.chunks overrides the derivation at every size.
-  private lazy val ChunksOverride: Option[Int] = sys.props.get("graft.simhash.chunks").map { s =>
+  // A def, not a lazy val: the property is read per derivation, so a
+  // test/run can set and clear it without poisoning later derivations.
+  private def ChunksOverride: Option[Int] = sys.props.get("graft.simhash.chunks").map { s =>
     val c = s.toInt
     // ≥2: one 64-bit chunk would need mask -1L ((1L<<64)-1 wraps to 0 and
     // would collapse every band to bucket 0 = a full cross product), and
@@ -328,7 +330,7 @@ object Dedup {
       s"graft.simhash.chunks must be in 2..32 and divide 64, got $c")
     c
   }
-  private[operators] def simhashChunks(nDocs: Long): Int =
+  private[graft] def simhashChunks(nDocs: Long): Int =
     ChunksOverride.getOrElse(
       if (nDocs <= 100000L) 16 else if (nDocs <= 10000000L) 8 else 4)
 
@@ -351,8 +353,15 @@ object Dedup {
     * exact-verified — same output contract as the Jaccard paths. The
     * chunk count derives from corpus size (see [[simhashChunks]]).
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).localCheckpoint()
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsDocs(shingled(spark, dir).localCheckpoint())
+      .orderBy("doc_a", "doc_b")
+
+  /** The frame-parametric core of [[dedupSimhash]] — shared with
+    * [[graft.SimhashBench]], whose ≥100K-doc corpora exercise the
+    * NARROWED chunk regime the fixture gate never reaches.
+    */
+  private[graft] def simhashPairsDocs(sh: DataFrame): DataFrame = {
     val sig = simhashSignatures(sh).localCheckpoint()
     val nChunks = simhashChunks(sig.count())
     val chunkBits = SimBits / nChunks
@@ -373,7 +382,7 @@ object Dedup {
         expr("bit_count(siga ^ sigb)") <= maxHamming)
       .select("doc_a", "doc_b")
       .distinct()
-    verifyCandidates(cand, sh, SimhashJaccardThreshold).orderBy("doc_a", "doc_b")
+    verifyCandidates(cand, sh, SimhashJaccardThreshold)
   }
 
   /** Exact cosine ≥ threshold on a given pair set `(doc_a, doc_b)` — the

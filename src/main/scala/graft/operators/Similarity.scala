@@ -493,6 +493,17 @@ object Similarity {
     val approx = topK(cand.select(col("query_id"), col("neighbor_id"),
       (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
     val exact = bruteForceOn(v)
+    gatedRecallHistogram(approx, exact, "ann_lsh_recall")
+  }
+
+  /** Per-query recall histogram `(hits ∈ 0..K, n_queries)` of `approx`
+    * against `exact`, with the loud regime guard shared by the two
+    * approximate-family gates: total recall must land in [0.5, 1) — a
+    * fixture drift to full recall would silently stop testing the
+    * approximate path, so that is a failure, not a pass.
+    */
+  private def gatedRecallHistogram(approx: DataFrame, exact: DataFrame,
+                                   what: String): DataFrame = {
     val matched = exact.select("query_id", "neighbor_id")
       .join(approx.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"))
@@ -506,11 +517,70 @@ object Similarity {
       sum(col("hits").cast("long") * col("n_queries")).as("h"),
       sum(col("n_queries")).as("n")).head()
     val recall = stats.getLong(0).toDouble / (K * stats.getLong(1))
-    require(recall < 1.0 && recall >= 0.5, f"ann_lsh_recall regime drifted " +
+    require(recall < 1.0 && recall >= 0.5, f"$what regime drifted " +
       f"out of its approximate band: recall@$K = $recall%.4f must be in " +
       "[0.5, 1) — below, the family is too weak to be useful; at 1.0 the " +
       "query stops exercising the non-full-recall path it exists to gate")
     hist
+  }
+
+  /** The reduced-probe IVF regime for [[annIvfRecall]] — deterministic in
+    * BOTH engines: centroids are DATA vectors (`vec_id = 7j + 3`, j <
+    * cells), so DuckDB regenerates the identical quantizer from the same
+    * table, and assignment/probing are pure argmax-cosine with ties to
+    * the smaller cell id. No triangle-inequality phase 2 — nprobe is the
+    * budget, recall < 1 is the point.
+    */
+  private[graft] val IvfRecallCells = 8
+  private[graft] val IvfRecallProbes = 3
+  private[graft] def ivfRecallCentroidId(j: Int): Int = 7 * j + 3
+
+  /** `ann_ivf_recall` — the SECOND approximate family gated as
+    * approximate (r11 verdict item 5; `ann_lsh_recall` covers LSH): IVF
+    * with nprobe deliberately below exact cover. Each vector is assigned
+    * to its max-cosine centroid; a query scores ONLY its
+    * [[IvfRecallProbes]] nearest cells' members, exact-reranked — the
+    * regime a billion-vector user tunes, where the contract is the recall
+    * histogram, not equality. Oracle-checkable because the quantizer is
+    * data-derived (see [[ivfRecallCentroidId]]) and both engines compute
+    * bit-identical left-fold double cosines.
+    */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    val v = vectors(spark, dir).localCheckpoint()
+    val cents = v.filter(col("vec_id")
+        .isin((0 until IvfRecallCells).map(j => ivfRecallCentroidId(j).toLong): _*))
+      .select(((col("vec_id") - 3) / 7).cast("int").as("cell"),
+        col("e").as("ce"), col("nrm").as("cn"))
+    // (vector, cell) cosine table — corpus × broadcast centroids, the
+    // only all-cells product (IvfRecallCells rows per vector)
+    val cellCos = v.join(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("cc"))
+      .localCheckpoint(eager = false)
+    // assignment: argmax cosine (tie → smallest cell), via the bounded heap
+    val assigned = graft.plans.TopKPerGroup.topKPerGroup(
+      cellCos, Seq("vec_id"), Seq(("cc", true), ("cell", false)), 1)
+      .select(col("vec_id"), col("cell"))
+    // probe schedule: the nprobe best cells per query — BELOW exact cover
+    val probes = graft.plans.TopKPerGroup.topKPerGroup(
+      cellCos.filter(col("vec_id") < NumQueries), Seq("vec_id"),
+      Seq(("cc", true), ("cell", false)), IvfRecallProbes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // candidates ids-only (a vector lives in exactly ONE cell and probe
+    // cells are distinct per query — pairs are unique without a dedup)
+    val candIds = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val cand = candIds
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          col("e").as("qe"), col("nrm").as("qn"))), "query_id")
+    val approx = topK(cand.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c")))
+    gatedRecallHistogram(approx, bruteForceOn(v), "ann_ivf_recall")
   }
 
   /** Delta-vs-base LSH top-K — the primitive [[graft.streaming

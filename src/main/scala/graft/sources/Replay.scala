@@ -21,9 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * is [[graft.streaming.SocketIngest]]'s plain socket).
   *
   * [[ReplayServer]] is the broker stand-in: it stages the ordered event
-  * stream once (driver-side, partition-bounded via `toLocalIterator`) and
-  * serves ARBITRARY OFFSET RANGES over TCP, any number of times — the
-  * replayability contract a broker provides and a bare socket cannot.
+  * stream (driver-side, partition-bounded via `toLocalIterator` — all up
+  * front in [[ReplayServer.serve]], or ARRIVAL-DRIVEN in
+  * [[ReplayServer.serveGrowing]], where the published count grows while
+  * consumers run) and serves ARBITRARY OFFSET RANGES over TCP, any number
+  * of times — the replayability contract a broker provides and a bare
+  * socket cannot.
   *
   * [[ReplayProvider]] is a full DataSource V2 `MicroBatchStream` over that
   * protocol (the Spark-first upgrade of the reference's `SourceFunction`
@@ -51,10 +54,29 @@ object ReplayServer {
     }
   }
 
-  /** Stage `lines` (one string column, already ordered) and serve them.
+  /** The staged stream a worker serves from: the byte-offset index plus
+    * the PUBLISHED event count. For the fully-staged server the count is
+    * fixed at construction; the growing server appends to the index and
+    * advances `published` as chunks arrive — workers only ever serve up
+    * to the published watermark, so a reader never sees a torn tail.
+    */
+  private final class StageState(initialIndex: Seq[Long], initialN: Int) {
+    private val index = scala.collection.mutable.ArrayBuffer[Long](initialIndex: _*)
+    @volatile private var publishedN: Int = initialN
+    def published: Int = publishedN
+    def append(offset: Long): Unit = synchronized { index += offset }
+    def publishAll(): Unit = synchronized { publishedN = index.length - 1 }
+    /** Byte offsets of events [a, b] — only valid for a,b ≤ published. */
+    def offsets(a: Int, b: Int): (Long, Long) = synchronized {
+      (index(a), index(b))
+    }
+  }
+
+  /** Stage `lines` (one string column, already ordered) fully up front and
+    * serve them.
     *
     * Protocol, one request line per connection:
-    *  - `COUNT`            → one line: the total number of events
+    *  - `COUNT`            → one line: the number of events published SO FAR
     *  - `RANGE <from> <to>` → events [from, to) as lines, then EOF
     *
     * The staging is a local text file plus an in-memory byte-offset index
@@ -78,13 +100,62 @@ object ReplayServer {
       }
     } finally out.close()
     val n = index.length - 1
-    val idx = index.toArray
+    listen(staged, new StageState(index.toSeq, n), n.toLong)
+  }
+
+  /** ARRIVAL-DRIVEN variant (r11 verdict item 6): the stream's end does
+    * not exist when the server starts. A producer thread stages the
+    * ordered events in `chunks` installments, `intervalMs` apart,
+    * publishing the count watermark after each flush — so a consumer's
+    * COUNT polls observe a GROWING stream and a kill can land while the
+    * tail is still being produced. `expected` on the handle is the final
+    * total (the test contract needs it); the protocol itself never
+    * reveals it early.
+    */
+  def serveGrowing(lines: DataFrame, chunks: Int = 32,
+                   intervalMs: Long = 150L): Handle = {
+    val expected = lines.count()
+    val staged = Files.createTempFile("graft-replay-grow", ".txt")
+    val st = new StageState(Seq(0L), 0)
+    val h = listen(staged, st, expected)
+    val chunkSize = math.max(1L, expected / math.max(1, chunks))
+    val producer = new Thread(() => {
+      val out = Files.newOutputStream(staged)
+      try {
+        var pos = 0L
+        var inChunk = 0L
+        val it = lines.toLocalIterator()
+        while (it.hasNext && !h.server.isClosed) {
+          val b = (it.next().getString(0) + "\n").getBytes(StandardCharsets.UTF_8)
+          out.write(b)
+          pos += b.length
+          st.append(pos)
+          inChunk += 1
+          if (inChunk >= chunkSize) {
+            out.flush() // bytes durable BEFORE the watermark moves
+            st.publishAll()
+            inChunk = 0
+            Thread.sleep(intervalMs)
+          }
+        }
+        out.flush()
+        st.publishAll()
+      } catch { case _: Throwable => () /* server closed mid-production */
+      } finally { try out.close() catch { case _: Throwable => () } }
+    }, "graft-replay-producer")
+    producer.setDaemon(true)
+    producer.start()
+    h
+  }
+
+  private def listen(staged: java.nio.file.Path, st: StageState,
+                     expected: Long): Handle = {
     val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
     val acceptor = new Thread(() => {
       try {
         while (!server.isClosed) {
           val sock = server.accept()
-          val worker = new Thread(() => handle(sock, staged, idx, n),
+          val worker = new Thread(() => handle(sock, staged, st),
             "graft-replay-worker")
           worker.setDaemon(true)
           worker.start()
@@ -93,16 +164,17 @@ object ReplayServer {
     }, "graft-replay-acceptor")
     acceptor.setDaemon(true)
     acceptor.start()
-    Handle(server.getLocalPort, n.toLong, server, staged)
+    Handle(server.getLocalPort, expected, server, staged)
   }
 
   private def handle(sock: Socket, staged: java.nio.file.Path,
-                     idx: Array[Long], n: Int): Unit = {
+                     st: StageState): Unit = {
     try {
       val in = new BufferedReader(new InputStreamReader(
         sock.getInputStream, StandardCharsets.UTF_8))
       val req = Option(in.readLine()).getOrElse("")
       val out = sock.getOutputStream
+      val n = st.published // one watermark read per request
       req.split("\\s+").toSeq match {
         case Seq("COUNT") =>
           out.write(s"$n\n".getBytes(StandardCharsets.UTF_8))
@@ -110,11 +182,12 @@ object ReplayServer {
           val a = math.max(0L, from.toLong).min(n.toLong).toInt
           val b = math.max(a.toLong, to.toLong).min(n.toLong).toInt
           if (b > a) {
+            val (offA, offB) = st.offsets(a, b)
             val raf = new RandomAccessFile(staged.toFile, "r")
             try {
-              raf.seek(idx(a))
+              raf.seek(offA)
               val buf = new Array[Byte](8192)
-              var remaining = idx(b) - idx(a)
+              var remaining = offB - offA
               while (remaining > 0) {
                 val got = raf.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
                 if (got < 0) remaining = 0
@@ -226,10 +299,12 @@ class ReplayScan(host: String, port: Int, batchSize: Long, splits: Int)
 class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  // the total is the server's COUNT — cached: this harness's server is
-  // fully staged up front (an arrival-driven server would grow it, and
-  // this would poll instead)
-  private lazy val total: Long = ReplayServer.count(host, port)
+  // the server's COUNT is POLLED per admission decision, never cached:
+  // against an arrival-driven server ([[ReplayServer.serveGrowing]]) the
+  // published watermark grows while the query runs, and a cached total
+  // would freeze the stream at whatever had arrived by the first trigger.
+  // One localhost round-trip per trigger — the price of a live tail.
+  private def total: Long = ReplayServer.count(host, port)
 
   override def initialOffset(): Offset = ReplayOffset(0L)
 

@@ -149,7 +149,11 @@ object IncrementalQ3 {
     sys.props.get("graft.ivm.spill.dir").map(_.trim)
       .filter(d => d.nonEmpty && d != "off")
 
-  private def spillFmt: SpillFormat = BucketedParquetSpill
+  // property-selected implementation of the storage seam (`graft.ivm.
+  // spill.format`): bucketed parquet + hard links by default, the
+  // manifest/GC MERGE shape as the transactional-format stand-in — both
+  // pinned by the shared SpillFormatContractSpec
+  private def spillFmt: SpillFormat = SpillFormat.active
 
   // Version allocation is PER ROOT and seeded from whatever v<N> dirs
   // already exist there — a resumed process (Snapshots restores
@@ -349,20 +353,21 @@ object IncrementalQ3 {
     //      before the cache fills) — measured 233K → 145K events/s at k=8;
     val hasDeletes = parsed.filter(col(ZSet.W) < 0).count() > 0
     val spark = lines.sparkSession
-    val bucketN = BucketedParquetSpill.buckets
+    val bucketN = spillFmt.buckets
     def bucketExpr(key: String) = pmod(hash(col(key)), lit(bucketN)).cast("int")
     //   2. the three relation deltas, in ONE action over the cached parse.
     //      Under spill that action IS the dirty-bucket probe — the same
     //      full scan that pins the delta blocks also returns which state
     //      buckets this batch touches;
     //   3. the first delta join (both branches of ΔJ and the co upkeep
-    //      read it) — likewise doubling as the co/agg bucket probe.
-    // The agg grains' buckets are a SUPERSET probe: ΔAgg's keys come from
-    // ΔJ = ΔCO⋈L ∪ ΔCO⋈ΔL ∪ CO⋈ΔL, so for the Q3-family grains (leading
-    // key l_orderkey) buckets(ΔAgg) ⊆ buckets(ΔCO.o_orderkey) ∪
-    // buckets(ΔL.l_orderkey) — no extra delta-join run. Grains with any
-    // other leading key are marked all-dirty (full agg rewrite — those
-    // grains are dimension-sized, e.g. 5 priorities, so nothing is lost).
+    //      read it) — likewise doubling as the co bucket probe.
+    // Each agg grain gets its OWN exact probe over its delta PARTIAL
+    // (r11 verdict item 4 — the old shortcut marked non-`l_orderkey`
+    // grains all-dirty, silently degrading a fact-sized grain to O(state)
+    // agg rewrites every compaction): only groups ΔAgg touches can change
+    // at the merge, so buckets(ΔAgg.leadingKey) is exact for ANY grain.
+    // The probe is the partial's pin action — the per-batch dAgg jobs
+    // below then hit the cached blocks, so no plan runs twice.
     val batchBuckets: Map[String, Set[Int]] =
       if (spillDir.isEmpty) {
         dC.select(col(ZSet.W)).unionByName(dO.select(col(ZSet.W)))
@@ -370,7 +375,6 @@ object IncrementalQ3 {
         dCO.count()
         Map.empty
       } else {
-        val all = (0 until bucketN).toSet
         val deltaProbe = dC.select(lit("c").as("s"), bucketExpr("c_custkey").as("b"))
           .unionByName(dO.select(lit("o").as("s"), bucketExpr("o_custkey").as("b")))
           .unionByName(dL.select(lit("l").as("s"), bucketExpr("l_orderkey").as("b")))
@@ -379,9 +383,8 @@ object IncrementalQ3 {
         val coBuckets = dCO.select(bucketExpr("o_orderkey").as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val aggBuckets = grains.indices.map { i =>
-          aggName(i) -> (if (grains(i).head == "l_orderkey")
-            deltaProbe.getOrElse("l", Set.empty) ++ coBuckets
-          else all)
+          aggName(i) -> dAggs(i).select(bucketExpr(grains(i).head).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
         }
         (deltaProbe ++ Map("co" -> coBuckets) ++ aggBuckets)
           .withDefaultValue(Set.empty[Int])

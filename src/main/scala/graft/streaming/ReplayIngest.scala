@@ -63,7 +63,14 @@ object ReplayIngest {
   def replayExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
     val ordered = Changelog.generate(spark, dir)
       .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
-    val handle = ReplayServer.serve(ordered)
+    // ARRIVAL-DRIVEN since r12: the stream's end does not exist when the
+    // query starts — the producer stages chunks over ~5 s while the query
+    // consumes, so admission decisions poll a GROWING count and the
+    // phase-A kill lands while the tail is still being produced (pinned
+    // below). Production deliberately paces SLOWER than the consumer
+    // drains: consumption then tracks the watermark, which is what makes
+    // the mid-production kill deterministic rather than a host-speed race.
+    val handle = ReplayServer.serveGrowing(ordered)
     val work = Files.createTempDirectory("graft-replay-q").toString
     val stateFile = s"$work/totals"
     try {
@@ -106,7 +113,12 @@ object ReplayIngest {
       def totalSeen(): Long = load(stateFile).totals.values.sum
       def awaitTotal(target: Long, q: org.apache.spark.sql.streaming.StreamingQuery,
                      what: String): Unit = {
-        val deadline = System.nanoTime() + 180L * 1000000000L
+        // scaled with the drain like SocketIngest's deadline (ADVICE r11):
+        // the replay transport drains faster than the socket one (parallel
+        // range fetches), but a 10× SF-N sweep on a slow host must still
+        // fit — 180 s base + 1 s per 20K events
+        val deadline = System.nanoTime() +
+          (180L + target / 20000L) * 1000000000L
         while (totalSeen() < target && q.isActive &&
                System.nanoTime() < deadline) Thread.sleep(25)
         require(totalSeen() >= target,
@@ -115,7 +127,16 @@ object ReplayIngest {
       }
       // phase A: ingest ~a third, then KILL the query mid-stream
       val qa = startQuery()
-      try awaitTotal(expected / 3, qa, "phase A") finally qa.stop()
+      try {
+        awaitTotal(expected / 3, qa, "phase A")
+        // capture the producer's watermark BEFORE the stop (stop itself
+        // takes time): the kill must land while the tail is still being
+        // produced, or the growing-stream behavior went unexercised
+        val stagedAtKill = ReplayServer.count("127.0.0.1", handle.port)
+        require(stagedAtKill < expected,
+          "the producer finished before the kill — the arrival-driven " +
+            s"path went unexercised ($stagedAtKill of $expected staged)")
+      } finally qa.stop()
       val afterKill = totalSeen()
       require(afterKill < expected,
         "the kill must land mid-stream or the resume proves nothing " +
@@ -133,6 +154,148 @@ object ReplayIngest {
         .orderBy("relation", "action")
     } finally {
       handle.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // --- the full production composition: replay → IVM fold → kill → resume
+
+  /** Atomic per-query progress file `(lastCountedBatchId, cumulativeEvents)`
+    * — the kill trigger and the drain monitor for [[q3ReplayResume]].
+    * Counted with the same exactly-once discipline as the fold (skip by
+    * batch id), but on its OWN id watermark: a crash between the state
+    * snapshot flip and this counter's write re-delivers a batch the FOLD
+    * skips while the COUNTER still takes it — each side exactly once.
+    */
+  private def loadProgress(path: String): (Long, Long) =
+    if (!Files.exists(Paths.get(path))) (-1L, 0L)
+    else {
+      val Array(id, cum) = new String(Files.readAllBytes(Paths.get(path)),
+        StandardCharsets.UTF_8).trim.split("\\|")
+      (id.toLong, cum.toLong)
+    }
+
+  private def saveProgress(path: String, id: Long, cum: Long): Unit = {
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, s"$id|$cum".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** `stream_q3_replay_resume` — EXACTLY-ONCE Q3 IVM OVER THE REPLAY
+    * TRANSPORT, the full production pipeline run as ONE composition (r11
+    * verdict item 1; every piece existed, they had never run together):
+    *
+    *  - transport: [[graft.sources.ReplayProvider]], the offset-tracking
+    *    DSv2 source over the replay server (checkpointed offsets = event
+    *    sequence numbers the server re-serves on demand);
+    *  - fold: [[IncrementalQ3.step]] per micro-batch, WITH the bucketed-
+    *    table state spill engaged (the bounded-memory path — compaction
+    *    MERGEs into spill tables mid-stream, exactly like
+    *    `stream_q3_spilled`);
+    *  - recovery: [[StreamingQ3]]'s snapshot-skip discipline — the state
+    *    is durably snapshotted with its batch id BEFORE Spark commits the
+    *    batch's offsets ([[Snapshots.saveBatch]]), and a re-delivered
+    *    batch is skipped by id;
+    *  - the KILL: phase A is stopped mid-stream (several batches folded,
+    *    several unread, possibly one in flight); phase B restarts from
+    *    checkpoint + snapshot and drains to the end.
+    *
+    * The insert-only changelog makes the converged answer the batch Q3
+    * top-20 — bit-equal to the DuckDB oracle (`stream_q3_converged`'s
+    * SQL): a lost batch loses revenue, a double-applied one doubles it,
+    * so the oracle match IS the exactly-once proof over the full fold,
+    * not just the counts grain ([[replayExactlyOnce]]).
+    */
+  def q3ReplayResume(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = Changelog.generate(spark, dir, insertOnly = true)
+      .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
+    val handle = ReplayServer.serve(ordered)
+    val work = Files.createTempDirectory("graft-replay-q3").toString
+    val snapDir = s"$work/snap"
+    val spillRoot = s"$work/spill"
+    val progressFile = s"$work/progress"
+    try {
+      val expected = handle.expected
+      require(expected > 0, "empty changelog — nothing to replay")
+      // ≥ 6 paced batches: the kill lands mid-stream AND the spill path
+      // compacts at least once before the end (CompactEvery = 4)
+      val batchSize = math.max(1L, expected / 6)
+      def startQuery() = {
+        // the StreamingQ3.start resume protocol, replay-sourced: load the
+        // latest consistent snapshot, skip re-delivered batch ids
+        val resumed = Snapshots.loadLatest(spark, snapDir)
+        var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
+        var expectedBatch = resumed.fold(0L)(_._2 + 1)
+        spark.readStream
+          .format(classOf[ReplayProvider].getName)
+          .option("host", "127.0.0.1").option("port", handle.port.toString)
+          .option("batchSize", batchSize.toString)
+          .option("splits", "4")
+          .load()
+          .writeStream
+          .queryName(s"graft_replay_q3_${handle.port}")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (id >= expectedBatch) {
+              require(id == expectedBatch,
+                s"batch $id delivered but IVM state is at $expectedBatch — " +
+                  "a gap would corrupt the aggregate")
+              state = IncrementalQ3.step(state, batch,
+                spillDir = Some(spillRoot))
+              // snapshot flip BEFORE the offset commit: a crash after this
+              // point re-delivers `id`, which the guard above then skips
+              Snapshots.saveBatch(state, snapDir, id)
+              expectedBatch = id + 1
+            } // else: already folded into the loaded snapshot — skipped
+            // drain/kill monitor, exactly-once on its own id watermark
+            // (the replay source re-delivers the identical range, so the
+            // re-count equals the original)
+            val (lastCounted, cum) = loadProgress(progressFile)
+            if (id > lastCounted)
+              saveProgress(progressFile, id, cum + batch.count())
+          }
+          .start()
+      }
+      def seen(): Long = loadProgress(progressFile)._2
+      def await(target: Long, q: org.apache.spark.sql.streaming.StreamingQuery,
+                what: String): Unit = {
+        val deadline = System.nanoTime() +
+          (180L + target / 20000L) * 1000000000L
+        while (seen() < target && q.isActive &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        require(seen() >= target,
+          s"$what: saw ${seen()} of $target events before timeout " +
+            s"(query active: ${q.isActive})")
+      }
+      // phase A: fold ~a third, then KILL mid-stream
+      val qa = startQuery()
+      try await(expected / 3, qa, "phase A") finally qa.stop()
+      val afterKill = seen()
+      require(afterKill < expected,
+        "the kill must land mid-stream or the resume proves nothing " +
+          s"(saw $afterKill of $expected before restart)")
+      // phase B: restart from checkpoint + snapshot, drain to the end
+      val qb = startQuery()
+      try await(expected, qb, "phase B (post-resume)") finally qb.stop()
+      require(seen() == expected,
+        s"exactly-once violated at the transport: ${seen()} != $expected")
+      val fin = Snapshots.loadLatest(spark, snapDir)
+        .getOrElse(sys.error("no snapshot after drain")) ._1
+      require(fin.spillHistory.nonEmpty,
+        "stream_q3_replay_resume: the fold never spilled — the bounded-" +
+          "memory path went unexercised")
+      val top = IncrementalQ3.topN(fin)
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+      val rows = top.collect().toIndexedSeq // materialize BEFORE dropping tables
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, top.schema)
+    } finally {
+      handle.close()
+      IncrementalQ3.cleanupSpillRoot(spark, spillRoot)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }

@@ -14,6 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 trait SpillFormat {
 
+  /** Buckets per state table — shared across implementations so the
+    * algebra's dirty-bucket probe (`pmod(hash(key), buckets)`) classifies
+    * identically whichever format is active.
+    */
+  def buckets: Int = SpillFormat.buckets
+
   /** Persist `rows` as state `name` at `version` under `root`, bucketed by
     * `key`, and return the frame the state should rebind to.
     *
@@ -42,13 +48,7 @@ trait SpillFormat {
   def drop(spark: SparkSession, root: String, version: Long, name: String): Unit
 }
 
-/** The local implementation: external bucketed-by-join-key parquet tables
-  * (the `join_bucketed` zero-Exchange shape), one directory per
-  * (version, state). Carry-forward hard-links the untouched buckets' files
-  * from the previous version — an O(#files) metadata operation, so a
-  * compaction writes O(dirty buckets), never O(state).
-  */
-object BucketedParquetSpill extends SpillFormat {
+object SpillFormat {
 
   private def intProp(key: String, dflt: Int): Int =
     sys.props.get(key).map { raw =>
@@ -61,6 +61,28 @@ object BucketedParquetSpill extends SpillFormat {
     * delta's distinct keys); locally 32 matches the shuffle width.
     */
   def buckets: Int = intProp("graft.ivm.spill.buckets", 32)
+
+  /** The active implementation, by name — `graft.ivm.spill.format` =
+    * `parquet` (default, [[BucketedParquetSpill]]) or `mergelog`
+    * ([[MergeLogSpill]]). Read per operation; keep it fixed for the life
+    * of a spill root (formats do not read each other's layouts).
+    */
+  def active: SpillFormat =
+    sys.props.getOrElse("graft.ivm.spill.format", "parquet").trim match {
+      case "" | "parquet" => BucketedParquetSpill
+      case "mergelog" => MergeLogSpill
+      case other => sys.error(
+        s"graft.ivm.spill.format must be 'parquet' or 'mergelog', got '$other'")
+    }
+}
+
+/** The local implementation: external bucketed-by-join-key parquet tables
+  * (the `join_bucketed` zero-Exchange shape), one directory per
+  * (version, state). Carry-forward hard-links the untouched buckets' files
+  * from the previous version — an O(#files) metadata operation, so a
+  * compaction writes O(dirty buckets), never O(state).
+  */
+object BucketedParquetSpill extends SpillFormat {
 
   /** Catalog names are root-scoped (versions are per-root, so two roots
     * in one session would otherwise both own a `…_v1`).
@@ -143,5 +165,123 @@ object BucketedParquetSpill extends SpillFormat {
     spark.sql(s"DROP TABLE IF EXISTS ${table(root, name, version)}")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir(root, version, name).toString))
+  }
+}
+
+/** The SECOND [[SpillFormat]] implementation — transactional-MERGE-shaped
+  * (r11 verdict item 3: one implementation proves nothing about the seam).
+  * The layout is the table-format pattern Delta/Iceberg use, reduced to
+  * its essentials:
+  *
+  *  - DATA files are immutable per-bucket parquet under a shared pool
+  *    (`root/pool/<state>/v<writingVersion>/__bucket=<b>/…`) — a file,
+  *    once written, is never modified or renamed;
+  *  - each version's manifest (`root/v<N>/<state>/MANIFEST`) lists
+  *    `bucket|file` entries. A carry-forward compaction writes data files
+  *    ONLY for the dirty buckets and re-points every clean bucket's
+  *    entries at the PREVIOUS version's files — pure metadata, zero data
+  *    I/O (vs. the parquet impl's hard links: same O(dirty) write, one
+  *    fewer filesystem assumption);
+  *  - `drop` is reference-counted GC, the VACUUM shape: a data file is
+  *    deleted only when no surviving manifest of that state references it.
+  */
+object MergeLogSpill extends SpillFormat {
+
+  private def stateDir(root: String, version: Long, name: String): Path =
+    Paths.get(s"$root/v$version/$name")
+
+  private def manifestPath(root: String, version: Long, name: String): Path =
+    stateDir(root, version, name).resolve("MANIFEST")
+
+  private def poolDir(root: String, name: String, version: Long): Path =
+    Paths.get(s"$root/pool/$name/v$version")
+
+  /** Manifest entries `(bucket, rootRelativePath)`; empty for an absent
+    * manifest (an empty state writes no data files).
+    */
+  private def readManifest(root: String, version: Long,
+                           name: String): Seq[(Int, String)] = {
+    val p = manifestPath(root, version, name)
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toIndexedSeq.filter(_.nonEmpty).map { l =>
+        val Array(b, f) = l.split("\\|", 2)
+        b.toInt -> f
+      }
+  }
+
+  private def writeManifest(root: String, version: Long, name: String,
+                            entries: Seq[(Int, String)]): Unit = {
+    Files.createDirectories(stateDir(root, version, name))
+    val tmp = manifestPath(root, version, name).resolveSibling("MANIFEST.tmp")
+    Files.write(tmp, entries.sortBy(_._1)
+      .map { case (b, f) => s"$b|$f" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root, version, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def frameOf(spark: SparkSession,
+                      schema: org.apache.spark.sql.types.StructType,
+                      root: String, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(files.map(f => Paths.get(root).resolve(f).toString): _*)
+
+  override def write(spark: SparkSession, root: String, version: Long,
+                     name: String, key: String, rows: DataFrame,
+                     carry: Option[(Long, Set[Int])]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val pool = poolDir(root, name, version)
+    rows.withColumn("__bucket", pmod(hash(col(key)), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(pool.toString)
+    val fresh: Seq[(Int, String)] = for {
+      bdir <- Option(pool.toFile.listFiles()).getOrElse(Array.empty).toSeq
+      if bdir.getName.startsWith("__bucket=")
+      b = bdir.getName.stripPrefix("__bucket=").toInt
+      f <- Option(bdir.listFiles()).getOrElse(Array.empty).toSeq
+      if !f.getName.startsWith(".") && !f.getName.startsWith("_")
+    } yield b -> Paths.get(root).relativize(f.toPath).toString
+    // the MERGE: dirty buckets from the fresh write, every clean bucket
+    // re-pointed at the previous version's files — metadata only
+    val carried: Seq[(Int, String)] = carry match {
+      case Some((prevVersion, dirty)) =>
+        readManifest(root, prevVersion, name)
+          .filterNot { case (b, _) => dirty.contains(b) }
+      case None => Seq.empty
+    }
+    writeManifest(root, version, name, fresh ++ carried)
+    frameOf(spark, rows.schema, root, (fresh ++ carried).map(_._2))
+  }
+
+  override def readBuckets(spark: SparkSession, root: String, version: Long,
+                           name: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           dirtyBuckets: Set[Int]): DataFrame =
+    frameOf(spark, schema, root,
+      readManifest(root, version, name)
+        .collect { case (b, f) if dirtyBuckets.contains(b) => f })
+
+  override def drop(spark: SparkSession, root: String, version: Long,
+                    name: String): Unit = {
+    // reference-counted GC: files this version references, minus files any
+    // OTHER surviving manifest of the same state still references
+    val mine = readManifest(root, version, name).map(_._2).toSet
+    val survivors = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .flatMap(f => if (f.getName.startsWith("v"))
+        f.getName.stripPrefix("v").toLongOption else None)
+      .filter(_ != version)
+      .flatMap(v => readManifest(root, v, name).map(_._2)).toSet
+    (mine -- survivors).foreach { f =>
+      Files.deleteIfExists(Paths.get(root).resolve(f))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      stateDir(root, version, name).toFile)
   }
 }

@@ -40,6 +40,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(simhash == exactTight, "simhash must have full recall at its 0.9 regime")
   }
 
+  test("simhash chunk regime: switch thresholds pinned, override validated") {
+    // the corpus-size → chunk-count derivation IS the recall/selectivity
+    // contract (radius = chunks − 1, buckets/chunk = 2^(64/chunks)); the
+    // switch points are load-bearing for both the ≤100K full-recall claim
+    // and the ≥100K narrowed regime SimhashBench measures — pin them
+    assert(Dedup.simhashChunks(500L) == 16)
+    assert(Dedup.simhashChunks(100000L) == 16, "the wide band holds THROUGH 100K")
+    assert(Dedup.simhashChunks(100001L) == 8, "the narrowed band engages PAST 100K")
+    assert(Dedup.simhashChunks(10000000L) == 8)
+    assert(Dedup.simhashChunks(10000001L) == 4, "the web-dedup band engages past 10M")
+    // the override wins at every size and rejects non-divisors of 64
+    System.setProperty("graft.simhash.chunks", "8")
+    try assert(Dedup.simhashChunks(500L) == 8)
+    finally System.clearProperty("graft.simhash.chunks")
+  }
+
+  test("simhash narrowed regime: radius-7 subset of the wide answer, exact precision") {
+    // the ≥100K regime exercised AT fixture scale via the override: every
+    // pair it emits must be a true J ≥ 0.9 pair (verification is exact),
+    // and its pair set must be a subset of the wide 16-chunk answer —
+    // recall narrows to the guaranteed radius, precision never moves.
+    // (The 100K+ run with the auto switch is SimhashBench — solo,
+    // tolerated slow; this pins the same semantics cheaply.)
+    val wide = Dedup.dedupSimhash(spark, sfDir).collect().map(_.toSeq).toSet
+    System.setProperty("graft.simhash.chunks", "8")
+    val narrow = try Dedup.dedupSimhash(spark, sfDir).collect().map(_.toSeq).toSet
+    finally System.clearProperty("graft.simhash.chunks")
+    assert(narrow.subsetOf(wide),
+      "the narrowed band may only lose recall past its radius, never " +
+        "emit a pair the exact verification would reject")
+  }
+
   test("dedup: bucketed embedding-cosine equals the all-pairs exact answer") {
     val exact = Dedup.dedupEmbeddingCosineExact(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(exact.nonEmpty, "fixtures should contain cosine near-dups")

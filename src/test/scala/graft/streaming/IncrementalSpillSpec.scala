@@ -32,8 +32,10 @@ class IncrementalSpillSpec extends SparkSpec {
     buf.toSeq
   }
 
+  private lazy val plainTops: Seq[Seq[Seq[Any]]] = tops()
+
   test("spilled fold ≡ in-memory fold at every batch; versions pruned to two") {
-    val plain = tops()
+    val plain = plainTops
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-spill").toString
     System.setProperty("graft.ivm.spill.dir", root)
@@ -47,6 +49,27 @@ class IncrementalSpillSpec extends SparkSpec {
     assert(versions.nonEmpty,
       "interleaved deletes must have compacted — and so spilled — mid-fold")
     assert(versions.length <= 2, s"stale spill versions not pruned: ${versions.toSeq}")
+  }
+
+  test("the mergelog format serves the same fold via the property switch") {
+    // the storage seam's second implementation under the REAL workload:
+    // same fold, same per-batch answers, same two-version pruning — only
+    // `graft.ivm.spill.format` changes (r11 verdict item 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivm-spill-ml").toString
+    System.setProperty("graft.ivm.spill.dir", root)
+    System.setProperty("graft.ivm.spill.format", "mergelog")
+    val spilled = try tops()
+    finally {
+      System.clearProperty("graft.ivm.spill.dir")
+      System.clearProperty("graft.ivm.spill.format")
+    }
+    assert(spilled == plainTops,
+      "the spill format is a storage choice, never a semantic one")
+    val versions = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith("v")).map(_.getName)
+    assert(versions.nonEmpty, "the mergelog fold never spilled")
+    assert(versions.length <= 2, s"stale versions not pruned: ${versions.toSeq}")
   }
 
   test("delta join against a spilled state shuffles only the delta side") {
@@ -185,6 +208,67 @@ class IncrementalSpillSpec extends SparkSpec {
     val a = fin.agg.orderBy("l_orderkey").collect().map(_.toSeq).toSeq
     val b = plainFin.agg.orderBy("l_orderkey").collect().map(_.toSeq).toSeq
     assert(a == b, "dirty-bucket compaction changed the maintained aggregate")
+    IncrementalQ3.cleanupSpillRoot(spark, root)
+  }
+
+  test("per-grain probe: a fact-grain's untouched agg buckets carry forward") {
+    // A SECOND maintained grain whose leading key is NOT l_orderkey —
+    // o_orderdate, the fact-sized shape (r11 verdict item 4: the old
+    // probe marked such grains all-dirty, an O(state) agg rewrite every
+    // compaction). Base batch spreads 40 distinct order dates across the
+    // buckets; the post-compaction churn touches ONE order (hence one
+    // date), so the second compaction must rewrite only that date's agg
+    // bucket and hard-link every other one from the previous version.
+    import spark.implicits._
+    def cu(ck: Long) = s"+CU|$ck|c$ck|0|100.0|BUILDING"
+    def date(k: Long) = java.time.LocalDate.of(1995, 1, 1).plusDays(k).toString
+    def or(ok: Long) = s"+OR|$ok|$ok|O|100.0|${date(ok)}|1-URGENT"
+    def li(ok: Long, sign: String = "+") =
+      s"${sign}LI|$ok|1|1|1|1.0|100.0|0.05|0.02|N|O|1995-06-01"
+    val batches: Seq[Seq[String]] = Seq(
+      (1L to 40L).flatMap(k => Seq(cu(k), or(k), li(k))),           // broad base
+      Seq(li(1)), Seq(li(1)), Seq(li(1)),                           // → compaction 1 (full)
+      Seq(li(2)), Seq(li(2, "-")), Seq(li(2)), Seq(li(2, "-"))      // → compaction 2 (order 2's date only)
+    )
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivm-grain-probe").toString
+    val grains = Seq(IncrementalQ3.DefaultAggKeys, Seq("o_orderdate"))
+    val fin = batches.foldLeft(IncrementalQ3.init(spark, grains)) { (st, ls) =>
+      IncrementalQ3.step(st, ls.toDF("line"), spillDir = Some(root))
+    }
+    assert(fin.spillHistory.length == 2,
+      s"expected two compactions, got history ${fin.spillHistory}")
+    val List(v2, v1) = fin.spillHistory
+    def filesOf(v: Long, name: String): Map[String, java.io.File] =
+      Option(new java.io.File(s"$root/v$v/$name").listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => BucketedParquetSpill.bucketOf(f.getName).map(_ => f.getName -> f))
+        .toMap
+    def sameInode(a: java.io.File, b: java.io.File): Boolean =
+      java.nio.file.Files.isSameFile(a.toPath, b.toPath)
+    val n = BucketedParquetSpill.buckets
+    val touched = Seq(date(2)).toDF("d")
+      .select(pmod(hash(to_date(col("d"))), lit(n)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    val (a1, a2) = (filesOf(v1, "agg1"), filesOf(v2, "agg1"))
+    assert(a1.size > 4, s"fixture bug: fact grain landed in only ${a1.size} buckets")
+    val untouchedV1 = a1.filterNot { case (_, f) =>
+      spark.read.parquet(f.getPath)
+        .select(pmod(hash(col("o_orderdate")), lit(n)).cast("int")).distinct()
+        .collect().map(_.getInt(0)).exists(touched) }
+    assert(untouchedV1.nonEmpty, "fixture bug: every agg1 bucket was touched")
+    untouchedV1.foreach { case (n2, f) =>
+      assert(a2.contains(n2) && sameInode(f, a2(n2)),
+        s"agg1/$n2 holds no churned date but was rewritten — the fact " +
+          "grain degraded to an all-dirty (O(state)) compaction") }
+    // and the maintained fact-grain aggregate is still exactly right:
+    // equals the same batches folded in memory
+    val plainFin = batches.foldLeft(IncrementalQ3.init(spark, grains)) { (st, ls) =>
+      IncrementalQ3.step(st, ls.toDF("line"), spillDir = None)
+    }
+    val a = fin.aggs(1)._2.orderBy("o_orderdate").collect().map(_.toSeq).toSeq
+    val b = plainFin.aggs(1)._2.orderBy("o_orderdate").collect().map(_.toSeq).toSeq
+    assert(a == b, "per-grain probe changed the maintained fact-grain aggregate")
     IncrementalQ3.cleanupSpillRoot(spark, root)
   }
 

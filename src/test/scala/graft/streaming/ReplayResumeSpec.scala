@@ -1,0 +1,27 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Relational
+
+/** The FULL production composition ([[ReplayIngest.q3ReplayResume]]):
+  * replayable DSv2 transport → spilled IVM fold → per-batch snapshot →
+  * mid-stream kill → checkpoint+snapshot resume. The driver's DuckDB gate
+  * asserts the same thing at sf0.01; this pins it inside `sbt test` at
+  * spec scale — the converged top-20 through the kill must equal the
+  * batch Q3 answer exactly (the exactly-once proof over the whole fold).
+  */
+class ReplayResumeSpec extends SparkSpec {
+
+  test("killed-and-resumed replay-fed spilled IVM fold converges to batch Q3") {
+    val resumed = ReplayIngest.q3ReplayResume(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Relational.q3Batch(spark, sfDir)
+      .selectExpr("l_orderkey",
+        "CAST(to_date(o_orderdate) AS STRING) AS o_orderdate",
+        "o_orderpriority", "revenue")
+      .collect().map(_.toSeq).toSeq
+    assert(resumed == batch,
+      "the killed-and-resumed fold must land the exact batch Q3 top-20 — " +
+        "any lost or double-applied batch moves the revenue")
+  }
+}

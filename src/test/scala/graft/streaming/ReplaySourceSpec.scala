@@ -38,6 +38,42 @@ class ReplaySourceSpec extends SparkSpec {
     } finally handle.close()
   }
 
+  test("growing server: the count watermark rises, served ranges stay stable") {
+    import spark.implicits._
+    val lines = (0 until 4000).map(i => f"line_$i%05d").toDF("line")
+    val handle = ReplayServer.serveGrowing(lines, chunks = 8, intervalMs = 120L)
+    try {
+      def cnt() = ReplayServer.count("127.0.0.1", handle.port)
+      // the end must NOT exist at the start: observe a strictly growing
+      // watermark before completion
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var seen = Vector.empty[Long]
+      var midFetch: Option[Vector[String]] = None
+      while ((seen.isEmpty || seen.last < handle.expected) &&
+             System.nanoTime() < deadline) {
+        val c = cnt()
+        if (seen.isEmpty || c != seen.last) seen :+= c
+        // fetch a range WHILE the tail is still being produced
+        if (midFetch.isEmpty && c >= 110 && c < handle.expected)
+          midFetch = Some(
+            ReplayServer.fetch("127.0.0.1", handle.port, 10, 110).toVector)
+        Thread.sleep(15)
+      }
+      assert(seen.last == handle.expected, s"producer never finished: $seen")
+      assert(seen.count(_ < handle.expected) >= 2,
+        s"never observed a growing mid-production watermark: $seen")
+      // a range served MID-production must replay identically AFTER it
+      // (immutability of published events — the broker contract)
+      val truth = (10 until 110).map(i => f"line_$i%05d").toVector
+      assert(midFetch.contains(truth), "mid-production fetch disagreed")
+      val late = ReplayServer.fetch("127.0.0.1", handle.port, 10, 110).toVector
+      assert(late == truth, "post-production re-fetch disagreed")
+      // a RANGE past the watermark clamps to what is published (here: all)
+      assert(ReplayServer.fetch("127.0.0.1", handle.port,
+        handle.expected, handle.expected + 9).isEmpty)
+    } finally handle.close()
+  }
+
   test("offset JSON round-trip") {
     val o = ReplayOffset(123456789L)
     assert(new graft.sources.ReplayStream("h", 1, 10, 2)
