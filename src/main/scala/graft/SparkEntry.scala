@@ -91,6 +91,11 @@ object SparkEntry {
     // arrival-ordered files, watermark split + drop accounting resumable
     // across a kill (EventTimeLiveSpec) — identical oracle
     "stream_q3_event_time_live" -> (streaming.StreamingEventTime.q3EventTimeLive _),
+    // and over the REPLAYABLE GROWING transport with a kill mid-stream,
+    // lateness decided by the boundary-independent PREFIX watermark of
+    // the ordered broker (batch-quantized lateness would be an admission
+    // accident, nondeterministic under a growing broker) — same oracle
+    "stream_q3_event_time_replay" -> (streaming.EventTimeReplay.q3EventTimeReplay _),
     "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
     "agg_cm_frequencies" -> (operators.Sketches.cmFrequencyBound _),
     "stream_cm_frequencies" -> ((s, d) => streaming.StreamingCm.streamCmFrequencies(s, d)),
@@ -671,6 +676,10 @@ object SparkEntry {
     "stream_q3_event_time" -> q3EventTimeOracle,
     // the live engine path must land the identical answer — same oracle
     "stream_q3_event_time_live" -> q3EventTimeOracle,
+    // and the replay-transport path: the prefix watermark of the ordered
+    // broker is a pure function of the stream, so the same oracle gates
+    // it under ANY micro-batch slicing and a mid-stream kill/resume
+    "stream_q3_event_time_replay" -> q3EventTimeOracle,
     // The mid-stream state, reconstructed in SQL from the generator's
     // closed-form trigger arithmetic: at prefix boundary T = ceil(4·nL/3)
     // (end of batch 2 of 3, capacity = nL) every insert has fired and the

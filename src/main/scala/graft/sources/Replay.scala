@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,7 +63,16 @@ object ReplayServer {
   private final class StageState(initialIndex: Seq[Long], initialN: Int) {
     private val index = scala.collection.mutable.ArrayBuffer[Long](initialIndex: _*)
     @volatile private var publishedN: Int = initialN
+    @volatile private var maxServedN: Int = 0
     def published: Int = publishedN
+    /** Highest event index any RANGE request has read past — the consumer
+      * progress watermark the flow-controlled producer paces against.
+      */
+    def maxServed: Int = maxServedN
+    def noteServed(upTo: Int): Unit =
+      if (upTo > maxServedN) synchronized {
+        if (upTo > maxServedN) maxServedN = upTo
+      }
     def append(offset: Long): Unit = synchronized { index += offset }
     def publishAll(): Unit = synchronized { publishedN = index.length - 1 }
     /** Byte offsets of events [a, b] — only valid for a,b ≤ published. */
@@ -110,15 +119,29 @@ object ReplayServer {
     * COUNT polls observe a GROWING stream and a kill can land while the
     * tail is still being produced. `expected` on the handle is the final
     * total (the test contract needs it); the protocol itself never
-    * reveals it early.
+    * reveals it early. `maxAheadChunks > 0` adds backpressure: the
+    * producer stalls whenever the published watermark runs more than that
+    * many chunks past the highest offset any consumer has actually read —
+    * a bounded-buffer producer, which is what turns "the kill lands while
+    * the tail is still being produced" from a host-speed race into a
+    * structural guarantee when the consumer is slow (the Q3 IVM folds).
     */
   def serveGrowing(lines: DataFrame, chunks: Int = 32,
-                   intervalMs: Long = 150L): Handle = {
+                   intervalMs: Long = 150L,
+                   maxAheadChunks: Int = 0): Handle = {
     val expected = lines.count()
     val staged = Files.createTempFile("graft-replay-grow", ".txt")
     val st = new StageState(Seq(0L), 0)
     val h = listen(staged, st, expected)
     val chunkSize = math.max(1L, expected / math.max(1, chunks))
+    // `maxAheadChunks > 0` adds BACKPRESSURE flow control: after each
+    // publish the producer waits until the consumer's read watermark
+    // (highest RANGE end served) is within that many chunks of the
+    // published count. Time pacing alone makes "the kill lands while the
+    // tail is still being produced" a host-speed race when the consumer
+    // is slow (the Q3 IVM fold); pacing by consumption makes it a
+    // structural guarantee — production can never run more than
+    // `maxAheadChunks` chunks past what has actually been read.
     val producer = new Thread(() => {
       val out = Files.newOutputStream(staged)
       try {
@@ -136,6 +159,9 @@ object ReplayServer {
             st.publishAll()
             inChunk = 0
             Thread.sleep(intervalMs)
+            while (maxAheadChunks > 0 && !h.server.isClosed &&
+                   st.published.toLong - st.maxServed > maxAheadChunks * chunkSize)
+              Thread.sleep(10)
           }
         }
         out.flush()
@@ -194,6 +220,7 @@ object ReplayServer {
                 else { out.write(buf, 0, got); remaining -= got }
               }
             } finally raf.close()
+            st.noteServed(b) // consumer progress watermark (flow control)
           }
         case _ => () // unknown request: close with no payload
       }
@@ -255,24 +282,32 @@ final case class ReplayOffset(n: Long) extends Offset {
 
 /** `spark.readStream.format(classOf[ReplayProvider].getName)` with options
   * `host`, `port` (a [[ReplayServer]]), `batchSize` (events admitted per
-  * trigger), `splits` (partitions per batch). Schema: `value STRING`.
+  * trigger), `splits` (partitions per batch). Schema: `value STRING` — or
+  * `(offset LONG, value STRING)` with `includeOffset=true`, the way a real
+  * broker source (Kafka) exposes its per-partition sequence metadata;
+  * prefix-watermark event-time semantics need it
+  * ([[graft.streaming.EventTimeReplay]]).
   */
 class ReplayProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ReplayProvider.schema
+    ReplayProvider.schemaFor(options.getBoolean("includeoffset", false))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new ReplayTable
+    new ReplayTable(schema)
 }
 
 object ReplayProvider {
   val schema: StructType = StructType(Seq(StructField("value", StringType)))
+  def schemaFor(includeOffset: Boolean): StructType =
+    if (includeOffset)
+      StructType(Seq(StructField("offset", LongType), StructField("value", StringType)))
+    else schema
 }
 
-class ReplayTable extends Table with SupportsRead {
+class ReplayTable(tableSchema: StructType) extends Table with SupportsRead {
   override def name(): String = "graft_replay"
-  override def schema(): StructType = ReplayProvider.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -285,18 +320,21 @@ class ReplayTable extends Table with SupportsRead {
     val port = req("port").toInt
     val batchSize = Option(options.get("batchsize")).map(_.toLong).getOrElse(10000L)
     val splits = Option(options.get("splits")).map(_.toInt).getOrElse(4)
-    () => new ReplayScan(host, port, batchSize, splits)
+    val includeOffset = options.getBoolean("includeoffset", false)
+    () => new ReplayScan(host, port, batchSize, splits, includeOffset)
   }
 }
 
-class ReplayScan(host: String, port: Int, batchSize: Long, splits: Int)
+class ReplayScan(host: String, port: Int, batchSize: Long, splits: Int,
+                 includeOffset: Boolean = false)
     extends Scan {
-  override def readSchema(): StructType = ReplayProvider.schema
+  override def readSchema(): StructType = ReplayProvider.schemaFor(includeOffset)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ReplayStream(host, port, batchSize, splits)
+    new ReplayStream(host, port, batchSize, splits, includeOffset)
 }
 
-class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int)
+class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int,
+                   includeOffset: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // the server's COUNT is POLLED per admission decision, never cached:
@@ -340,7 +378,7 @@ class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReplayReaderFactory
+    new ReplayReaderFactory(includeOffset)
 
   override def commit(end: Offset): Unit = () // the server retains all —
                                               // replayability IS the point
@@ -350,7 +388,8 @@ class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int)
 final case class ReplayRange(host: String, port: Int, from: Long, to: Long)
     extends InputPartition
 
-class ReplayReaderFactory extends PartitionReaderFactory {
+class ReplayReaderFactory(includeOffset: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ReplayRange(host, port, from, to) = partition: @unchecked
     new PartitionReader[InternalRow] {
@@ -359,7 +398,10 @@ class ReplayReaderFactory extends PartitionReaderFactory {
       private var served = 0L
       override def next(): Boolean =
         if (it.hasNext) {
-          row = InternalRow(UTF8String.fromString(it.next()))
+          val line = UTF8String.fromString(it.next())
+          // the event's sequence number: range start + position within it
+          row = if (includeOffset) InternalRow(from + served, line)
+                else InternalRow(line)
           served += 1
           true
         } else {

@@ -188,7 +188,11 @@ object ReplayIngest {
     *
     *  - transport: [[graft.sources.ReplayProvider]], the offset-tracking
     *    DSv2 source over the replay server (checkpointed offsets = event
-    *    sequence numbers the server re-serves on demand);
+    *    sequence numbers the server re-serves on demand) — and since r12
+    *    the broker GROWS while the fold runs
+    *    ([[graft.sources.ReplayServer.serveGrowing]] with backpressure
+    *    flow control), so the stream's end does not exist at start and
+    *    the kill provably lands while the tail is still being produced;
     *  - fold: [[IncrementalQ3.step]] per micro-batch, WITH the bucketed-
     *    table state spill engaged (the bounded-memory path — compaction
     *    MERGEs into spill tables mid-stream, exactly like
@@ -210,7 +214,16 @@ object ReplayIngest {
   def q3ReplayResume(spark: SparkSession, dir: String): DataFrame = {
     val ordered = Changelog.generate(spark, dir, insertOnly = true)
       .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
-    val handle = ReplayServer.serve(ordered)
+    // ARRIVAL-DRIVEN broker, like [[replayExactlyOnce]] — but the Q3 fold
+    // consumes far slower than the counts grain, so time pacing alone
+    // would make "kill lands mid-production" a host-speed race. Flow
+    // control (`maxAheadChunks`) pins it structurally: the producer never
+    // runs more than 2 chunks past the consumer's read watermark, so at
+    // the 1/3-folded kill the staged count is ≤ ~5/8 of the stream on ANY
+    // host, while phase B's catch-up re-opens the tap and drains to the
+    // true end.
+    val handle = ReplayServer.serveGrowing(ordered,
+      chunks = 24, intervalMs = 25L, maxAheadChunks = 2)
     val work = Files.createTempDirectory("graft-replay-q3").toString
     val snapDir = s"$work/snap"
     val spillRoot = s"$work/spill"
@@ -271,7 +284,16 @@ object ReplayIngest {
       }
       // phase A: fold ~a third, then KILL mid-stream
       val qa = startQuery()
-      try await(expected / 3, qa, "phase A") finally qa.stop()
+      try {
+        await(expected / 3, qa, "phase A")
+        // captured BEFORE the stop (stop itself takes time): the kill must
+        // land while the tail is still being produced, or the growing-
+        // stream composition went unexercised
+        val stagedAtKill = ReplayServer.count("127.0.0.1", handle.port)
+        require(stagedAtKill < expected,
+          "the producer finished before the kill — the arrival-driven " +
+            s"path went unexercised ($stagedAtKill of $expected staged)")
+      } finally qa.stop()
       val afterKill = seen()
       require(afterKill < expected,
         "the kill must land mid-stream or the resume proves nothing " +

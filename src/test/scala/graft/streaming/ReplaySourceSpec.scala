@@ -74,6 +74,41 @@ class ReplaySourceSpec extends SparkSpec {
     } finally handle.close()
   }
 
+  test("flow-controlled producer never outruns the consumer by more than its window") {
+    import spark.implicits._
+    // 8 chunks of 500, producer allowed at most 2 chunks (1000 events)
+    // past the consumer's read watermark — however slowly we consume
+    val lines = (0 until 4000).map(i => f"fc_$i%05d").toDF("line")
+    val handle = ReplayServer.serveGrowing(lines, chunks = 8,
+      intervalMs = 10L, maxAheadChunks = 2)
+    try {
+      def cnt() = ReplayServer.count("127.0.0.1", handle.port)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      // consume deliberately slowly, 250 events at a time; at every poll
+      // the published watermark must respect the backpressure window
+      var read = 0L
+      var maxViolation = 0L
+      while (read < handle.expected && System.nanoTime() < deadline) {
+        val c = cnt()
+        maxViolation = math.max(maxViolation, c - read - 1000L)
+        val to = math.min(read + 250L, c)
+        if (to > read) {
+          val got = ReplayServer.fetch("127.0.0.1", handle.port, read, to).size
+          assert(got == to - read, s"short range [$read,$to): $got")
+          read = to
+        } else Thread.sleep(10)
+      }
+      assert(read == handle.expected, s"never drained: $read of ${handle.expected}")
+      // the producer may be mid-chunk when a poll lands, so allow one
+      // chunk of slack beyond the 2-chunk window — but NOT a free run
+      assert(maxViolation <= 500L,
+        s"producer ran ${maxViolation + 1000} events past the consumer " +
+          "despite a 1000-event flow-control window")
+      // once drained, everything is published
+      assert(cnt() == handle.expected)
+    } finally handle.close()
+  }
+
   test("offset JSON round-trip") {
     val o = ReplayOffset(123456789L)
     assert(new graft.sources.ReplayStream("h", 1, 10, 2)
