@@ -321,20 +321,27 @@ class ReplayTable(tableSchema: StructType) extends Table with SupportsRead {
     val batchSize = Option(options.get("batchsize")).map(_.toLong).getOrElse(10000L)
     val splits = Option(options.get("splits")).map(_.toInt).getOrElse(4)
     val includeOffset = options.getBoolean("includeoffset", false)
-    () => new ReplayScan(host, port, batchSize, splits, includeOffset)
+    val minBatchSize = Option(options.get("minbatchsize")).map(_.toLong).getOrElse(1L)
+    val maxTriggerDelayMs =
+      Option(options.get("maxtriggerdelayms")).map(_.toLong).getOrElse(500L)
+    () => new ReplayScan(host, port, batchSize, splits, includeOffset,
+      minBatchSize, maxTriggerDelayMs)
   }
 }
 
 class ReplayScan(host: String, port: Int, batchSize: Long, splits: Int,
-                 includeOffset: Boolean = false)
+                 includeOffset: Boolean = false, minBatchSize: Long = 1L,
+                 maxTriggerDelayMs: Long = 500L)
     extends Scan {
   override def readSchema(): StructType = ReplayProvider.schemaFor(includeOffset)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ReplayStream(host, port, batchSize, splits, includeOffset)
+    new ReplayStream(host, port, batchSize, splits, includeOffset,
+      minBatchSize, maxTriggerDelayMs)
 }
 
 class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int,
-                   includeOffset: Boolean = false)
+                   includeOffset: Boolean = false, minBatchSize: Long = 1L,
+                   maxTriggerDelayMs: Long = 500L)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // the server's COUNT is POLLED per admission decision, never cached:
@@ -351,15 +358,34 @@ class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
 
+  // set on the first admission decision; a batch with fewer than
+  // minBatchSize rows fires once maxTriggerDelayMs has elapsed since the
+  // last admitted batch (or since start), so a slow-growing tail always
+  // drains — Kafka's minOffsetsPerTrigger + maxTriggerDelay contract
+  private var lastAdmitNanos: Long = 0L
+
   // admission-controlled form: pace the stream into real micro-batches
-  // (start + maxRows), never one giant catch-up batch
+  // (start + maxRows), never one giant catch-up batch. Against a GROWING
+  // broker the published watermark advances in producer-chunk steps; a
+  // 50 ms trigger would otherwise admit each step as its own tiny batch,
+  // and a stateful consumer (the Q3 IVM folds) pays a full fold + state
+  // snapshot per batch — minBatchSize holds admission until a real batch
+  // has accumulated, maxTriggerDelayMs bounds how long it can hold.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ReplayOffset].n
     val max = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => batchSize
     }
-    ReplayOffset(math.min(total, from + max))
+    if (lastAdmitNanos == 0L) lastAdmitNanos = System.nanoTime()
+    val available = total - from
+    val delayed = System.nanoTime() - lastAdmitNanos >=
+      maxTriggerDelayMs * 1000000L
+    if (available <= 0 || (available < minBatchSize && !delayed)) start
+    else {
+      lastAdmitNanos = System.nanoTime()
+      ReplayOffset(math.min(from + max, from + available))
+    }
   }
 
   override def latestOffset(): Offset =

@@ -64,13 +64,15 @@ object ReplayIngest {
     val ordered = Changelog.generate(spark, dir)
       .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
     // ARRIVAL-DRIVEN since r12: the stream's end does not exist when the
-    // query starts — the producer stages chunks over ~5 s while the query
+    // query starts — the producer stages chunk by chunk while the query
     // consumes, so admission decisions poll a GROWING count and the
     // phase-A kill lands while the tail is still being produced (pinned
-    // below). Production deliberately paces SLOWER than the consumer
-    // drains: consumption then tracks the watermark, which is what makes
-    // the mid-production kill deterministic rather than a host-speed race.
-    val handle = ReplayServer.serveGrowing(ordered)
+    // below). Backpressure flow control (producer never more than 4
+    // chunks past the consumer's read watermark) makes the
+    // mid-production kill a structural guarantee rather than a
+    // host-speed race, with no fixed time pacing to wait out.
+    val handle = ReplayServer.serveGrowing(ordered,
+      chunks = 32, intervalMs = 10L, maxAheadChunks = 4)
     val work = Files.createTempDirectory("graft-replay-q").toString
     val stateFile = s"$work/totals"
     try {
@@ -83,6 +85,7 @@ object ReplayIngest {
         .format(classOf[ReplayProvider].getName)
         .option("host", "127.0.0.1").option("port", handle.port.toString)
         .option("batchSize", batchSize.toString)
+        .option("minBatchSize", batchSize.toString)
         .option("splits", "4")
         .load()
         .writeStream
@@ -218,12 +221,14 @@ object ReplayIngest {
     // consumes far slower than the counts grain, so time pacing alone
     // would make "kill lands mid-production" a host-speed race. Flow
     // control (`maxAheadChunks`) pins it structurally: the producer never
-    // runs more than 2 chunks past the consumer's read watermark, so at
-    // the 1/3-folded kill the staged count is ≤ ~5/8 of the stream on ANY
-    // host, while phase B's catch-up re-opens the tap and drains to the
-    // true end.
+    // runs more than 6 chunks (1/4 of the stream) past the consumer's
+    // read watermark, so at the 1/3-folded kill the staged count is
+    // bounded well short of the end on ANY host, while phase B's catch-up
+    // re-opens the tap and drains to the true end. The window is wider
+    // than the fold's minBatchSize (1/6) so admission can always
+    // accumulate a full batch without waiting on the delay flush.
     val handle = ReplayServer.serveGrowing(ordered,
-      chunks = 24, intervalMs = 25L, maxAheadChunks = 2)
+      chunks = 24, intervalMs = 10L, maxAheadChunks = 6)
     val work = Files.createTempDirectory("graft-replay-q3").toString
     val snapDir = s"$work/snap"
     val spillRoot = s"$work/spill"
@@ -244,6 +249,9 @@ object ReplayIngest {
           .format(classOf[ReplayProvider].getName)
           .option("host", "127.0.0.1").option("port", handle.port.toString)
           .option("batchSize", batchSize.toString)
+          // hold admission for a REAL batch: per-chunk admission would
+          // pay a full fold + snapshot per producer step
+          .option("minBatchSize", batchSize.toString)
           .option("splits", "4")
           .load()
           .writeStream
@@ -251,23 +259,34 @@ object ReplayIngest {
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(Trigger.ProcessingTime("50 milliseconds"))
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            if (id >= expectedBatch) {
-              require(id == expectedBatch,
-                s"batch $id delivered but IVM state is at $expectedBatch — " +
-                  "a gap would corrupt the aggregate")
-              state = IncrementalQ3.step(state, batch,
-                spillDir = Some(spillRoot))
-              // snapshot flip BEFORE the offset commit: a crash after this
-              // point re-delivers `id`, which the guard above then skips
-              Snapshots.saveBatch(state, snapDir, id)
-              expectedBatch = id + 1
-            } // else: already folded into the loaded snapshot — skipped
-            // drain/kill monitor, exactly-once on its own id watermark
-            // (the replay source re-delivers the identical range, so the
-            // re-count equals the original)
-            val (lastCounted, cum) = loadProgress(progressFile)
-            if (id > lastCounted)
-              saveProgress(progressFile, id, cum + batch.count())
+            val tDbg = System.nanoTime()
+            // pin the batch: the DSv2 frame re-executes the transport
+            // fetch per action, and both the fold's parse and the
+            // progress count below scan it — one fetch, not two
+            val pinned = batch
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (id >= expectedBatch) {
+                require(id == expectedBatch,
+                  s"batch $id delivered but IVM state is at $expectedBatch — " +
+                    "a gap would corrupt the aggregate")
+                state = IncrementalQ3.step(state, pinned,
+                  spillDir = Some(spillRoot))
+                // snapshot flip BEFORE the offset commit: a crash after this
+                // point re-delivers `id`, which the guard above then skips
+                Snapshots.saveBatchAuto(state, snapDir, id)
+                expectedBatch = id + 1
+              } // else: already folded into the loaded snapshot — skipped
+              // drain/kill monitor, exactly-once on its own id watermark
+              // (the replay source re-delivers the identical range, so the
+              // re-count equals the original)
+              val (lastCounted, cum) = loadProgress(progressFile)
+              if (id > lastCounted)
+                saveProgress(progressFile, id, cum + pinned.count())
+            } finally pinned.unpersist(blocking = false)
+            if (java.lang.Boolean.getBoolean("graft.replay.debug"))
+              System.err.println(f"[replay-q3] batch $id: " +
+                f"${(System.nanoTime() - tDbg) / 1e9}%.2f s")
           }
           .start()
       }

@@ -94,6 +94,10 @@ object Snapshots {
   /** Persist the post-batch state and advance the LATEST pointer. */
   def saveBatch(st: IncrementalQ3.State, dir: String, batchId: Long): Unit = {
     save(st, s"$dir/b$batchId")
+    flipLatest(dir, batchId)
+  }
+
+  private def flipLatest(dir: String, batchId: Long): Unit = {
     val tmp = Paths.get(s"$dir/.LATEST.tmp")
     Files.createDirectories(Paths.get(dir))
     Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
@@ -114,8 +118,116 @@ object Snapshots {
     } finally ds.close()
   }
 
+  // --- DELTA snapshots: continuous durability at delta cost -------------
+  //
+  // A full per-batch snapshot re-materializes every state — O(state) per
+  // batch, exactly the cost the delta-chained fold removed from the hot
+  // path. Once the fold SPILLS, the state is already durable in the
+  // versioned spill tables; the only parts living solely on the driver are
+  // the pending per-batch deltas accumulated since the newest version
+  // (State.spillMeta). So a delta snapshot persists just:
+  //   - a pointer (spill root + version) to the durable base,
+  //   - the pending delta chains (delta-sized; unchanged links are
+  //     HARD-LINKED from the previous snapshot, so each batch writes only
+  //     its OWN delta),
+  //   - the scalar fold counters (grains, dirty, spillHistory, aggDepth).
+  // Resume = readBuckets(version, ALL) ∪ pendings per state, eagerly
+  // checkpointed (severing the spill-table dependence, as [[load]] does
+  // for parquet), spillMeta = None — the resumed fold's first compaction
+  // falls back to a full rewrite, then incremental tracking restarts: the
+  // same documented fallback the full snapshot uses.
+  //
+  // Version liveness: a delta snapshot always references the NEWEST spill
+  // version as of its batch, and the algebra retains the two newest — so
+  // the LATEST snapshot's version is on disk in every crash window (it
+  // can lag the tip by at most the one compaction whose snapshot flip
+  // didn't land, and that leaves both versions retained).
+
+  /** Delta snapshot when the fold has spilled (cost: this batch's delta);
+    * full [[saveBatch]] otherwise (pre-first-compaction states are
+    * delta-sized anyway).
+    */
+  def saveBatchAuto(st: IncrementalQ3.State, dir: String, batchId: Long): Unit =
+    st.spillMeta match {
+      case Some(meta) => saveBatchDelta(st, meta, dir, batchId)
+      case None => saveBatch(st, dir, batchId)
+    }
+
+  private def saveBatchDelta(st: IncrementalQ3.State,
+                             meta: IncrementalQ3.SpillMeta,
+                             dir: String, batchId: Long): Unit = {
+    val d = s"$dir/b$batchId"
+    Files.createDirectories(Paths.get(d))
+    val prev = s"$dir/b${batchId - 1}"
+    val counts = st.names.map { name =>
+      val chain = meta.pending.getOrElse(name, Vector.empty)
+      chain.zipWithIndex.foreach { case (df, k) =>
+        val dst = Paths.get(s"$d/pending_${name}_$k")
+        val src = Paths.get(s"$prev/pending_${name}_$k")
+        // all links but the newest existed in the previous snapshot —
+        // hard-link their files (inode-shared, byte-identical) and write
+        // parquet only for this batch's own delta
+        if (Files.isDirectory(src)) linkTree(src, dst)
+        else df.write.mode("overwrite").parquet(dst.toString)
+      }
+      name -> chain.size
+    }
+    Files.write(Paths.get(s"$d/grains"),
+      st.aggsRaw.map(_._1.mkString(",")).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val metaBody = (Seq(meta.root, meta.version.toString, st.dirty.toString,
+      st.aggDepth.toString, st.spillHistory.mkString(",")) ++
+      counts.map { case (n, c) => s"$n=$c" }).mkString("\n")
+    Files.write(Paths.get(s"$d/DELTA"),
+      metaBody.getBytes(StandardCharsets.UTF_8))
+    flipLatest(dir, batchId)
+  }
+
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    val fs = Files.list(src)
+    try fs.forEach { f =>
+      if (Files.isRegularFile(f))
+        Files.createLink(dst.resolve(f.getFileName.toString), f)
+    } finally fs.close()
+  }
+
+  private def loadDelta(spark: SparkSession, d: String): IncrementalQ3.State = {
+    val lines = new String(Files.readAllBytes(Paths.get(s"$d/DELTA")),
+      StandardCharsets.UTF_8).split("\n").toSeq
+    val (root, version) = (lines(0), lines(1).toLong)
+    val dirty = lines(2).toInt
+    val aggDepth = lines(3).toInt
+    val history = lines(4).split(",").toList.flatMap(_.trim.toLongOption)
+    val counts = lines.drop(5).map { l =>
+      val Array(n, c) = l.split("="); n -> c.toInt
+    }.toMap
+    val grains = new String(Files.readAllBytes(Paths.get(s"$d/grains")),
+      StandardCharsets.UTF_8).split("\n").toIndexedSeq.map(_.trim)
+      .filter(_.nonEmpty).map(_.split(",").toIndexedSeq.map(_.trim): Seq[String])
+    // schema templates for the bucket reads, from an empty fold shell
+    val shell = IncrementalQ3.init(spark, grains)
+    val fmt = SpillFormat.active
+    def part(name: String, schema: org.apache.spark.sql.types.StructType) = {
+      val base = fmt.readBuckets(spark, root, version, name, schema,
+        (0 until fmt.buckets).toSet)
+      val pend = (0 until counts.getOrElse(name, 0))
+        .map(k => spark.read.parquet(s"$d/pending_${name}_$k"))
+      // eager checkpoint: sever the spill-table dependence before the
+      // resumed fold's compactions drop the referenced version
+      (base +: pend).reduce(_ unionByName _).localCheckpoint()
+    }
+    val frames = shell.names.zip(shell.all.map(_.schema))
+      .map { case (n, s) => part(n, s) }
+    val Seq(c, o, l, co) = frames.take(4)
+    IncrementalQ3.State(c, o, l, co,
+      aggsRaw = grains.toVector.zip(frames.drop(4)),
+      dirty = dirty, spillHistory = history, spillMeta = None,
+      aggDepth = aggDepth)
+  }
+
   /** Latest consistent per-batch snapshot, if one exists:
-    * `(state, lastAppliedBatchId)`.
+    * `(state, lastAppliedBatchId)` — full or delta form, transparently.
     */
   def loadLatest(spark: SparkSession, dir: String): Option[(IncrementalQ3.State, Long)] = {
     val latest = Paths.get(s"$dir/LATEST")
@@ -123,7 +235,10 @@ object Snapshots {
     else {
       val id = new String(Files.readAllBytes(latest),
         StandardCharsets.UTF_8).trim.toLong
-      Some((load(spark, s"$dir/b$id"), id))
+      val d = s"$dir/b$id"
+      val st = if (Files.exists(Paths.get(s"$d/DELTA"))) loadDelta(spark, d)
+               else load(spark, d)
+      Some((st, id))
     }
   }
 }

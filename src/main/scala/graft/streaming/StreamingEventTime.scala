@@ -139,7 +139,7 @@ object StreamingEventTime {
             stamped.filter(col("t") >= meta.wm) else stamped
           state = IncrementalQ3.step(state, onTime.select("line"))
           // state flip BEFORE the offset commit (re-delivery skips by id)
-          Snapshots.saveBatch(state, snapDir, id)
+          Snapshots.saveBatchAuto(state, snapDir, id)
           expectedBatch = id + 1
           onApplied(id)
         } // else: already folded into the loaded snapshot — fold skipped

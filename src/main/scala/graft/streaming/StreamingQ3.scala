@@ -68,7 +68,7 @@ object StreamingQ3 {
           state = IncrementalQ3.step(state, batch)
           // snapshot BEFORE the offset commit: a crash after this point
           // re-delivers `id`, which the branch above then skips
-          snapshotDir.foreach(d => Snapshots.saveBatch(state, d, id))
+          snapshotDir.foreach(d => Snapshots.saveBatchAuto(state, d, id))
           onEmit(IncrementalQ3.topN(state).collect(), id)
         }
       }

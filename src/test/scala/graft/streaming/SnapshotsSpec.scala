@@ -32,6 +32,47 @@ class SnapshotsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("delta snapshots resume to the exact uninterrupted answer at every kill point") {
+    // a SPILLED fold saved with saveBatchAuto persists only the pending
+    // deltas + the spill-version pointer once spillMeta exists; resuming
+    // from that delta snapshot must equal the uninterrupted fold no matter
+    // where the kill lands relative to the compaction cadence (before the
+    // first spill → full form; right after a compaction → pure metadata;
+    // mid-window → base + pending chain)
+    val k = 6 // CompactEvery = 4: kill points straddle the first compaction
+    val bs = batches(insertOnly = true, k = k)
+    val spillA = java.nio.file.Files.createTempDirectory("graft-dsnap-a").toString
+    val direct = bs.foldLeft(IncrementalQ3.init(spark))(
+      IncrementalQ3.step(_, _, spillDir = Some(spillA)))
+    val truth = IncrementalQ3.topN(direct).collect().map(_.toSeq).toSeq
+    assert(truth.nonEmpty)
+    for (cut <- Seq(2, 4, 5)) { // pre-spill, at-compaction, mid-window
+      val spillB = java.nio.file.Files
+        .createTempDirectory(s"graft-dsnap-b$cut").toString
+      val snapDir = java.nio.file.Files
+        .createTempDirectory(s"graft-dsnap-s$cut").toString
+      var st = IncrementalQ3.init(spark)
+      bs.take(cut).zipWithIndex.foreach { case (b, i) =>
+        st = IncrementalQ3.step(st, b, spillDir = Some(spillB))
+        Snapshots.saveBatchAuto(st, snapDir, i.toLong)
+      }
+      // the snapshot form must match the kill point: delta once spilled
+      val latest = s"$snapDir/b${cut - 1}"
+      val isDelta = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$latest/DELTA"))
+      assert(isDelta == (cut >= 4),
+        s"cut=$cut: expected ${if (cut >= 4) "delta" else "full"} snapshot form")
+      val (resumedSt, lastId) = Snapshots.loadLatest(spark, snapDir).get
+      assert(lastId == cut - 1)
+      val fin = bs.drop(cut).foldLeft(resumedSt)(
+        IncrementalQ3.step(_, _, spillDir = Some(spillB)))
+      val got = IncrementalQ3.topN(fin).collect().map(_.toSeq).toSeq
+      assert(got == truth, s"delta-snapshot resume diverged at cut=$cut")
+      IncrementalQ3.cleanupSpillRoot(spark, spillB)
+    }
+    IncrementalQ3.cleanupSpillRoot(spark, spillA)
+  }
+
   test("full-cycle resume still cancels to exactly empty") {
     val bs = batches(insertOnly = false, k = 3)
     val snapDir = java.nio.file.Files.createTempDirectory("graft-snap2").toString
