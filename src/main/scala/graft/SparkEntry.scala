@@ -96,6 +96,13 @@ object SparkEntry {
     // the ordered broker (batch-quantized lateness would be an admission
     // accident, nondeterministic under a growing broker) — same oracle
     "stream_q3_event_time_replay" -> (streaming.EventTimeReplay.q3EventTimeReplay _),
+    // and over the PARTITIONED transport (one ordered log per relation —
+    // the CDC topic layout; vector offsets, apportioned admission),
+    // lateness per-partition-prefix: the only deterministic semantics a
+    // partitioned broker admits, so the dropped set gates on the LAST
+    // ON-TIME LINEITEM's rank, not the single-log watermark
+    "stream_q3_event_time_partitioned" ->
+      (streaming.EventTimePartitioned.q3EventTimePartitioned _),
     "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
     "agg_cm_frequencies" -> (operators.Sketches.cmFrequencyBound _),
     "stream_cm_frequencies" -> ((s, d) => streaming.StreamingCm.streamCmFrequencies(s, d)),
@@ -680,6 +687,39 @@ object SparkEntry {
     // broker is a pure function of the stream, so the same oracle gates
     // it under ANY micro-batch slicing and a mid-stream kill/resume
     "stream_q3_event_time_replay" -> q3EventTimeOracle,
+    // the PARTITIONED transport path: per-partition prefix watermarks, so
+    // a withheld lineitem is late iff its rank precedes the last ON-TIME
+    // lineitem's rank (other relations' event times live in other
+    // partitions and must not gate this one — unlike the single-log
+    // oracle's rk < n_lineitem, where the orders log's final trigger
+    // holds the global watermark at nl)
+    "stream_q3_event_time_partitioned" ->
+      """WITH
+        |  li AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_partkey,
+        |             l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax, l_returnflag, l_linestatus,
+        |             l_shipdate) AS rk
+        |         FROM lineitem),
+        |  mx AS (SELECT max(rk) AS m FROM li WHERE l_orderkey % 10 <> 3),
+        |  lat AS (SELECT count(*) AS dl FROM li, mx
+        |          WHERE l_orderkey % 10 = 3 AND rk < m),
+        |  liv AS (SELECT li.* FROM li, mx
+        |          WHERE NOT (l_orderkey % 10 = 3 AND rk < m))
+        |SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       (SELECT dl FROM lat) AS dropped_late
+        |FROM customer, orders, liv
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
     // The mid-stream state, reconstructed in SQL from the generator's
     // closed-form trigger arithmetic: at prefix boundary T = ceil(4·nL/3)
     // (end of batch 2 of 3, capacity = nL) every insert has fired and the

@@ -1,0 +1,256 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.{PartitionedReplayProvider, ReplayServer}
+
+/** EVENT-TIME Q3 OVER THE PARTITIONED TRANSPORT — the real broker shape.
+  *
+  * A Kafka topic promises order only WITHIN a partition; the standard CDC
+  * layout is one ordered log per table. This query consumes exactly that:
+  * three independently-growing replay partitions (customer / orders /
+  * lineitem), a vector of per-partition offsets checkpointed by the
+  * engine, Kafka-style apportioned admission — and lateness decided by the
+  * PER-PARTITION prefix watermark: an event is late iff an earlier event
+  * IN ITS OWN PARTITION carried a greater event time.
+  *
+  * Per-partition-prefix is the only honest deterministic semantics here:
+  * a GLOBAL watermark over a partitioned transport depends on how the
+  * consumer interleaves partitions at runtime (Flink's merged watermarks
+  * make late counts run-dependent for exactly this reason), while the
+  * per-partition prefix is a pure function of the partition logs — so the
+  * DuckDB oracle can state the dropped set in closed form: the withheld
+  * lineitems land at the END of the lineitem log, making one late iff its
+  * rank precedes the last ON-TIME lineitem's rank (`rk < max on-time rk`
+  * — NOT the single-log `rk < n_lineitem`: the other tables' event times
+  * live in other partitions and must not gate this one).
+  *
+  * Recovery discipline is [[EventTimeReplay]]'s, with the watermark STATE
+  * a per-partition vector: fold snapshot-skipped by batch id, accounting
+  * (per-partition running maxima + dropped count) on its own id
+  * watermark, kill mid-production, resume from checkpoint + snapshot.
+  */
+object EventTimePartitioned {
+
+  private val G = 4096L
+
+  /** `(lastAppliedBatchId, dropped, wm per partition)`. */
+  private final case class Meta(lastId: Long, dropped: Long, wm: Map[Int, Long])
+
+  private def loadMeta(path: String): Meta =
+    if (!Files.exists(Paths.get(path))) Meta(-1L, 0L, Map.empty)
+    else {
+      val Array(id, d, wms) = new String(Files.readAllBytes(Paths.get(path)),
+        StandardCharsets.UTF_8).trim.split("\\|", 3)
+      Meta(id.toLong, d.toLong,
+        wms.split(",").filter(_.nonEmpty).map { kv =>
+          val Array(p, w) = kv.split(":"); p.toInt -> w.toLong
+        }.toMap)
+    }
+
+  private def saveMeta(path: String, m: Meta): Unit = {
+    val tmp = Paths.get(path + ".tmp")
+    val wms = m.wm.toSeq.sortBy(_._1).map { case (p, w) => s"$p:$w" }.mkString(",")
+    Files.write(tmp, s"${m.lastId}|${m.dropped}|$wms"
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Per-partition prefix late split, distributed like
+    * [[EventTimeReplay.prefixLateFlag]] but with every block scoped to its
+    * partition: blocks are (partition, offset-range) cells, the tiny
+    * per-cell maxima collect gives each cell's carry-in via a per-partition
+    * driver scan, and a `partitionBy(partition, block) orderBy(offset)`
+    * running max finishes inside each cell. Input: `partition INT,
+    * offset LONG, t LONG` (+ anything else, preserved).
+    */
+  private[streaming] def prefixLateFlagP(batch: DataFrame,
+                                         carryIn: Map[Int, Long],
+                                         blockSize: Long = G): DataFrame = {
+    val withBlock = batch.withColumn("_blk", floor(col("offset") / blockSize))
+    val cells = withBlock.groupBy(col("partition"), col("_blk"))
+      .agg(max(col("t")).as("_mx")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val carry = cells.groupBy(_._1).toSeq.flatMap { case (p, cs) =>
+      var running = carryIn.getOrElse(p, Long.MinValue)
+      cs.sortBy(_._2).map { case (_, b, mx) =>
+        val c = running; running = math.max(running, mx); (p, b, c)
+      }
+    }
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val carryDf = carry.toDF("partition", "_blk", "_carry")
+    val w = Window.partitionBy(col("partition"), col("_blk"))
+      .orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBlock.join(broadcast(carryDf), Seq("partition", "_blk"))
+      .withColumn("_pm", max(col("t")).over(w))
+      .withColumn("late",
+        col("t") < greatest(col("_carry"), coalesce(col("_pm"), lit(Long.MinValue))))
+      .drop("_blk", "_carry", "_pm")
+  }
+
+  /** One ordered log per relation (the CDC topic layout), each line
+    * `<t>\t<line>`: customer and orders in event-time order; lineitem
+    * with the deterministic lateness injection — the withheld events
+    * (`l_orderkey % 10 == 3`) appended AFTER all on-time ones.
+    */
+  private def relationLogs(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    val events = Changelog.generateCached(spark, dir, insertOnly = true)
+    val fields = split(substring(col("line"), 5, Int.MaxValue), "\\|")
+    val tagged = events.withColumn("tag", substring(col("line"), 2, 2))
+      .withColumn("deferred",
+        col("tag") === "LI" &&
+          element_at(fields, 1).cast("long") % 10 === 3)
+    def log(tag: String) =
+      tagged.filter(col("tag") === tag)
+        .orderBy(col("deferred").asc, col("t"), col("sub"), col("idx"))
+        .select(concat_ws("\t", col("t").cast("string"), col("line")).as("line"))
+    Seq(log("CU"), log("OR"), log("LI"))
+  }
+
+  private def loadProgress(path: String): (Long, Long) =
+    if (!Files.exists(Paths.get(path))) (-1L, 0L)
+    else {
+      val Array(id, cum) = new String(Files.readAllBytes(Paths.get(path)),
+        StandardCharsets.UTF_8).trim.split("\\|")
+      (id.toLong, cum.toLong)
+    }
+
+  private def saveProgress(path: String, id: Long, cum: Long): Unit = {
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, s"$id|$cum".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** `stream_q3_event_time_partitioned` — the driver query: three growing
+    * partition logs, vector offsets, per-partition prefix watermarks, the
+    * kill landing mid-production, resume from checkpoint + snapshot.
+    */
+  def q3EventTimePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val logs = relationLogs(spark, dir)
+    // per-partition backpressure: each log's producer paces against its
+    // own consumers; the window sum (4/16 of the stream) stays above the
+    // global minBatchSize (1/6) so admission always accumulates, and the
+    // kill still provably lands mid-production (total staged is bounded
+    // by total read + the windows)
+    val handles = logs.map(l => ReplayServer.serveGrowing(l,
+      chunks = 16, intervalMs = 10L, maxAheadChunks = 3))
+    val work = Files.createTempDirectory("graft-etpart").toString
+    val snapDir = s"$work/snap"
+    val metaFile = s"$work/meta"
+    val progressFile = s"$work/progress"
+    try {
+      val expected = handles.map(_.expected).sum
+      require(expected > 0, "empty changelog — nothing to replay")
+      val batchSize = math.max(1L, expected / 6)
+      def startQuery(): StreamingQuery = {
+        val resumed = Snapshots.loadLatest(spark, snapDir)
+        var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
+        var expectedBatch = resumed.fold(0L)(_._2 + 1)
+        spark.readStream
+          .format(classOf[PartitionedReplayProvider].getName)
+          .option("host", "127.0.0.1")
+          .option("ports", handles.map(_.port).mkString(","))
+          .option("batchSize", batchSize.toString)
+          .option("minBatchSize", batchSize.toString)
+          .load()
+          .writeStream
+          .queryName(s"graft_et_part_${handles.head.port}")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val meta = loadMeta(metaFile)
+            val parts = split(col("value"), "\t", 2)
+            val stamped = batch.select(col("partition"), col("offset"),
+              parts.getItem(0).cast("long").as("t"),
+              parts.getItem(1).as("line"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val flagged = prefixLateFlagP(stamped, meta.wm).localCheckpoint()
+            stamped.unpersist(blocking = false)
+            try {
+              if (id >= expectedBatch) {
+                require(id == expectedBatch,
+                  s"batch $id delivered but IVM state is at $expectedBatch — " +
+                    "a gap would corrupt the aggregate")
+                state = IncrementalQ3.step(state,
+                  flagged.filter(!col("late")).select("line"))
+                Snapshots.saveBatchAuto(state, snapDir, id)
+                expectedBatch = id + 1
+              }
+              // one small job for all per-batch statistics: per-partition
+              // max t (the wm vector), late count, total rows
+              val stats = flagged.groupBy(col("partition"))
+                .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late"),
+                  max(col("t")).as("mx"), count(lit(1)).as("n"))
+                .collect() // ≤ one row per partition
+              if (id > meta.lastId) {
+                val late = stats.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+                val wm2 = meta.wm ++ stats.map { r =>
+                  val p = r.getInt(0)
+                  p -> math.max(meta.wm.getOrElse(p, Long.MinValue), r.getLong(2))
+                }
+                saveMeta(metaFile, Meta(id, meta.dropped + late, wm2))
+              }
+              val (lastCounted, cum) = loadProgress(progressFile)
+              if (id > lastCounted)
+                saveProgress(progressFile, id, cum + stats.map(_.getLong(3)).sum)
+            } finally flagged.unpersist()
+          }
+          .start()
+      }
+      def seen(): Long = loadProgress(progressFile)._2
+      def await(target: Long, q: StreamingQuery, what: String): Unit = {
+        val deadline = System.nanoTime() +
+          (180L + target / 20000L) * 1000000000L
+        while (seen() < target && q.isActive &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        require(seen() >= target,
+          s"$what: saw ${seen()} of $target events before timeout " +
+            s"(query active: ${q.isActive})")
+      }
+      val qa = startQuery()
+      try {
+        await(expected / 3, qa, "phase A")
+        val stagedAtKill = handles.map(h =>
+          ReplayServer.count("127.0.0.1", h.port)).sum
+        require(stagedAtKill < expected,
+          "the producers finished before the kill — the arrival-driven " +
+            s"path went unexercised ($stagedAtKill of $expected staged)")
+      } finally qa.stop()
+      val afterKill = seen()
+      require(afterKill < expected,
+        "the kill must land mid-stream or the resume proves nothing " +
+          s"(saw $afterKill of $expected before restart)")
+      val qb = startQuery()
+      try await(expected, qb, "phase B (post-resume)") finally qb.stop()
+      require(seen() == expected,
+        s"exactly-once violated at the transport: ${seen()} != $expected")
+      val meta = loadMeta(metaFile)
+      require(meta.dropped > 0, "event-time Q3 (partitioned): no late " +
+        "events were dropped — the deterministic lateness injection " +
+        "failed, the query is testing nothing")
+      val st = Snapshots.loadLatest(spark, snapDir)
+        .getOrElse(sys.error("no snapshot after drain"))._1
+      val top = IncrementalQ3.topN(st)
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .withColumn("dropped_late", lit(meta.dropped))
+      val rows = top.collect().toIndexedSeq
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, top.schema)
+    } finally {
+      handles.foreach(_.close())
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+}
