@@ -149,11 +149,13 @@ object IncrementalQ3 {
     sys.props.get("graft.ivm.spill.dir").map(_.trim)
       .filter(d => d.nonEmpty && d != "off")
 
-  // property-selected implementation of the storage seam (`graft.ivm.
-  // spill.format`): bucketed parquet + hard links by default, the
-  // manifest/GC MERGE shape as the transactional-format stand-in — both
-  // pinned by the shared SpillFormatContractSpec
-  private def spillFmt: SpillFormat = SpillFormat.active
+  // storage-seam implementation, BOUND TO THE ROOT (its FORMAT marker,
+  // written at first use from the `graft.ivm.spill.format` session
+  // default): bucketed parquet + hard links by default, the manifest/GC
+  // MERGE shape as the transactional-format stand-in — both pinned by
+  // the shared SpillFormatContractSpec. Root-bound resolution means a
+  // resume (or a spec) can never read a root with the wrong layout.
+  private def spillFmt(root: String): SpillFormat = SpillFormat.forRoot(root)
 
   // Version allocation is PER ROOT and seeded from whatever v<N> dirs
   // already exist there — a resumed process (Snapshots restores
@@ -203,7 +205,7 @@ object IncrementalQ3 {
     val vDir = new java.io.File(s"$root/v$version")
     val names = Option(vDir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName)
-    names.foreach(spillFmt.drop(spark, root, version, _))
+    names.foreach(spillFmt(root).drop(spark, root, version, _))
     org.apache.commons.io.FileUtils.deleteQuietly(vDir)
   }
 
@@ -353,7 +355,7 @@ object IncrementalQ3 {
     //      before the cache fills) — measured 233K → 145K events/s at k=8;
     val hasDeletes = parsed.filter(col(ZSet.W) < 0).count() > 0
     val spark = lines.sparkSession
-    val bucketN = spillFmt.buckets
+    val bucketN = SpillFormat.buckets
     def bucketExpr(key: String) = pmod(hash(col(key)), lit(bucketN)).cast("int")
     //   2. the three relation deltas, in ONE action over the cached parse.
     //      Under spill that action IS the dirty-bucket probe — the same
@@ -423,15 +425,15 @@ object IncrementalQ3 {
       val dirty = dirtySince(name)
       st.spillMeta match {
         case Some(meta) if meta.root == root && dirty.size < bucketN =>
-          val prev = spillFmt.readBuckets(spark, root, meta.version, name,
+          val prev = spillFmt(root).readBuckets(spark, root, meta.version, name,
             state.schema, dirty)
           val rows = cons(
             (prev +: pendingSince(name)).reduce(_ unionByName _)
               .unionByName(delta))
-          spillFmt.write(spark, root, version.get, name, key, rows,
+          spillFmt(root).write(spark, root, version.get, name, key, rows,
             carry = Some((meta.version, dirty)))
         case _ =>
-          spillFmt.write(spark, root, version.get, name, key,
+          spillFmt(root).write(spark, root, version.get, name, key,
             cons(state.unionByName(delta)), carry = None)
       }
     }

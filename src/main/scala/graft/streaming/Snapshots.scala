@@ -207,7 +207,7 @@ object Snapshots {
       .filter(_.nonEmpty).map(_.split(",").toIndexedSeq.map(_.trim): Seq[String])
     // schema templates for the bucket reads, from an empty fold shell
     val shell = IncrementalQ3.init(spark, grains)
-    val fmt = SpillFormat.active
+    val fmt = SpillFormat.forRoot(root)
     def part(name: String, schema: org.apache.spark.sql.types.StructType) = {
       val base = fmt.readBuckets(spark, root, version, name, schema,
         (0 until fmt.buckets).toSet)

@@ -14,6 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 trait SpillFormat {
 
+  /** The marker name this implementation is pinned under
+    * ([[SpillFormat.forRoot]]).
+    */
+  def name: String
+
   /** Buckets per state table — shared across implementations so the
     * algebra's dirty-bucket probe (`pmod(hash(key), buckets)`) classifies
     * identically whichever format is active.
@@ -62,18 +67,44 @@ object SpillFormat {
     */
   def buckets: Int = intProp("graft.ivm.spill.buckets", 32)
 
-  /** The active implementation, by name — `graft.ivm.spill.format` =
-    * `parquet` (default, [[BucketedParquetSpill]]) or `mergelog`
-    * ([[MergeLogSpill]]). Read per operation; keep it fixed for the life
-    * of a spill root (formats do not read each other's layouts).
+  private def byName(n: String): SpillFormat = n match {
+    case "" | "parquet" => BucketedParquetSpill
+    case "mergelog" => MergeLogSpill
+    case other => sys.error(
+      s"spill format must be 'parquet' or 'mergelog', got '$other'")
+  }
+
+  /** The session default, by name — `graft.ivm.spill.format` = `parquet`
+    * (default, [[BucketedParquetSpill]]) or `mergelog`
+    * ([[MergeLogSpill]]).
     */
   def active: SpillFormat =
-    sys.props.getOrElse("graft.ivm.spill.format", "parquet").trim match {
-      case "" | "parquet" => BucketedParquetSpill
-      case "mergelog" => MergeLogSpill
-      case other => sys.error(
-        s"graft.ivm.spill.format must be 'parquet' or 'mergelog', got '$other'")
-    }
+    byName(sys.props.getOrElse("graft.ivm.spill.format", "parquet").trim)
+
+  /** The format BOUND TO a spill root: the root's `FORMAT` marker if
+    * present, else the session default — which is then PINNED by writing
+    * the marker. Formats do not read each other's layouts, so the
+    * binding must hold for the root's whole life; the marker makes that
+    * structural: every later operation — including a RESUME in a process
+    * whose session default differs — reads the layout the root was
+    * created with, and a spec that wants the non-default format pins a
+    * fresh root ([[pin]]) instead of mutating the global property.
+    */
+  def forRoot(root: String): SpillFormat = {
+    val marker = java.nio.file.Paths.get(root, "FORMAT")
+    if (java.nio.file.Files.exists(marker))
+      byName(new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else { val f = active; pin(root, f.name); f }
+  }
+
+  /** Bind `root` to the named format (validated) before first use. */
+  def pin(root: String, name: String): Unit = {
+    byName(name) // validate before writing
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "FORMAT"),
+      name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }
 
 /** The local implementation: external bucketed-by-join-key parquet tables
@@ -83,6 +114,8 @@ object SpillFormat {
   * compaction writes O(dirty buckets), never O(state).
   */
 object BucketedParquetSpill extends SpillFormat {
+
+  override def name: String = "parquet"
 
   /** Catalog names are root-scoped (versions are per-root, so two roots
     * in one session would otherwise both own a `…_v1`).
@@ -186,6 +219,8 @@ object BucketedParquetSpill extends SpillFormat {
   *    deleted only when no surviving manifest of that state references it.
   */
 object MergeLogSpill extends SpillFormat {
+
+  override def name: String = "mergelog"
 
   private def stateDir(root: String, version: Long, name: String): Path =
     Paths.get(s"$root/v$version/$name")

@@ -51,19 +51,18 @@ class IncrementalSpillSpec extends SparkSpec {
     assert(versions.length <= 2, s"stale spill versions not pruned: ${versions.toSeq}")
   }
 
-  test("the mergelog format serves the same fold via the property switch") {
+  test("the mergelog format serves the same fold via the root binding") {
     // the storage seam's second implementation under the REAL workload:
-    // same fold, same per-batch answers, same two-version pruning — only
-    // `graft.ivm.spill.format` changes (r11 verdict item 3)
+    // same fold, same per-batch answers, same two-version pruning — the
+    // root is PINNED to mergelog (its FORMAT marker) before first use,
+    // no global property mutation (r11 verdict item 3 + observation 1:
+    // root-bound resolution replaced the process-wide format switch)
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-spill-ml").toString
+    SpillFormat.pin(root, "mergelog")
     System.setProperty("graft.ivm.spill.dir", root)
-    System.setProperty("graft.ivm.spill.format", "mergelog")
     val spilled = try tops()
-    finally {
-      System.clearProperty("graft.ivm.spill.dir")
-      System.clearProperty("graft.ivm.spill.format")
-    }
+    finally System.clearProperty("graft.ivm.spill.dir")
     assert(spilled == plainTops,
       "the spill format is a storage choice, never a semantic one")
     val versions = Option(new java.io.File(root).listFiles()).getOrElse(Array())
