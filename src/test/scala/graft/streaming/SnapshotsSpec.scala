@@ -46,11 +46,17 @@ class SnapshotsSpec extends SparkSpec {
       IncrementalQ3.step(_, _, spillDir = Some(spillA)))
     val truth = IncrementalQ3.topN(direct).collect().map(_.toSeq).toSeq
     assert(truth.nonEmpty)
-    for (cut <- Seq(2, 4, 5)) { // pre-spill, at-compaction, mid-window
+    // kill points: pre-spill, at-compaction, mid-window — and mid-window
+    // again over the MERGELOG root binding (the delta snapshot's resume
+    // resolves the root's FORMAT marker, so the pending-chain composition
+    // must hold under either layout)
+    for ((cut, fmt) <- Seq(2 -> "parquet", 4 -> "parquet",
+                           5 -> "parquet", 5 -> "mergelog")) {
       val spillB = java.nio.file.Files
-        .createTempDirectory(s"graft-dsnap-b$cut").toString
+        .createTempDirectory(s"graft-dsnap-b$cut-$fmt").toString
+      SpillFormat.pin(spillB, fmt)
       val snapDir = java.nio.file.Files
-        .createTempDirectory(s"graft-dsnap-s$cut").toString
+        .createTempDirectory(s"graft-dsnap-s$cut-$fmt").toString
       var st = IncrementalQ3.init(spark)
       bs.take(cut).zipWithIndex.foreach { case (b, i) =>
         st = IncrementalQ3.step(st, b, spillDir = Some(spillB))
@@ -67,7 +73,8 @@ class SnapshotsSpec extends SparkSpec {
       val fin = bs.drop(cut).foldLeft(resumedSt)(
         IncrementalQ3.step(_, _, spillDir = Some(spillB)))
       val got = IncrementalQ3.topN(fin).collect().map(_.toSeq).toSeq
-      assert(got == truth, s"delta-snapshot resume diverged at cut=$cut")
+      assert(got == truth,
+        s"delta-snapshot resume diverged at cut=$cut fmt=$fmt")
       IncrementalQ3.cleanupSpillRoot(spark, spillB)
     }
     IncrementalQ3.cleanupSpillRoot(spark, spillA)
