@@ -76,10 +76,23 @@ object SparkEntry {
     // the full production composition: replay transport → spilled IVM fold
     // → mid-stream kill → snapshot resume → converged Q3 ≡ batch oracle
     "stream_q3_replay_resume" -> (streaming.ReplayIngest.q3ReplayResume _),
+    // RETRACTION THROUGH RECOVERY: the same composition over the FULL
+    // insert+delete changelog, kill pinned (structurally, by the
+    // exactly-once delete counter) to land mid-TEARDOWN — converges to
+    // exactly-empty through a snapshot/offset boundary with retraction
+    // state in flight on both sides
+    "stream_q3_replay_resume_cycle" ->
+      (streaming.ReplayIngest.q3ReplayResumeCycle _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
     "stream_q3_spilled" -> (streaming.StreamQueries.q3SpilledCycle _),
+    // the SAME cycle FORMAT-pinned to the second spill implementation
+    // (manifest + immutable file pool + refcounted GC) — the seam's
+    // contract spec plus THIS end-to-end gate is what proves the format
+    // swap really is a swap
+    "stream_q3_spilled_mergelog" ->
+      (streaming.StreamQueries.q3SpilledCycleMergelog _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
     // third grain on the SAME shared fold — fact-sized (per order date),
     // the shape the per-grain dirty-bucket probe exists for
@@ -660,6 +673,17 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 20""".stripMargin,
+    // retraction through recovery: the full ± cycle killed mid-TEARDOWN
+    // and resumed must cancel to EXACTLY empty — with the transport's
+    // exactly-once counts pinned in-query, a lost delete batch leaves
+    // positive residue, a lost insert batch negative, a double-applied
+    // one either sign
+    "stream_q3_replay_resume_cycle" ->
+      """SELECT CAST(NULL AS BIGINT) AS l_orderkey,
+        |       CAST(NULL AS VARCHAR) AS o_orderdate,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |       CAST(NULL AS DOUBLE) AS revenue
+        |WHERE 1 = 0""".stripMargin,
     "stream_q3_converged" ->
       """SELECT l_orderkey,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
@@ -769,6 +793,14 @@ object SparkEntry {
     // contract: every insert is eventually retracted, so the converged
     // aggregate — reconstructed through bucketed-table state — is EMPTY
     "stream_q3_spilled" ->
+      """SELECT CAST(NULL AS BIGINT) AS l_orderkey,
+        |       CAST(NULL AS VARCHAR) AS o_orderdate,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |       CAST(NULL AS DOUBLE) AS revenue
+        |WHERE 1 = 0""".stripMargin,
+    // identical contract through the mergelog (manifest/immutable-pool)
+    // spill format — exact cancellation reconstructed through manifests
+    "stream_q3_spilled_mergelog" ->
       """SELECT CAST(NULL AS BIGINT) AS l_orderkey,
         |       CAST(NULL AS VARCHAR) AS o_orderdate,
         |       CAST(NULL AS VARCHAR) AS o_orderpriority,

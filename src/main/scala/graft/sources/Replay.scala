@@ -60,24 +60,51 @@ object ReplayServer {
     * advances `published` as chunks arrive — workers only ever serve up
     * to the published watermark, so a reader never sees a torn tail.
     */
-  private final class StageState(initialIndex: Seq[Long], initialN: Int) {
+  private final class StageState(initialIndex: Seq[Long], initialN: Long,
+                                 groups: Seq[String]) {
     private val index = scala.collection.mutable.ArrayBuffer[Long](initialIndex: _*)
-    @volatile private var publishedN: Int = initialN
-    @volatile private var maxServedN: Int = 0
-    def published: Int = publishedN
-    /** Highest event index any RANGE request has read past — the consumer
-      * progress watermark the flow-controlled producer paces against.
+    // watermarks are Long like the offset domain (ADVICE r12 — Int
+    // truncates past 2^31 events; the byte index itself bounds a staged
+    // stream at Int.MaxValue entries, enforced loudly in append)
+    @volatile private var publishedN: Long = initialN
+    /** Per-CONSUMER-GROUP progress watermarks (highest event index each
+      * group's RANGE requests have read past). Groups are REGISTERED up
+      * front: the flow-controlled producer paces against the SLOWEST
+      * registered group, so a fast consumer draining ahead can never let
+      * production outrun a slow one — the consumer-group contract a real
+      * broker's quota/pause machinery provides. An unregistered group name
+      * in a request merges into the anonymous group "".
       */
-    def maxServed: Int = maxServedN
-    def noteServed(upTo: Int): Unit =
-      if (upTo > maxServedN) synchronized {
-        if (upTo > maxServedN) maxServedN = upTo
-      }
-    def append(offset: Long): Unit = synchronized { index += offset }
-    def publishAll(): Unit = synchronized { publishedN = index.length - 1 }
+    private val registered: Seq[String] =
+      if (groups.isEmpty) Seq("") else groups
+    private val served = scala.collection.concurrent.TrieMap[String, Long](
+      registered.map(_ -> 0L): _*)
+    def published: Long = publishedN
+    /** The SLOWEST registered group's watermark — what flow control keys on. */
+    def minServed: Long = registered.map(g => served.getOrElse(g, 0L)).min
+    /** One group's watermark (spec/diagnostic surface: `SERVED <group>`). */
+    def servedOf(group: String): Long =
+      served.getOrElse(normalize(group), 0L)
+    /** Requests naming an unregistered group merge into the anonymous
+      * group "" when one is registered (single-consumer back-compat);
+      * otherwise they are tracked under their own name but never pace
+      * production (only registered groups do).
+      */
+    private def normalize(group: String): String =
+      if (served.contains(group) || !served.contains("")) group else ""
+    def noteServed(group: String, upTo: Long): Unit = {
+      val g = normalize(group)
+      served.updateWith(g)(cur => Some(math.max(cur.getOrElse(0L), upTo)))
+    }
+    def append(offset: Long): Unit = synchronized {
+      require(index.length <= Int.MaxValue - 1,
+        "replay staging is index-bounded at Int.MaxValue events")
+      index += offset
+    }
+    def publishAll(): Unit = synchronized { publishedN = index.length - 1L }
     /** Byte offsets of events [a, b] — only valid for a,b ≤ published. */
-    def offsets(a: Int, b: Int): (Long, Long) = synchronized {
-      (index(a), index(b))
+    def offsets(a: Long, b: Long): (Long, Long) = synchronized {
+      (index(a.toInt), index(b.toInt))
     }
   }
 
@@ -109,7 +136,7 @@ object ReplayServer {
       }
     } finally out.close()
     val n = index.length - 1
-    listen(staged, new StageState(index.toSeq, n), n.toLong)
+    listen(staged, new StageState(index.toSeq, n.toLong, Seq("")), n.toLong)
   }
 
   /** ARRIVAL-DRIVEN variant (r11 verdict item 6): the stream's end does
@@ -125,13 +152,20 @@ object ReplayServer {
     * a bounded-buffer producer, which is what turns "the kill lands while
     * the tail is still being produced" from a host-speed race into a
     * structural guarantee when the consumer is slow (the Q3 IVM folds).
+    *
+    * `groups` pre-registers the CONSUMER GROUPS that will read this broker
+    * (default: one anonymous group). With several, flow control keys on
+    * the SLOWEST group's watermark — two concurrent queries with
+    * independent offset progress share one broker, and the fast one can
+    * never let production outrun the slow one (r12 verdict item 4).
     */
   def serveGrowing(lines: DataFrame, chunks: Int = 32,
                    intervalMs: Long = 150L,
-                   maxAheadChunks: Int = 0): Handle = {
+                   maxAheadChunks: Int = 0,
+                   groups: Seq[String] = Seq("")): Handle = {
     val expected = lines.count()
     val staged = Files.createTempFile("graft-replay-grow", ".txt")
-    val st = new StageState(Seq(0L), 0)
+    val st = new StageState(Seq(0L), 0L, groups)
     val h = listen(staged, st, expected)
     val chunkSize = math.max(1L, expected / math.max(1, chunks))
     // `maxAheadChunks > 0` adds BACKPRESSURE flow control: after each
@@ -159,8 +193,9 @@ object ReplayServer {
             st.publishAll()
             inChunk = 0
             Thread.sleep(intervalMs)
+            // paced against the SLOWEST registered consumer group
             while (maxAheadChunks > 0 && !h.server.isClosed &&
-                   st.published.toLong - st.maxServed > maxAheadChunks * chunkSize)
+                   st.published - st.minServed > maxAheadChunks * chunkSize)
               Thread.sleep(10)
           }
         }
@@ -204,9 +239,12 @@ object ReplayServer {
       req.split("\\s+").toSeq match {
         case Seq("COUNT") =>
           out.write(s"$n\n".getBytes(StandardCharsets.UTF_8))
-        case Seq("RANGE", from, to) =>
-          val a = math.max(0L, from.toLong).min(n.toLong).toInt
-          val b = math.max(a.toLong, to.toLong).min(n.toLong).toInt
+        case Seq("SERVED", group) => // a group's progress watermark (specs)
+          out.write(s"${st.servedOf(group)}\n".getBytes(StandardCharsets.UTF_8))
+        case "RANGE" +: from +: to +: rest if rest.size <= 1 =>
+          val group = rest.headOption.getOrElse("")
+          val a = math.max(0L, from.toLong).min(n)
+          val b = math.max(a, to.toLong).min(n)
           if (b > a) {
             val (offA, offB) = st.offsets(a, b)
             val raf = new RandomAccessFile(staged.toFile, "r")
@@ -220,7 +258,7 @@ object ReplayServer {
                 else { out.write(buf, 0, got); remaining -= got }
               }
             } finally raf.close()
-            st.noteServed(b) // consumer progress watermark (flow control)
+            st.noteServed(group, b) // group progress watermark (flow control)
           }
         case _ => () // unknown request: close with no payload
       }
@@ -235,12 +273,14 @@ object ReplayServer {
     * socket and leave a server worker blocked writing to it — ADVICE r11),
     * not only at natural exhaustion.
     */
-  final class Fetch(host: String, port: Int, from: Long, to: Long)
+  final class Fetch(host: String, port: Int, from: Long, to: Long,
+                    group: String = "")
       extends Iterator[String] with AutoCloseable {
     private val sock = new Socket(host, port)
     private val in = {
       val out = sock.getOutputStream
-      out.write(s"RANGE $from $to\n".getBytes(StandardCharsets.UTF_8))
+      val g = if (group.isEmpty) "" else s" $group"
+      out.write(s"RANGE $from $to$g\n".getBytes(StandardCharsets.UTF_8))
       out.flush()
       new BufferedReader(new InputStreamReader(
         sock.getInputStream, StandardCharsets.UTF_8))
@@ -261,18 +301,25 @@ object ReplayServer {
   /** Shared by the partition reader and specs (re-fetching a range twice
     * MUST return identical lines).
     */
-  def fetch(host: String, port: Int, from: Long, to: Long): Fetch =
-    new Fetch(host, port, from, to)
+  def fetch(host: String, port: Int, from: Long, to: Long,
+            group: String = ""): Fetch =
+    new Fetch(host, port, from, to, group)
 
-  def count(host: String, port: Int): Long = {
+  private def oneLine(host: String, port: Int, req: String): Long = {
     val sock = new Socket(host, port)
     try {
-      sock.getOutputStream.write("COUNT\n".getBytes(StandardCharsets.UTF_8))
+      sock.getOutputStream.write(s"$req\n".getBytes(StandardCharsets.UTF_8))
       sock.getOutputStream.flush()
       new BufferedReader(new InputStreamReader(
         sock.getInputStream, StandardCharsets.UTF_8)).readLine().trim.toLong
     } finally sock.close()
   }
+
+  def count(host: String, port: Int): Long = oneLine(host, port, "COUNT")
+
+  /** A consumer group's read watermark (spec/diagnostic surface). */
+  def servedOf(host: String, port: Int, group: String): Long =
+    oneLine(host, port, s"SERVED $group")
 }
 
 /** Event-sequence-number offset (json = the number). */
@@ -324,24 +371,25 @@ class ReplayTable(tableSchema: StructType) extends Table with SupportsRead {
     val minBatchSize = Option(options.get("minbatchsize")).map(_.toLong).getOrElse(1L)
     val maxTriggerDelayMs =
       Option(options.get("maxtriggerdelayms")).map(_.toLong).getOrElse(500L)
+    val group = Option(options.get("group")).getOrElse("")
     () => new ReplayScan(host, port, batchSize, splits, includeOffset,
-      minBatchSize, maxTriggerDelayMs)
+      minBatchSize, maxTriggerDelayMs, group)
   }
 }
 
 class ReplayScan(host: String, port: Int, batchSize: Long, splits: Int,
                  includeOffset: Boolean = false, minBatchSize: Long = 1L,
-                 maxTriggerDelayMs: Long = 500L)
+                 maxTriggerDelayMs: Long = 500L, group: String = "")
     extends Scan {
   override def readSchema(): StructType = ReplayProvider.schemaFor(includeOffset)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ReplayStream(host, port, batchSize, splits, includeOffset,
-      minBatchSize, maxTriggerDelayMs)
+      minBatchSize, maxTriggerDelayMs, group)
 }
 
 class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int,
                    includeOffset: Boolean = false, minBatchSize: Long = 1L,
-                   maxTriggerDelayMs: Long = 500L)
+                   maxTriggerDelayMs: Long = 500L, group: String = "")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // the server's COUNT is POLLED per admission decision, never cached:
@@ -399,8 +447,8 @@ class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int,
     (0 until k).map { i =>
       val from = a + (b - a) * i / k
       val to = a + (b - a) * (i + 1) / k
-      ReplayRange(host, port, from, to): InputPartition
-    }.filter { case ReplayRange(_, _, f, t) => t > f }.toArray
+      ReplayRange(host, port, from, to, group): InputPartition
+    }.filter { case ReplayRange(_, _, f, t, _) => t > f }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -411,15 +459,16 @@ class ReplayStream(host: String, port: Int, batchSize: Long, splits: Int,
   override def stop(): Unit = ()
 }
 
-final case class ReplayRange(host: String, port: Int, from: Long, to: Long)
+final case class ReplayRange(host: String, port: Int, from: Long, to: Long,
+                             group: String = "")
     extends InputPartition
 
 class ReplayReaderFactory(includeOffset: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ReplayRange(host, port, from, to) = partition: @unchecked
+    val ReplayRange(host, port, from, to, group) = partition: @unchecked
     new PartitionReader[InternalRow] {
-      private val it = ReplayServer.fetch(host, port, from, to)
+      private val it = ReplayServer.fetch(host, port, from, to, group)
       private var row: InternalRow = _
       private var served = 0L
       override def next(): Boolean =

@@ -422,6 +422,9 @@ object IncrementalQ3 {
     def spill(root: String, name: String, key: String,
               cons: DataFrame => DataFrame,
               state: DataFrame, delta: DataFrame): DataFrame = {
+      // WRITE path: first spill pins the root to the session default
+      // (atomic create — ADVICE r12); read/cleanup paths never pin
+      SpillFormat.ensurePinned(root)
       val dirty = dirtySince(name)
       st.spillMeta match {
         case Some(meta) if meta.root == root && dirty.size < bucketN =>

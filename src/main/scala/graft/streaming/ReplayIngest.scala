@@ -163,24 +163,26 @@ object ReplayIngest {
 
   // --- the full production composition: replay → IVM fold → kill → resume
 
-  /** Atomic per-query progress file `(lastCountedBatchId, cumulativeEvents)`
-    * — the kill trigger and the drain monitor for [[q3ReplayResume]].
-    * Counted with the same exactly-once discipline as the fold (skip by
-    * batch id), but on its OWN id watermark: a crash between the state
-    * snapshot flip and this counter's write re-delivers a batch the FOLD
-    * skips while the COUNTER still takes it — each side exactly once.
+  /** Atomic per-query progress file `(lastCountedBatchId,
+    * cumulativeEvents, cumulativeDeletes)` — the kill trigger and the
+    * drain monitor for [[q3ReplayResume]]. Counted with the same
+    * exactly-once discipline as the fold (skip by batch id), but on its
+    * OWN id watermark: a crash between the state snapshot flip and this
+    * counter's write re-delivers a batch the FOLD skips while the COUNTER
+    * still takes it — each side exactly once. The delete count is what
+    * pins the full-cycle kill to the TEARDOWN phase structurally.
     */
-  private def loadProgress(path: String): (Long, Long) =
-    if (!Files.exists(Paths.get(path))) (-1L, 0L)
+  private def loadProgress(path: String): (Long, Long, Long) =
+    if (!Files.exists(Paths.get(path))) (-1L, 0L, 0L)
     else {
-      val Array(id, cum) = new String(Files.readAllBytes(Paths.get(path)),
+      val Array(id, cum, dels) = new String(Files.readAllBytes(Paths.get(path)),
         StandardCharsets.UTF_8).trim.split("\\|")
-      (id.toLong, cum.toLong)
+      (id.toLong, cum.toLong, dels.toLong)
     }
 
-  private def saveProgress(path: String, id: Long, cum: Long): Unit = {
+  private def saveProgress(path: String, id: Long, cum: Long, dels: Long): Unit = {
     val tmp = Paths.get(path + ".tmp")
-    Files.write(tmp, s"$id|$cum".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, s"$id|$cum|$dels".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(path),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -214,8 +216,39 @@ object ReplayIngest {
     * so the oracle match IS the exactly-once proof over the full fold,
     * not just the counts grain ([[replayExactlyOnce]]).
     */
-  def q3ReplayResume(spark: SparkSession, dir: String): DataFrame = {
-    val ordered = Changelog.generate(spark, dir, insertOnly = true)
+  def q3ReplayResume(spark: SparkSession, dir: String): DataFrame =
+    q3ReplayRun(spark, dir, fullCycle = false)
+
+  /** `stream_q3_replay_resume_cycle` — RETRACTION THROUGH RECOVERY, the
+    * r12 verdict's top item: the same replay transport × spilled IVM fold
+    * × delta snapshots composition as [[q3ReplayResume]], but over the
+    * FULL insert+delete changelog (capacity-windowed at nL/4 so deletes
+    * interleave from early on, the `stream_q3_spilled` shape), with the
+    * KILL PINNED TO THE TEARDOWN: phase A is stopped only after the
+    * progress counter has seen deletes folded (structural `require`, not
+    * timing) and while deletes remain unfolded — so the resume crosses a
+    * snapshot/offset boundary with retraction state in flight on BOTH
+    * sides. Every prior resume proof was insert-only; sign-handling bugs
+    * across a snapshot boundary are precisely where IVM resume breaks.
+    *
+    * The converged answer is EXACTLY EMPTY (every insert is eventually
+    * retracted; exact-decimal ± pairs cancel to 0, not ≈0) — with the
+    * transport's exactly-once count pinned separately, a lost DELETE
+    * batch leaves positive residue, a lost INSERT batch negative residue,
+    * a double-applied one either sign: the empty oracle plus the count
+    * equality IS the retraction-through-recovery proof.
+    */
+  def q3ReplayResumeCycle(spark: SparkSession, dir: String): DataFrame =
+    q3ReplayRun(spark, dir, fullCycle = true)
+
+  private def q3ReplayRun(spark: SparkSession, dir: String,
+                          fullCycle: Boolean): DataFrame = {
+    val events =
+      if (fullCycle) {
+        val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+        Changelog.generate(spark, dir, capacity = Some(math.max(1L, nL / 4)))
+      } else Changelog.generate(spark, dir, insertOnly = true)
+    val ordered = events
       .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
     // ARRIVAL-DRIVEN broker, like [[replayExactlyOnce]] — but the Q3 fold
     // consumes far slower than the counts grain, so time pacing alone
@@ -279,10 +312,15 @@ object ReplayIngest {
               } // else: already folded into the loaded snapshot — skipped
               // drain/kill monitor, exactly-once on its own id watermark
               // (the replay source re-delivers the identical range, so the
-              // re-count equals the original)
-              val (lastCounted, cum) = loadProgress(progressFile)
-              if (id > lastCounted)
-                saveProgress(progressFile, id, cum + pinned.count())
+              // re-count equals the original). ONE job for both statistics
+              val (lastCounted, cum, dels) = loadProgress(progressFile)
+              if (id > lastCounted) {
+                val s = pinned.agg(count(lit(1)).as("n"),
+                  sum(when(substring(col("value"), 1, 1) === "-", 1L)
+                    .otherwise(0L)).as("d")).head()
+                saveProgress(progressFile, id, cum + s.getLong(0),
+                  dels + (if (s.isNullAt(1)) 0L else s.getLong(1)))
+              }
             } finally pinned.unpersist(blocking = false)
             if (java.lang.Boolean.getBoolean("graft.replay.debug"))
               System.err.println(f"[replay-q3] batch $id: " +
@@ -291,6 +329,7 @@ object ReplayIngest {
           .start()
       }
       def seen(): Long = loadProgress(progressFile)._2
+      def deletesSeen(): Long = loadProgress(progressFile)._3
       def await(target: Long, q: org.apache.spark.sql.streaming.StreamingQuery,
                 what: String): Unit = {
         val deadline = System.nanoTime() +
@@ -301,10 +340,15 @@ object ReplayIngest {
           s"$what: saw ${seen()} of $target events before timeout " +
             s"(query active: ${q.isActive})")
       }
-      // phase A: fold ~a third, then KILL mid-stream
+      // phase A: fold ~a third (insert-only) or ~two thirds (full cycle —
+      // deep enough into the teardown that deletes are folded on both
+      // sides of the kill), then KILL mid-stream
+      val killTarget = if (fullCycle) 2 * expected / 3 else expected / 3
+      // every row's insert is eventually retracted, one delete per insert
+      val totalDeletes = if (fullCycle) expected / 2 else 0L
       val qa = startQuery()
       try {
-        await(expected / 3, qa, "phase A")
+        await(killTarget, qa, "phase A")
         // captured BEFORE the stop (stop itself takes time): the kill must
         // land while the tail is still being produced, or the growing-
         // stream composition went unexercised
@@ -317,11 +361,26 @@ object ReplayIngest {
       require(afterKill < expected,
         "the kill must land mid-stream or the resume proves nothing " +
           s"(saw $afterKill of $expected before restart)")
+      if (fullCycle) {
+        // the DELETE-phase pin (structural, from the exactly-once counter,
+        // not timing): retraction must already be folded into the killed
+        // state AND retraction must remain for the resumed fold
+        val deletesAtKill = deletesSeen()
+        require(deletesAtKill > 0,
+          "full-cycle kill landed before any delete was folded — " +
+            "retraction never crossed the snapshot boundary")
+        require(deletesAtKill < totalDeletes,
+          s"full-cycle kill landed after the teardown finished " +
+            s"($deletesAtKill of $totalDeletes deletes) — nothing left " +
+            "to retract after the resume")
+      }
       // phase B: restart from checkpoint + snapshot, drain to the end
       val qb = startQuery()
       try await(expected, qb, "phase B (post-resume)") finally qb.stop()
       require(seen() == expected,
         s"exactly-once violated at the transport: ${seen()} != $expected")
+      if (fullCycle) require(deletesSeen() == totalDeletes,
+        s"exactly-once violated on the delete half: ${deletesSeen()} != $totalDeletes")
       val fin = Snapshots.loadLatest(spark, snapDir)
         .getOrElse(sys.error("no snapshot after drain")) ._1
       require(fin.spillHistory.nonEmpty,

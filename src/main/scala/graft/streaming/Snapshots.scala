@@ -33,6 +33,12 @@ object Snapshots {
     * rewrite (correct, just not incremental once), then tracking resumes.
     */
   def save(st: IncrementalQ3.State, dir: String): Unit = {
+    // Clear any stale DELTA-form residue first (ADVICE r12): a crash
+    // between a delta snapshot's DELTA write and its LATEST flip leaves
+    // the marker + pending_* dirs behind; overwriting the dir with the
+    // FULL form must not leave them, or the next loadLatest would
+    // dispatch on the stale marker and load the wrong state.
+    clearDeltaResidue(dir)
     val parts = baseParts ++ st.aggsRaw.indices.map(IncrementalQ3.aggName)
     parts.zip(st.all).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$name")
@@ -90,6 +96,20 @@ object Snapshots {
   // so a crash mid-save leaves LATEST at the previous consistent snapshot.
   // Snapshots older than LATEST are pruned after the flip — at any moment
   // at most two live on disk (the one being written + the last good one).
+
+  /** Remove a snapshot dir's DELTA marker and pending_* payload dirs —
+    * the parts of the delta form a full [[save]] does not overwrite.
+    */
+  private def clearDeltaResidue(dir: String): Unit = {
+    val base = Paths.get(dir)
+    if (Files.isDirectory(base)) {
+      Files.deleteIfExists(base.resolve("DELTA"))
+      val ds = Files.list(base)
+      try ds.filter(_.getFileName.toString.startsWith("pending_"))
+        .forEach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      finally ds.close()
+    }
+  }
 
   /** Persist the post-batch state and advance the LATEST pointer. */
   def saveBatch(st: IncrementalQ3.State, dir: String, batchId: Long): Unit = {
@@ -157,6 +177,10 @@ object Snapshots {
                              meta: IncrementalQ3.SpillMeta,
                              dir: String, batchId: Long): Unit = {
     val d = s"$dir/b$batchId"
+    // a crashed earlier attempt at this same id leaves a partial dir —
+    // start clean so hard-link targets and markers can't be stale (ADVICE
+    // r12; the prev dir is b(id−1), so nuking b(id) orphans nothing)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
     Files.createDirectories(Paths.get(d))
     val prev = s"$dir/b${batchId - 1}"
     val counts = st.names.map { name =>

@@ -82,28 +82,62 @@ object SpillFormat {
     byName(sys.props.getOrElse("graft.ivm.spill.format", "parquet").trim)
 
   /** The format BOUND TO a spill root: the root's `FORMAT` marker if
-    * present, else the session default — which is then PINNED by writing
-    * the marker. Formats do not read each other's layouts, so the
-    * binding must hold for the root's whole life; the marker makes that
-    * structural: every later operation — including a RESUME in a process
-    * whose session default differs — reads the layout the root was
-    * created with, and a spec that wants the non-default format pins a
-    * fresh root ([[pin]]) instead of mutating the global property.
+    * present, else the session default. Formats do not read each other's
+    * layouts, so the binding must hold for the root's whole life; the
+    * marker makes that structural: every later operation — including a
+    * RESUME in a process whose session default differs — reads the layout
+    * the root was created with, and a spec that wants the non-default
+    * format pins a fresh root ([[pin]]) instead of mutating the global
+    * property.
+    *
+    * READ-ONLY (ADVICE r12): resolving a root never writes the marker —
+    * cleanup/read paths on a never-spilled root must not create the
+    * directory as a side effect. Write paths pin via [[ensurePinned]].
     */
   def forRoot(root: String): SpillFormat = {
     val marker = java.nio.file.Paths.get(root, "FORMAT")
     if (java.nio.file.Files.exists(marker))
       byName(new String(java.nio.file.Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8).trim)
-    else { val f = active; pin(root, f.name); f }
+    else active
   }
 
-  /** Bind `root` to the named format (validated) before first use. */
+  /** The WRITE-path resolution: pin the session default under `root` if no
+    * marker exists yet, atomically (`CREATE_NEW` — two concurrent folds
+    * first-touching a shared root race to create it, the loser re-reads
+    * the winner's marker), then resolve. Only a spill WRITE calls this;
+    * read/cleanup paths use [[forRoot]] and leave absent roots untouched.
+    */
+  def ensurePinned(root: String): SpillFormat = {
+    val marker = java.nio.file.Paths.get(root, "FORMAT")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      try java.nio.file.Files.write(marker,
+        active.name.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    forRoot(root)
+  }
+
+  /** Bind `root` to the named format (validated) before first use. A root
+    * already pinned to a DIFFERENT format refuses loudly — repinning would
+    * orphan the existing layout.
+    */
   def pin(root: String, name: String): Unit = {
     byName(name) // validate before writing
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    java.nio.file.Files.write(java.nio.file.Paths.get(root, "FORMAT"),
-      name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val marker = java.nio.file.Paths.get(root, "FORMAT")
+    if (java.nio.file.Files.exists(marker)) {
+      val existing = new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(existing == name,
+        s"spill root $root is already pinned to '$existing', not '$name'")
+    } else {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      java.nio.file.Files.write(marker,
+        name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 }
 

@@ -176,9 +176,26 @@ object StreamQueries {
     * nothing, so that is a loud failure. Converged answer: exactly empty,
     * reconstructed THROUGH two generations of bucketed-table state.
     */
-  def q3SpilledCycle(spark: SparkSession, dir: String): DataFrame = {
+  def q3SpilledCycle(spark: SparkSession, dir: String): DataFrame =
+    q3SpilledCycle(spark, dir, format = None)
+
+  /** The SAME full-±-cycle spilled fold, FORMAT-pinned to the mergelog
+    * (manifest + immutable-file-pool) implementation — the r12 verdict's
+    * item 3: the contract spec proves the [[SpillFormat]] seam's algebra
+    * for both formats, but only a driver-oracle-gated full cycle proves
+    * the second format under real compaction cadence, version GC, and the
+    * exact-cancellation contract. Identical oracle to `stream_q3_spilled`.
+    */
+  def q3SpilledCycleMergelog(spark: SparkSession, dir: String): DataFrame =
+    q3SpilledCycle(spark, dir, format = Some("mergelog"))
+
+  private def q3SpilledCycle(spark: SparkSession, dir: String,
+                             format: Option[String]): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-spill-q").toString
+    // bind the fresh root to the requested format BEFORE first spill —
+    // thereafter every write/read/GC resolves through the root's marker
+    format.foreach(SpillFormat.pin(root, _))
     try {
       // the spill root is THREADED as a parameter (ADVICE r10): mutating
       // the process-global graft.ivm.spill.dir here would silently flip
