@@ -85,11 +85,13 @@ object Bench {
     val memoRead = Set("stream_q3_prefix_snapshot", "stream_q3_converged",
       "stream_agg_priority")
     val foldMemoized = Set("stream_q3_full_cycle", "stream_agg_orderdate")
-    // stream_socket_ingest is wall-clock TRIGGER CADENCE of the socket
-    // transport, not engine work — kept in the record (the pacing number
-    // is real and useful) but excluded from the headline total and from
-    // contention arithmetic (its duration is pacing-invariant).
-    val pacedQueries = Set("stream_socket_ingest")
+    // Queries whose duration is wall-clock pacing rather than engine work
+    // are kept in the record but excluded from the headline total and
+    // from contention arithmetic. Empty since r13: stream_socket_ingest
+    // (the only member) is retired to spec-only — the socket transport
+    // is the reference-parity demo, the replay DSv2 sources the scale
+    // path. The mechanism stays for future cadence-bound entries.
+    val pacedQueries = Set.empty[String]
     def remeasure(name: String): Double = {
       if (foldMemoized(name)) streaming.StreamQueries.invalidateFold(spark)
       val sec = timed(name, SparkEntry.queries(name))
@@ -105,10 +107,9 @@ object Bench {
     // below makes its measurement a genuine execution regardless.
     // SPARK_GRAFT_SKIP: comma-separated query names to leave out of this
     // run entirely — recorded in the JSON as "skipped" so the record
-    // never silently reads as full-surface. For the SF-N sweep, where
-    // stream_socket_ingest COMPLETES at its documented ~700 ev/s toy-
-    // transport ceiling (≈51 min at 15.3M events; excluded from the
-    // headline anyway), skipping it buys the whole wall-clock back.
+    // never silently reads as full-surface. No standing member since r13
+    // (stream_socket_ingest, the one entry that needed it at 10×, is
+    // retired to spec-only); kept as the honest escape hatch.
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)

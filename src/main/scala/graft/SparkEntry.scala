@@ -69,7 +69,12 @@ object SparkEntry {
     "sink_json_contract" -> (Relational.sinkJsonContract _),
     // --- §2.8 changelog streaming (signed-weight incremental Q3) ---
     "changelog_counts" -> (streaming.StreamQueries.changelogCounts _),
-    "stream_socket_ingest" -> (streaming.SocketIngest.socketChangelogCounts _),
+    // NOTE: the plain-socket transport (SocketIngest) is RETIRED to
+    // spec-only as of r13 (SocketIngestSpec still folds it end-to-end):
+    // it is the reference-parity demo path, at-most-once and single-
+    // connection by Spark's socket source contract, with a documented
+    // ~700 ev/s ceiling — the replayable DSv2 sources below are the
+    // scale path (36× faster on the same events, exactly-once).
     // exactly-once over the REPLAYABLE transport: DSv2 offset source,
     // killed mid-stream and resumed from its checkpoint
     "stream_replay_exactly_once" -> (streaming.ReplayIngest.replayExactlyOnce _),
@@ -83,6 +88,12 @@ object SparkEntry {
     // state in flight on both sides
     "stream_q3_replay_resume_cycle" ->
       (streaming.ReplayIngest.q3ReplayResumeCycle _),
+    // CONSUMER GROUPS: the Q3 fold and the counts grain as two concurrent
+    // queries over ONE growing broker, independent checkpointed offsets,
+    // flow control keyed to the slowest group's watermark (pinned
+    // structurally: production must not finish before the slow fold
+    // reaches a third)
+    "stream_q3_two_consumers" -> (streaming.ReplayIngest.q3TwoConsumers _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
@@ -116,6 +127,13 @@ object SparkEntry {
     // ON-TIME LINEITEM's rank, not the single-log watermark
     "stream_q3_event_time_partitioned" ->
       (streaming.EventTimePartitioned.q3EventTimePartitioned _),
+    // LATENESS UNDER RETRACTION: the full ± cycle with late DELETES —
+    // late insert dropped + tombstoned, late delete of an applied insert
+    // still retracts, late delete of a tombstoned insert dropped; a row
+    // and its retraction share one fate, so the converged state is
+    // exactly empty (live_groups = 0) and all four totals close-form
+    "stream_q3_event_time_cycle" ->
+      (streaming.StreamQueries.q3EventTimeCycle _),
     "stream_agg_extrema" -> (streaming.StreamQueries.priorityExtremaConverged _),
     "agg_cm_frequencies" -> (operators.Sketches.cmFrequencyBound _),
     "stream_cm_frequencies" -> ((s, d) => streaming.StreamingCm.streamCmFrequencies(s, d)),
@@ -644,17 +662,6 @@ object SparkEntry {
         |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
         |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
         |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
-    // the socket-served changelog must accumulate to the identical totals
-    // — a sum of per-batch counts is batching-invariant, so the unbounded
-    // transport shares the file path's oracle verbatim
-    "stream_socket_ingest" ->
-      """SELECT relation, action, n FROM (
-        |  SELECT 'customer' AS relation, 'Insert' AS action, COUNT(*) AS n FROM customer
-        |  UNION ALL SELECT 'customer', 'Delete', COUNT(*) FROM customer
-        |  UNION ALL SELECT 'orders', 'Insert', COUNT(*) FROM orders
-        |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
-        |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
-        |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
     // the killed-and-resumed replay-fed IVM fold must converge to the SAME
     // batch Q3 top-20: a lost batch loses revenue, a double-applied one
     // doubles it — the oracle match IS the end-to-end exactly-once proof
@@ -684,6 +691,27 @@ object SparkEntry {
         |       CAST(NULL AS VARCHAR) AS o_orderpriority,
         |       CAST(NULL AS DOUBLE) AS revenue
         |WHERE 1 = 0""".stripMargin,
+    // two consumer groups off one broker: the fold group must land the
+    // batch Q3 top-20, the counts group the exact event total — each
+    // oracle-exact only if ITS offsets lost and double-applied nothing
+    "stream_q3_two_consumers" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       (SELECT (SELECT COUNT(*) FROM customer)
+        |             + (SELECT COUNT(*) FROM orders)
+        |             + (SELECT COUNT(*) FROM lineitem)) AS ingest_events
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
     "stream_q3_converged" ->
       """SELECT l_orderkey,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
@@ -744,6 +772,27 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 20""".stripMargin,
+    // Lateness under retraction, all four totals in closed form: both
+    // injection classes restrict to rank < nL (every deferred event
+    // provably late), class %10=3 defers insert+delete (both dropped:
+    // tombstone rule), class %10=7 defers the delete only (applied
+    // late); the converged state must be exactly empty.
+    "stream_q3_event_time_cycle" ->
+      """WITH li AS (SELECT l_orderkey,
+        |       row_number() OVER (ORDER BY l_orderkey, l_partkey,
+        |           l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |           l_discount, l_tax, l_returnflag, l_linestatus,
+        |           l_shipdate) AS rk,
+        |       count(*) OVER () AS nl
+        |     FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM li WHERE l_orderkey % 10 = 3 AND rk < nl)
+        |    AS dropped_late_inserts,
+        |  (SELECT count(*) FROM li WHERE l_orderkey % 10 = 3 AND rk < nl)
+        |    AS dropped_late_deletes,
+        |  (SELECT count(*) FROM li WHERE l_orderkey % 10 = 7 AND rk < nl)
+        |    AS late_applied_deletes,
+        |  CAST(0 AS BIGINT) AS live_groups""".stripMargin,
     // The mid-stream state, reconstructed in SQL from the generator's
     // closed-form trigger arithmetic: at prefix boundary T = ceil(4·nL/3)
     // (end of batch 2 of 3, capacity = nL) every insert has fired and the

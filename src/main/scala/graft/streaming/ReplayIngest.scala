@@ -241,6 +241,144 @@ object ReplayIngest {
   def q3ReplayResumeCycle(spark: SparkSession, dir: String): DataFrame =
     q3ReplayRun(spark, dir, fullCycle = true)
 
+  /** `stream_q3_two_consumers` — TWO CONSUMER GROUPS, ONE BROKER (r12
+    * verdict item 4): the Q3 IVM fold and the per-(relation,action)
+    * counts grain run as two CONCURRENT streaming queries over a single
+    * growing [[ReplayServer]], each with its own checkpointed offsets and
+    * its own cadence (different batch sizes), with the broker's
+    * backpressure flow control keyed to the SLOWEST group's read
+    * watermark. The multi-grain fold already proved multi-query IVM off
+    * one ΔJ; this is the transport-side dual — consumer groups, the last
+    * broker behavior the DSv2 seam hid.
+    *
+    * The min-keying is pinned STRUCTURALLY, not by timing: once the slow
+    * fold has consumed a third of the stream, the staged count must still
+    * be short of the end. The fast counts consumer stays at most one
+    * admission behind the published watermark throughout, so if flow
+    * control keyed to the fastest (or max) group, production would have
+    * raced to the end long before the fold reached a third; keyed to the
+    * min it is bounded by foldWatermark + maxAheadChunks·chunk < end on
+    * ANY host. Both queries then drain and must land their own oracles:
+    * the fold the batch Q3 top-20, the counts grain the exact event
+    * total, carried as a constant column.
+    */
+  def q3TwoConsumers(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = Changelog.generate(spark, dir, insertOnly = true)
+      .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
+    val handle = ReplayServer.serveGrowing(ordered,
+      chunks = 24, intervalMs = 10L, maxAheadChunks = 6,
+      groups = Seq("fold", "counts"))
+    val work = Files.createTempDirectory("graft-replay-2c").toString
+    val snapDir = s"$work/snap"
+    val progressFile = s"$work/progress"
+    val totalsFile = s"$work/totals"
+    try {
+      val expected = handle.expected
+      require(expected > 0, "empty changelog — nothing to replay")
+      val foldBatch = math.max(1L, expected / 6)
+      val countsBatch = math.max(1L, expected / 9)
+      def reader(group: String, batchSize: Long) = spark.readStream
+        .format(classOf[ReplayProvider].getName)
+        .option("host", "127.0.0.1").option("port", handle.port.toString)
+        .option("batchSize", batchSize.toString)
+        .option("minBatchSize", batchSize.toString)
+        .option("splits", "4")
+        .option("group", group)
+        .load()
+      // consumer group "fold": the Q3 IVM fold with snapshot-skip
+      // exactly-once (no kill here — kill/resume is q3ReplayResume's
+      // contract; this query's pillar is offset independence)
+      val resumed = Snapshots.loadLatest(spark, snapDir)
+      var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
+      var expectedBatch = resumed.fold(0L)(_._2 + 1)
+      val qFold = reader("fold", foldBatch).writeStream
+        .queryName(s"graft_2c_fold_${handle.port}")
+        .option("checkpointLocation", s"$work/ckpt_fold")
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val pinned = batch
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (id >= expectedBatch) {
+              require(id == expectedBatch,
+                s"batch $id delivered but IVM state is at $expectedBatch")
+              state = IncrementalQ3.step(state, pinned, spillDir = None)
+              Snapshots.saveBatchAuto(state, snapDir, id)
+              expectedBatch = id + 1
+            }
+            val (lastCounted, cum, dels) = loadProgress(progressFile)
+            if (id > lastCounted)
+              saveProgress(progressFile, id, cum + pinned.count(), dels)
+          } finally pinned.unpersist(blocking = false)
+        }
+        .start()
+      // consumer group "counts": the per-(relation, action) totals grain,
+      // same exactly-once fold as [[replayExactlyOnce]], its own offsets
+      val qCounts = reader("counts", countsBatch).writeStream
+        .queryName(s"graft_2c_counts_${handle.port}")
+        .option("checkpointLocation", s"$work/ckpt_counts")
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val st = load(totalsFile)
+          if (id > st.lastId) {
+            val rows = Changelog.parse(batch)
+              .select(
+                when(col("tag") === "CU", "customer")
+                  .when(col("tag") === "OR", "orders")
+                  .otherwise("lineitem").as("relation"),
+                when(col(ZSet.W) === 1, "Insert").otherwise("Delete").as("action"))
+              .groupBy("relation", "action").agg(count(lit(1)).as("n"))
+              .collect()
+            val merged = rows.foldLeft(st.totals) { (m, r) =>
+              val k = (r.getString(0), r.getString(1))
+              m.updated(k, m.getOrElse(k, 0L) + r.getLong(2))
+            }
+            save(totalsFile, TotalsState(id, merged))
+          }
+        }
+        .start()
+      def foldSeen(): Long = loadProgress(progressFile)._2
+      def countsSeen(): Long = load(totalsFile).totals.values.sum
+      try {
+        val deadline = System.nanoTime() +
+          (300L + 2 * expected / 20000L) * 1000000000L
+        // the min-keyed flow-control pin: when the SLOW consumer reaches
+        // a third, production must not have finished — max-keyed pacing
+        // (the fast counts group reads at the published edge throughout)
+        // would have raced production to the end well before this point
+        while (foldSeen() < expected / 3 && qFold.isActive &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        require(foldSeen() >= expected / 3,
+          s"fold consumer stalled: ${foldSeen()} of $expected")
+        val stagedAtProbe = ReplayServer.count("127.0.0.1", handle.port)
+        require(stagedAtProbe < expected,
+          "production outran the slow consumer group — flow control is " +
+            s"not keyed to the minimum watermark ($stagedAtProbe of " +
+            s"$expected staged at fold=${foldSeen()})")
+        // both groups drain to the end, independently
+        while ((foldSeen() < expected || countsSeen() < expected) &&
+               qFold.isActive && qCounts.isActive &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        require(foldSeen() == expected && countsSeen() == expected,
+          s"drain incomplete: fold=${foldSeen()} counts=${countsSeen()} " +
+            s"of $expected")
+      } finally { qFold.stop(); qCounts.stop() }
+      val fin = Snapshots.loadLatest(spark, snapDir)
+        .getOrElse(sys.error("no snapshot after drain"))._1
+      val top = IncrementalQ3.topN(fin)
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .withColumn("ingest_events", lit(countsSeen()))
+      val rows = top.collect().toIndexedSeq
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, top.schema)
+    } finally {
+      handle.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   private def q3ReplayRun(spark: SparkSession, dir: String,
                           fullCycle: Boolean): DataFrame = {
     val events =

@@ -241,8 +241,8 @@ object BucketedParquetSpill extends SpillFormat {
   * its essentials:
   *
   *  - DATA files are immutable per-bucket parquet under a shared pool
-  *    (`root/pool/<state>/v<writingVersion>/__bucket=<b>/…`) — a file,
-  *    once written, is never modified or renamed;
+  *    (`root/pool/<state>/v<writingVersion>/p…-b…parquet`) — a file, once
+  *    written, is never modified or renamed;
   *  - each version's manifest (`root/v<N>/<state>/MANIFEST`) lists
   *    `bucket|file` entries. A carry-forward compaction writes data files
   *    ONLY for the dirty buckets and re-points every clean bucket's
@@ -251,6 +251,20 @@ object BucketedParquetSpill extends SpillFormat {
   *    fewer filesystem assumption);
   *  - `drop` is reference-counted GC, the VACUUM shape: a data file is
   *    deleted only when no surviving manifest of that state references it.
+  *
+  * LISTING-FREE since r13 (r12 verdict item 6): the operation set is PUT /
+  * GET / one append-only log — never LIST, the object-store contract the
+  * real formats are built on. Data-file names are chosen BY THE WRITING
+  * TASKS (one file per bucket, `p<partition>-b<bucket>.parquet`) and
+  * reported back to the driver, which writes the manifest from the report
+  * — the Spark commit-protocol shape, not a post-write directory scan.
+  * Surviving-version discovery for GC reads the root's append-only `VLOG`
+  * (the `_delta_log` shape: entries are never removed; a fully-dropped
+  * version's manifests are simply absent and contribute no references).
+  * Task-retry note: file names are attempt-independent and opened in
+  * OVERWRITE mode — safe under retry-after-failure; a production adapter
+  * would use attempt-unique names + the commit protocol to also survive
+  * speculative duplicates (speculation is off in this harness).
   */
 object MergeLogSpill extends SpillFormat {
 
@@ -301,21 +315,79 @@ object MergeLogSpill extends SpillFormat {
     else spark.read.schema(schema)
       .parquet(files.map(f => Paths.get(root).resolve(f).toString): _*)
 
+  // --- the append-only version log (surviving-version discovery for GC) --
+
+  private def vlogPath(root: String): Path = Paths.get(root, "VLOG")
+
+  private def vlogVersions(root: String): Seq[Long] =
+    if (!Files.exists(vlogPath(root))) Seq.empty
+    else new String(Files.readAllBytes(vlogPath(root)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toIndexedSeq.flatMap(_.trim.toLongOption)
+
+  private def vlogAdd(root: String, version: Long): Unit =
+    if (!vlogVersions(root).contains(version)) {
+      Files.createDirectories(Paths.get(root))
+      Files.write(vlogPath(root),
+        s"$version\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+  /** One task's data-file writes: every row of `it` (last column is the
+    * precomputed bucket id) goes to this task's file for its bucket,
+    * named deterministically — the task KNOWS its files, so the driver
+    * never lists the pool. Returns the (bucket, fileName) pairs written.
+    */
+  private def writeTaskFiles(poolStr: String, ddl: String, pid: Int,
+                             it: Iterator[org.apache.spark.sql.Row])
+      : Iterator[(Int, String)] = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val msgType = MergeLogSchema.toMessageType(schema)
+    val factory = new SimpleGroupFactory(msgType)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writers = scala.collection.mutable.Map.empty[
+      Int, (org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group], String)]
+    try {
+      it.foreach { row =>
+        val b = row.getInt(row.length - 1)
+        val (w, _) = writers.getOrElseUpdate(b, {
+          val fn = f"p$pid%05d-b$b%05d.parquet"
+          val w = ExampleParquetWriter.builder(
+              new org.apache.hadoop.fs.Path(s"$poolStr/$fn"))
+            .withConf(conf).withType(msgType)
+            .withWriteMode(
+              org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+            .build()
+          (w, fn)
+        })
+        w.write(MergeLogSchema.toGroup(factory, schema, row))
+      }
+    } finally writers.values.foreach { case (w, _) => w.close() }
+    writers.iterator.map { case (b, (_, fn)) => b -> fn }.toVector.iterator
+  }
+
   override def write(spark: SparkSession, root: String, version: Long,
                      name: String, key: String, rows: DataFrame,
                      carry: Option[(Long, Set[Int])]): DataFrame = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val pool = poolDir(root, name, version)
-    rows.withColumn("__bucket", pmod(hash(col(key)), lit(buckets)).cast("int"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(pool.toString)
-    val fresh: Seq[(Int, String)] = for {
-      bdir <- Option(pool.toFile.listFiles()).getOrElse(Array.empty).toSeq
-      if bdir.getName.startsWith("__bucket=")
-      b = bdir.getName.stripPrefix("__bucket=").toInt
-      f <- Option(bdir.listFiles()).getOrElse(Array.empty).toSeq
-      if !f.getName.startsWith(".") && !f.getName.startsWith("_")
-    } yield b -> Paths.get(root).relativize(f.toPath).toString
+    Files.createDirectories(pool)
+    // one partition per bucket id (hash-repartition on the bucket value:
+    // each bucket's rows land in exactly one task), so each bucket gets
+    // exactly one immutable data file, written and NAMED by its task
+    val bucketed = rows
+      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)).cast("int"))
+      .repartition(buckets, col("__bucket"))
+    val poolStr = pool.toString
+    val ddl = rows.schema.toDDL
+    val fresh: Seq[(Int, String)] = bucketed.rdd
+      .mapPartitionsWithIndex((pid, it) => writeTaskFiles(poolStr, ddl, pid, it))
+      .collect().toIndexedSeq // ≤ one (bucket, file) pair per bucket
+      .map { case (b, fn) => b -> s"pool/$name/v$version/$fn" }
     // the MERGE: dirty buckets from the fresh write, every clean bucket
     // re-pointed at the previous version's files — metadata only
     val carried: Seq[(Int, String)] = carry match {
@@ -324,6 +396,7 @@ object MergeLogSpill extends SpillFormat {
           .filterNot { case (b, _) => dirty.contains(b) }
       case None => Seq.empty
     }
+    vlogAdd(root, version)
     writeManifest(root, version, name, fresh ++ carried)
     frameOf(spark, rows.schema, root, (fresh ++ carried).map(_._2))
   }
@@ -339,12 +412,13 @@ object MergeLogSpill extends SpillFormat {
   override def drop(spark: SparkSession, root: String, version: Long,
                     name: String): Unit = {
     // reference-counted GC: files this version references, minus files any
-    // OTHER surviving manifest of the same state still references
+    // OTHER surviving manifest of the same state still references.
+    // Candidate versions come from the append-only VLOG, never a listing;
+    // a version already fully dropped has no manifests left and so
+    // contributes no references (its stale VLOG entry is harmless — the
+    // real transaction logs are append-only for the same reason).
     val mine = readManifest(root, version, name).map(_._2).toSet
-    val survivors = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .flatMap(f => if (f.getName.startsWith("v"))
-        f.getName.stripPrefix("v").toLongOption else None)
+    val survivors = vlogVersions(root)
       .filter(_ != version)
       .flatMap(v => readManifest(root, v, name).map(_._2)).toSet
     (mine -- survivors).foreach { f =>
@@ -352,5 +426,84 @@ object MergeLogSpill extends SpillFormat {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(
       stateDir(root, version, name).toFile)
+  }
+}
+
+/** StructType ⇄ parquet-mr schema/Group conversion for [[MergeLogSpill]]'s
+  * task-side writers. Covers the spill-state type surface (long, int,
+  * double, string, date, decimal, boolean); anything else fails loudly.
+  * Decimals are FIXED_LEN_BYTE_ARRAY two's-complement (the encoding Spark
+  * both writes at precision > 18 and reads at any precision); dates are
+  * INT32 epoch days.
+  */
+private[streaming] object MergeLogSchema {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.spark.sql.types._
+
+  /** Minimum bytes holding any unscaled value of the given precision
+    * (exact BigInt arithmetic — a double comparison misrounds near the
+    * byte boundaries). Precision 38 → 16 bytes.
+    */
+  private[streaming] def decimalBytes(precision: Int): Int = {
+    require(precision >= 1 && precision <= 38,
+      s"decimal precision $precision out of range")
+    (1 to 16).find(n =>
+      BigInt(10).pow(precision) - 1 <= BigInt(2).pow(8 * n - 1) - 1).get
+  }
+
+  def toMessageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case DateType => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case d: DecimalType => b.addField(
+          Types.optional(FIXED_LEN_BYTE_ARRAY).length(decimalBytes(d.precision))
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name))
+        case other => sys.error(
+          s"mergelog spill: unsupported state column type $other (${f.name})")
+      }
+    }
+    b.named("graft_mergelog")
+  }
+
+  def toGroup(factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+              schema: StructType,
+              row: org.apache.spark.sql.Row): org.apache.parquet.example.data.Group = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType => g.add(i, row.getLong(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType => g.add(i, row.getString(i))
+        case DateType => g.add(i,
+          row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+        case d: DecimalType =>
+          val unscaled = row.getDecimal(i)
+            .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+            .unscaledValue()
+          val n = decimalBytes(d.precision)
+          val raw = unscaled.toByteArray // big-endian two's complement
+          val out = new Array[Byte](n)
+          // sign-extend into the fixed width
+          if (unscaled.signum() < 0) java.util.Arrays.fill(out, 0xFF.toByte)
+          System.arraycopy(raw, 0, out, n - raw.length, raw.length)
+          g.add(i, org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
+        case other => sys.error(s"mergelog spill: unsupported type $other")
+      }
+      i += 1
+    }
+    g
   }
 }

@@ -310,6 +310,117 @@ object StreamQueries {
     topAsStrings(st).withColumn("dropped_late", lit(dropped))
   }
 
+  /** EVENT-TIME LATENESS UNDER RETRACTION (r12 verdict item 7) — the
+    * full ± cycle with DELETES arriving late, which forces the question
+    * insert-only event time never asks: what does "drop late data" mean
+    * when the late datum is a retraction? Drop-and-count-everything
+    * double-counts revenue forever (the on-time insert stays in the
+    * state); retract-everything corrupts the state when the late
+    * delete's own insert was itself dropped (a −1 residue for a row the
+    * query never emitted). The policy gated here is the consistent one:
+    *
+    *  - a late INSERT is dropped and counted (its window is finalized) —
+    *    and leaves a TOMBSTONE;
+    *  - a late DELETE whose insert was APPLIED still retracts, counted
+    *    as `late_applied_deletes` (not retracting is the double-count);
+    *  - a late DELETE matching a tombstone — its insert was itself
+    *    dropped — is dropped and counted (retracting it would fabricate
+    *    a −1 row the state never held).
+    *
+    * So a row and its retraction share ONE fate, whatever the arrival
+    * pattern: both applied or both dropped — exactly the invariant that
+    * makes the converged full-cycle state EXACTLY EMPTY again.
+    *
+    * Lateness injection is deterministic and disjoint by class:
+    * lineitems with `l_orderkey % 10 == 3` defer BOTH events (insert
+    * dropped, delete tombstone-dropped); `% 10 == 7` defer the DELETE
+    * only (insert applied on time, delete applied late). Both classes
+    * restrict to insertion rank < nL so every deferred event is provably
+    * late (the on-time stream's final deletes always carry event time
+    * `nL + capacity`); the batch-boundary watermark coincides with the
+    * PREFIX watermark here because arrival order is a pure function of
+    * the stream (on-time events in event-time order, then the deferred
+    * tail), so the same closed-form DuckDB oracle gates any slicing.
+    * Output: one row of the four accounting totals, `live_groups = 0`
+    * being the exact-cancellation-through-lateness proof.
+    */
+  def q3EventTimeCycle(spark: SparkSession, dir: String): DataFrame =
+    q3EventTimeCycleK(spark, dir, K)
+
+  /** [[q3EventTimeCycle]] with the on-time batch count as a parameter —
+    * the spec pins the answer IDENTICAL under different slicings (the
+    * policy is per-event, so batching must not matter).
+    */
+  private[streaming] def q3EventTimeCycleK(spark: SparkSession, dir: String,
+                                           k: Int): DataFrame = {
+    val events = Changelog.generateCached(spark, dir) // full ± cycle, cap = nL
+    val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+    val fields = split(substring(col("line"), 5, Int.MaxValue), "\\|")
+    val isLI = substring(col("line"), 2, 2) === "LI"
+    val isDel = substring(col("line"), 1, 1) === "-"
+    val key = element_at(fields, 1).cast("long")
+    // idx IS the lineitem insertion rank (generator contract): rank < nL
+    // keeps the max-rank row's events on time, so EVERY deferred event is
+    // late under the final on-time watermark nL + cap = 2·nL
+    val defer = isLI && col("idx") < nL &&
+      (key % 10 === 3 || (key % 10 === 7 && isDel))
+    val withDef = events.withColumn("deferred", defer)
+    val onTime = withDef.filter(!col("deferred"))
+    val tMax = onTime.agg(max(col("t"))).head().getLong(0)
+    val batched = onTime.withColumn("batch",
+      least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
+    val arrivals: Seq[DataFrame] =
+      (0 until k).map(b => batched.filter(col("batch") === b).drop("batch")) :+
+        withDef.filter(col("deferred"))
+    val spark2 = spark; import spark2.implicits._
+    var wm = Long.MinValue
+    var droppedIns = 0L; var droppedDel = 0L; var lateApplied = 0L
+    // tombstones: bodies (line sans sign) of dropped late inserts — the
+    // set a late delete must check before retracting. DISTINCT is sound:
+    // identical rows share a key, hence a class, hence a fate.
+    var tombstones = Seq.empty[String].toDF("body")
+    var st = IncrementalQ3.init(spark)
+    arrivals.foreach { a =>
+      val aa = a.localCheckpoint()
+      val late = if (wm > Long.MinValue) aa.filter(col("t") < wm)
+                 else aa.filter(lit(false))
+      val lateIns = late.filter(!isDel)
+        .select(substring(col("line"), 2, Int.MaxValue).as("body"))
+        .distinct().localCheckpoint()
+      val nIns = lateIns.count()
+      if (nIns > 0) {
+        droppedIns += late.filter(!isDel).count()
+        tombstones = tombstones.unionByName(lateIns).localCheckpoint()
+      }
+      val lateDel = late.filter(isDel)
+        .withColumn("body", substring(col("line"), 2, Int.MaxValue))
+      val nLateDel = lateDel.count()
+      if (nLateDel > 0) {
+        val applied = lateDel.join(tombstones, Seq("body"), "left_anti")
+          .localCheckpoint()
+        val nApplied = applied.count()
+        droppedDel += nLateDel - nApplied
+        lateApplied += nApplied
+        st = IncrementalQ3.step(st,
+          aa.filter(col("t") >= wm).select("line")
+            .unionByName(applied.select("line")))
+      } else {
+        st = IncrementalQ3.step(st,
+          (if (wm > Long.MinValue) aa.filter(col("t") >= wm) else aa)
+            .select("line"))
+      }
+      val mx = aa.agg(max(col("t"))).head()
+      if (!mx.isNullAt(0)) wm = math.max(wm, mx.getLong(0))
+    }
+    require(droppedIns > 0 && lateApplied > 0 && droppedDel > 0,
+      s"event-time cycle: lateness injection degenerate (ins=$droppedIns, " +
+        s"del=$droppedDel, applied=$lateApplied) — the policy went untested")
+    val live = st.agg.count()
+    Seq((droppedIns, droppedDel, lateApplied, live))
+      .toDF("dropped_late_inserts", "dropped_late_deletes",
+        "late_applied_deletes", "live_groups")
+  }
+
   /** RETRACTION FOR NON-INVERTIBLE AGGREGATES — per-priority MIN/MAX
     * order value maintained under the ±OR changelog. SUM-family
     * aggregates invert (apply the delta — [[RetractableSum]]); MIN/MAX do

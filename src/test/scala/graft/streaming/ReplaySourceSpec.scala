@@ -109,6 +109,55 @@ class ReplaySourceSpec extends SparkSpec {
     } finally handle.close()
   }
 
+  test("two consumer groups: flow control keys on the SLOWEST group") {
+    import spark.implicits._
+    // 8 chunks of 500; window 2 chunks (1000 events). A FAST group reads
+    // at the published edge throughout — if pacing keyed to it (or to the
+    // max watermark, the pre-r13 behavior), production would run free;
+    // keyed to the min, the published watermark must stay within the
+    // window of the SLOW group's progress at every poll.
+    val lines = (0 until 4000).map(i => f"cg_$i%05d").toDF("line")
+    val handle = ReplayServer.serveGrowing(lines, chunks = 8,
+      intervalMs = 10L, maxAheadChunks = 2, groups = Seq("fast", "slow"))
+    try {
+      def cnt() = ReplayServer.count("127.0.0.1", handle.port)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var fastRead = 0L
+      var slowRead = 0L
+      var maxViolation = 0L
+      while (slowRead < handle.expected && System.nanoTime() < deadline) {
+        val c = cnt()
+        maxViolation = math.max(maxViolation, c - slowRead - 1000L)
+        // fast group: drain to the published edge immediately
+        if (c > fastRead) {
+          val got = ReplayServer
+            .fetch("127.0.0.1", handle.port, fastRead, c, group = "fast").size
+          assert(got == c - fastRead, s"fast short range: $got")
+          fastRead = c
+        }
+        // slow group: 250 events per poll
+        val to = math.min(slowRead + 250L, c)
+        if (to > slowRead) {
+          val got = ReplayServer
+            .fetch("127.0.0.1", handle.port, slowRead, to, group = "slow").size
+          assert(got == to - slowRead, s"slow short range: $got")
+          slowRead = to
+        } else Thread.sleep(10)
+      }
+      assert(slowRead == handle.expected,
+        s"slow group never drained: $slowRead of ${handle.expected}")
+      assert(fastRead == handle.expected)
+      // one mid-chunk of slack, same as the single-group test — but the
+      // fast group's progress must NOT have bought the producer a free run
+      assert(maxViolation <= 500L,
+        s"producer ran ${maxViolation + 1000} events past the SLOW group " +
+          "despite a 1000-event window — flow control keyed to the wrong " +
+          "watermark")
+      assert(ReplayServer.servedOf("127.0.0.1", handle.port, "slow") ==
+        handle.expected)
+    } finally handle.close()
+  }
+
   test("offset JSON round-trip") {
     val o = ReplayOffset(123456789L)
     assert(new graft.sources.ReplayStream("h", 1, 10, 2)

@@ -102,14 +102,52 @@ class SpillFormatContractSpec extends SparkSpec {
         .isin(dirty.toSeq: _*))
     MergeLogSpill.write(spark, root, 2L, "s", "k", dirtyContent,
       carry = Some((1L, dirty)))
-    // v2's pool holds partition dirs ONLY for the dirty buckets — every
-    // clean bucket was re-pointed, zero data I/O
-    val v2Buckets = Option(new java.io.File(s"$root/pool/s/v2").listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.startsWith("__bucket="))
-      .map(_.getName.stripPrefix("__bucket=").toInt).toSet
-    assert(v2Buckets == dirty,
-      s"carry rewrote data for buckets ${v2Buckets -- dirty} it should have re-pointed")
+    // v2's manifest points FRESH (v2-pool) files only for the dirty
+    // buckets — every clean bucket re-pointed at v1's files, zero data
+    // I/O (checked from the manifest, the format's own metadata)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/v2/s/MANIFEST")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toIndexedSeq.filter(_.nonEmpty)
+      .map { l => val Array(b, f) = l.split("\\|", 2); b.toInt -> f }
+    val freshBuckets = manifest.filter(_._2.contains("/v2/")).map(_._1).toSet
+    assert(freshBuckets == dirty,
+      s"carry rewrote data for buckets ${freshBuckets -- dirty} it should have re-pointed")
+    val carriedBuckets = manifest.filterNot(_._2.contains("/v2/")).map(_._1).toSet
+    assert(carriedBuckets.nonEmpty && (carriedBuckets & dirty).isEmpty,
+      "clean buckets must be carried forward from v1, never rewritten")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("[mergelog] listing-free: a planted decoy file in the pool is invisible") {
+    // the write/GC paths must derive file sets from task reports +
+    // manifests + the VLOG, never from directory listings — so a foreign
+    // file sitting in the pool (which the old listing-based write would
+    // have swept into the manifest) must neither enter the manifest nor
+    // corrupt reads, and GC must leave it alone (it owns only what its
+    // manifests reference)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-spillfmt-mergelog-decoy").toString
+    val decoyDir = java.nio.file.Paths.get(s"$root/pool/s/v1")
+    java.nio.file.Files.createDirectories(decoyDir)
+    // a VALID parquet file with poison rows, named like a data file
+    Seq((999999L, 42L)).toDF("k", ZSet.W).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/decoy_stage")
+    val part = Option(new java.io.File(s"$root/decoy_stage").listFiles())
+      .get.find(_.getName.endsWith(".parquet")).get
+    val decoy = decoyDir.resolve("p99999-b00000.parquet")
+    java.nio.file.Files.copy(part.toPath, decoy)
+    val w = MergeLogSpill.write(spark, root, 1L, "s", "k", state1, carry = None)
+    assert(rowsOf(w) == rowsOf(state1),
+      "a foreign pool file leaked into the written state")
+    val all = MergeLogSpill.readBuckets(spark, root, 1L, "s", state1.schema,
+      (0 until MergeLogSpill.buckets).toSet)
+    assert(rowsOf(all) == rowsOf(state1),
+      "a foreign pool file leaked into the bucket read")
+    MergeLogSpill.drop(spark, root, 1L, "s")
+    assert(java.nio.file.Files.exists(decoy),
+      "GC deleted a file no manifest ever referenced — it must only " +
+        "reclaim what it owns")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 }
