@@ -383,23 +383,41 @@ object ReplayIngest {
                           fullCycle: Boolean): DataFrame = {
     val events =
       if (fullCycle) {
-        val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
-        Changelog.generate(spark, dir, capacity = Some(math.max(1L, nL / 4)))
+        // the SAME capacity-windowed changelog as stream_q3_spilled,
+        // disk-staged once per (session, fixture) and shared with it —
+        // re-generating 2×(nL+nO+nC) ranked+serialized lines inside every
+        // run would dominate the transport's wall time
+        val staged = graft.sources.Staging.ensure(
+          graft.sources.Staging.dirFor(spark, "q3spill", dir)) { out =>
+          val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+          Changelog.generate(spark, dir, capacity = Some(math.max(1L, nL / 4)))
+            .write.mode("overwrite").parquet(out)
+        }
+        spark.read.parquet(staged)
       } else Changelog.generate(spark, dir, insertOnly = true)
     val ordered = events
       .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
     // ARRIVAL-DRIVEN broker, like [[replayExactlyOnce]] — but the Q3 fold
     // consumes far slower than the counts grain, so time pacing alone
     // would make "kill lands mid-production" a host-speed race. Flow
-    // control (`maxAheadChunks`) pins it structurally: the producer never
-    // runs more than 6 chunks (1/4 of the stream) past the consumer's
-    // read watermark, so at the 1/3-folded kill the staged count is
-    // bounded well short of the end on ANY host, while phase B's catch-up
-    // re-opens the tap and drains to the true end. The window is wider
-    // than the fold's minBatchSize (1/6) so admission can always
-    // accumulate a full batch without waiting on the delay flush.
+    // control (`maxAheadChunks`) pins it structurally: at the kill the
+    // staged count is bounded by
+    //   killTarget + batch (await overshoot) + batch (in-flight fetch)
+    //   + window (producer run-ahead)
+    // which the sizing below keeps < expected on ANY host, worst case —
+    // while phase B's catch-up re-opens the tap and drains to the true
+    // end. Insert-only: kill at 1/3, 6 batches, 6-chunk window →
+    // 1/3 + 1/6 + 1/6 + 1/4 = 0.917. Full cycle: the kill must land
+    // mid-TEARDOWN, i.e. deeper in — 4/9, 8 batches, 4-chunk window →
+    // 4/9 + 1/8 + 1/8 + 1/6 = 0.86 (the r13 first cut killed at 2/3
+    // with the insert-only sizing, whose worst case is 1.08·expected:
+    // the mid-production pin could fire on a slow host — arithmetic,
+    // not timing, so fixed in the sizing). The window stays ≥ the
+    // fold's minBatchSize so admission can always accumulate a full
+    // batch without waiting on the delay flush.
     val handle = ReplayServer.serveGrowing(ordered,
-      chunks = 24, intervalMs = 10L, maxAheadChunks = 6)
+      chunks = 24, intervalMs = 10L,
+      maxAheadChunks = if (fullCycle) 4 else 6)
     val work = Files.createTempDirectory("graft-replay-q3").toString
     val snapDir = s"$work/snap"
     val spillRoot = s"$work/spill"
@@ -407,9 +425,10 @@ object ReplayIngest {
     try {
       val expected = handle.expected
       require(expected > 0, "empty changelog — nothing to replay")
-      // ≥ 6 paced batches: the kill lands mid-stream AND the spill path
-      // compacts at least once before the end (CompactEvery = 4)
-      val batchSize = math.max(1L, expected / 6)
+      // paced batches (6 insert-only, 8 full-cycle): the kill lands
+      // mid-stream AND the spill path compacts before the end
+      // (CompactEvery = 4 — the 8-batch cycle compacts twice)
+      val batchSize = math.max(1L, expected / (if (fullCycle) 8 else 6))
       def startQuery() = {
         // the StreamingQ3.start resume protocol, replay-sourced: load the
         // latest consistent snapshot, skip re-delivered batch ids
@@ -478,10 +497,11 @@ object ReplayIngest {
           s"$what: saw ${seen()} of $target events before timeout " +
             s"(query active: ${q.isActive})")
       }
-      // phase A: fold ~a third (insert-only) or ~two thirds (full cycle —
-      // deep enough into the teardown that deletes are folded on both
-      // sides of the kill), then KILL mid-stream
-      val killTarget = if (fullCycle) 2 * expected / 3 else expected / 3
+      // phase A: fold ~a third (insert-only) or ~4/9 (full cycle — deep
+      // enough into the teardown that deletes are folded on both sides
+      // of the kill, shallow enough that the mid-production bound above
+      // holds worst-case), then KILL mid-stream
+      val killTarget = if (fullCycle) 4 * expected / 9 else expected / 3
       // every row's insert is eventually retracted, one delete per insert
       val totalDeletes = if (fullCycle) expected / 2 else 0L
       val qa = startQuery()
