@@ -24,4 +24,18 @@ class ReplayResumeSpec extends SparkSpec {
       "the killed-and-resumed fold must land the exact batch Q3 top-20 — " +
         "any lost or double-applied batch moves the revenue")
   }
+
+  test("retraction through recovery: the full ± cycle killed mid-teardown converges to empty") {
+    // the r13 composition: insert+delete changelog through the replay
+    // transport and the spilled fold, kill pinned to the DELETE phase by
+    // the exactly-once delete counter (structural requires inside the
+    // query), resume, drain — exact cancellation through the boundary.
+    // A sign-handling bug across the snapshot (a delete folded twice, an
+    // insert lost, a delta snapshot replaying a retraction) leaves a
+    // nonzero group and fails here.
+    val converged = ReplayIngest.q3ReplayResumeCycle(spark, sfDir)
+    assert(converged.isEmpty,
+      "the resumed full-cycle fold left residue — retraction did not " +
+        "survive the snapshot/offset boundary")
+  }
 }
