@@ -111,6 +111,12 @@ object SparkEntry {
     // event-time watermarking over the changelog: late deletes dropped
     // and ACCOUNTED, on-time prefix ≡ the batch answer
     "stream_q3_event_time" -> (streaming.StreamQueries.q3EventTime _),
+    // the BOUNDED-DELAY watermark variant (Flink's allowed-lateness
+    // heuristic): the watermark trails the frontier by δ = nL/20, so
+    // stragglers inside the window are ADMITTED and fold — both the
+    // dropped and the admitted totals are part of the gated answer
+    "stream_q3_event_time_delayed" ->
+      (streaming.StreamQueries.q3EventTimeDelayed _),
     // the SAME semantics served by the LIVE engine path: readStream over
     // arrival-ordered files, watermark split + drop accounting resumable
     // across a kill (EventTimeLiveSpec) — identical oracle
@@ -733,6 +739,42 @@ object SparkEntry {
     // exactly {l_orderkey % 10 = 3 ∧ rank < nL} and the answer is Q3 over
     // the complement, with the dropped count carried on every row.
     "stream_q3_event_time" -> q3EventTimeOracle,
+    // bounded-delay watermark: the cutoff trails the frontier (nl) by
+    // δ = nl/20 — deferred lineitems with rank in [nl−δ, nl) fall inside
+    // the allowed-lateness window and are ADMITTED (they fold into the
+    // answer); only rank < nl−δ drops. Rank = nl (frontier equality, if
+    // the max-rank row is deferred) folds as on-time: neither counter.
+    "stream_q3_event_time_delayed" ->
+      """WITH
+        |  nn AS (SELECT (SELECT count(*) FROM lineitem) AS nl),
+        |  dd AS (SELECT nl, nl - nl // 20 AS cutoff FROM nn),
+        |  li AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_partkey,
+        |             l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax, l_returnflag, l_linestatus,
+        |             l_shipdate) AS rk
+        |         FROM lineitem),
+        |  lat AS (SELECT count(*) AS dl FROM li, dd
+        |          WHERE l_orderkey % 10 = 3 AND rk < cutoff),
+        |  adm AS (SELECT count(*) AS al FROM li, dd
+        |          WHERE l_orderkey % 10 = 3 AND rk >= cutoff AND rk < nl),
+        |  liv AS (SELECT li.* FROM li, dd
+        |          WHERE NOT (l_orderkey % 10 = 3 AND rk < cutoff))
+        |SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       (SELECT dl FROM lat) AS dropped_late,
+        |       (SELECT al FROM adm) AS admitted_late
+        |FROM customer, orders, liv
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
     // the live engine path must land the identical answer — same oracle
     "stream_q3_event_time_live" -> q3EventTimeOracle,
     // and the replay-transport path: the prefix watermark of the ordered

@@ -284,6 +284,39 @@ object StreamQueries {
     * is its all-columns rank, so late ≡ deferred ∧ rank < nL.
     */
   def q3EventTime(spark: SparkSession, dir: String): DataFrame = {
+    val (top, dropped, _) = q3EventTimeFold(spark, dir, delay = 0L)
+    top.withColumn("dropped_late", lit(dropped))
+  }
+
+  /** BOUNDED-DELAY WATERMARK (the Flink-style allowed-lateness heuristic —
+    * the one watermark discipline the engine's event-time family did not
+    * yet offer, r12 verdict "missing" #5): the watermark trails the max
+    * arrived event time by a DELAY δ, so a straggler within δ of the
+    * frontier is ADMITTED and folds normally; only events more than δ
+    * behind are dropped-and-counted. δ here is data-derived (nL/20 —
+    * 5% of the event-time span) so the oracle reproduces it exactly:
+    * a deferred lineitem is dropped iff its rank < nL − δ, admitted
+    * otherwise, and the answer is Q3 over everything but the dropped set,
+    * with BOTH totals asserted (zero admitted would mean the window
+    * tested nothing — loudly required away).
+    */
+  def q3EventTimeDelayed(spark: SparkSession, dir: String): DataFrame = {
+    val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+    val (top, dropped, admitted) = q3EventTimeFold(spark, dir, delay = nL / 20)
+    require(admitted > 0, "bounded-delay event-time Q3: no straggler fell " +
+      "inside the lateness window — the delay semantics went untested")
+    top.withColumn("dropped_late", lit(dropped))
+      .withColumn("admitted_late", lit(admitted))
+  }
+
+  /** The shared fold: watermark = max arrived event time − `delay`; an
+    * arriving event is dropped iff `t < wm − delay`, ADMITTED-LATE iff
+    * `wm − delay ≤ t < wm` (inside the allowed-lateness window; 0 by
+    * construction for on-time arrivals, which are frontier-ordered).
+    * Returns (converged top-20, dropped count, admitted-late count).
+    */
+  private def q3EventTimeFold(spark: SparkSession, dir: String,
+                              delay: Long): (DataFrame, Long, Long) = {
     val events = Changelog.generateCached(spark, dir, insertOnly = true)
     val fields = split(substring(col("line"), 5, Int.MaxValue), "\\|")
     val withDef = events.withColumn("deferred",
@@ -295,19 +328,29 @@ object StreamQueries {
     val arrivals: Seq[DataFrame] =
       (0 until K).map(b => batched.filter(col("batch") === b).drop("batch")) :+
         withDef.filter(col("deferred"))
-    var wm = Long.MinValue // watermark: max event time arrived − delay(0)
+    var wm = Long.MinValue // max event time arrived; cutoff is wm − delay
     var dropped = 0L
+    var admitted = 0L
     var st = IncrementalQ3.init(spark)
     arrivals.foreach { a =>
-      if (wm > Long.MinValue) dropped += a.filter(col("t") < wm).count()
-      val onTime = if (wm > Long.MinValue) a.filter(col("t") >= wm) else a
+      if (wm > Long.MinValue) {
+        // one job for both counters (cutoff split + window occupancy)
+        val s = a.agg(
+          sum(when(col("t") < wm - delay, 1L).otherwise(0L)).as("d"),
+          sum(when(col("t") >= wm - delay && col("t") < wm, 1L)
+            .otherwise(0L)).as("w")).head()
+        dropped += (if (s.isNullAt(0)) 0L else s.getLong(0))
+        admitted += (if (s.isNullAt(1)) 0L else s.getLong(1))
+      }
+      val onTime = if (wm > Long.MinValue) a.filter(col("t") >= wm - delay)
+                   else a
       st = IncrementalQ3.step(st, onTime.select("line"))
       val mx = a.agg(max(col("t"))).head()
       if (!mx.isNullAt(0)) wm = math.max(wm, mx.getLong(0))
     }
     require(dropped > 0, "event-time Q3: no late events were dropped — " +
       "the deterministic lateness injection failed, the query is testing nothing")
-    topAsStrings(st).withColumn("dropped_late", lit(dropped))
+    (topAsStrings(st), dropped, admitted)
   }
 
   /** EVENT-TIME LATENESS UNDER RETRACTION (r12 verdict item 7) — the
