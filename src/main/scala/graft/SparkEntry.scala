@@ -104,6 +104,13 @@ object SparkEntry {
     // swap really is a swap
     "stream_q3_spilled_mergelog" ->
       (streaming.StreamQueries.q3SpilledCycleMergelog _),
+    // ADAPTIVE spill: the fold starts in-memory and engages the
+    // bucketed-table path only when the compaction-time state measurement
+    // crosses a data-derived threshold MID-RUN (structurally pinned: an
+    // in-memory compaction precedes engagement, spill versions follow it)
+    // — the state-size POLICY a real engine runs, not a switch
+    "stream_q3_spill_adaptive" ->
+      (streaming.StreamQueries.q3SpillAdaptive _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
     // third grain on the SAME shared fold — fact-sized (per order date),
     // the shape the per-grain dirty-bucket probe exists for
@@ -889,6 +896,24 @@ object SparkEntry {
         |       CAST(NULL AS VARCHAR) AS o_orderpriority,
         |       CAST(NULL AS DOUBLE) AS revenue
         |WHERE 1 = 0""".stripMargin,
+    // adaptive spill: wherever the state lived — heap before the
+    // threshold, bucketed tables after the mid-run engagement — the
+    // converged insert-only answer is the batch Q3 top-20, bit-exact
+    "stream_q3_spill_adaptive" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
     // identical contract through the mergelog (manifest/immutable-pool)
     // spill format — exact cancellation reconstructed through manifests
     "stream_q3_spilled_mergelog" ->

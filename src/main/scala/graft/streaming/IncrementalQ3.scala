@@ -58,7 +58,12 @@ object IncrementalQ3 {
     * amortized-compaction note in [[step]]). `spillHistory` is this fold's
     * spill versions, newest first (at most the two newest stay on disk —
     * see the spill note in [[step]]); `spillMeta` is the dirty-bucket
-    * bookkeeping since the newest version.
+    * bookkeeping since the newest version. `spillEngaged` is the ADAPTIVE
+    * spill latch (see the threshold note in [[step]]): once the measured
+    * consolidated state crosses the engagement threshold it stays set —
+    * state size under IVM is effectively monotone between compactions, and
+    * a spilled fold flapping back to heap would re-read the whole table
+    * for nothing.
     */
   final case class State(c: DataFrame, o: DataFrame, l: DataFrame,
                          co: DataFrame,
@@ -66,7 +71,8 @@ object IncrementalQ3 {
                          dirty: Int = 0,
                          spillHistory: List[Long] = Nil,
                          spillMeta: Option[SpillMeta] = None,
-                         aggDepth: Int = 0) {
+                         aggDepth: Int = 0,
+                         spillEngaged: Boolean = false) {
     /** The maintained aggregates, one per grain, CONSOLIDATED on read.
       * Internally (`aggsRaw`) each grain is a chain of per-batch delta
       * partials — consolidating only at compaction and at emission is
@@ -267,15 +273,45 @@ object IncrementalQ3 {
     (dC, dO, dL)
   }
 
+  /** The session default for [[step]]'s `spillAtRows` when a caller opts
+    * into ADAPTIVE spill: consolidated state rows above which a fold with
+    * a spill dir moves its state from executor memory to the bucketed
+    * tables. Sized so the 10×-bench event-time state (~2–3 M consolidated
+    * rows) stays comfortably in-memory on a 128 GiB driver-test JVM while
+    * a 100× run (tens of millions of rows) engages the bounded-memory
+    * path; at cluster scale an operator would set it from executor
+    * storage budget / row width.
+    */
+  def adaptiveSpillThreshold: Long =
+    java.lang.Long.getLong("graft.ivm.spill.threshold", 8000000L)
+
   /** Apply one micro-batch of raw changelog lines to the state. The
     * maintained grains come from `st` (set at [[init]]); `spillDir`
     * bounds the memory envelope via bucketed-table state spill (default:
     * the `graft.ivm.spill.dir` system property — threaded as a parameter
     * so concurrent folds in one JVM never share a mutable global).
+    *
+    * `spillAtRows` makes the spill a POLICY instead of a switch (r13
+    * verdict item 1): with a positive threshold the fold starts IN-MEMORY
+    * — compacting on the spill cadence (every CompactEvery batches) so
+    * consolidated state size is measured at each compaction for free —
+    * and ENGAGES the bucketed-table path only once the measured state
+    * crosses the threshold. Below it, the fold never pays table-write
+    * I/O it doesn't need (the r13 `stream_q3_event_time_replay` lesson:
+    * unconditional spill cost 2.03× baseline at a scale where the state
+    * still fit); above it, the same query rides the bounded-memory
+    * envelope — automatically, no re-deploy. `0` (the default) is the
+    * legacy unconditional engage, which the exact-cancellation spill
+    * gates rely on.
     */
   def step(st: State, lines: DataFrame,
-           spillDir: Option[String] = spillRoot): State = {
+           spillDir: Option[String] = spillRoot,
+           spillAtRows: Long = 0L): State = {
     val grains = st.aggsRaw.map(_._1)
+    // adaptive-threshold latch: below the threshold the fold behaves as
+    // in-memory (no bucket probes, no table writes) EXCEPT that it keeps
+    // the spill compaction cadence — each compaction is the measurement
+    val engaged = spillDir.nonEmpty && (spillAtRows <= 0L || st.spillEngaged)
     // ONE pass over the raw text: parse into a cached tagged z-set, then
     // derive the three relation deltas from the cached blocks. (Checkpointing
     // the deltas individually instead would re-run the line parse once per
@@ -371,7 +407,7 @@ object IncrementalQ3 {
     // The probe is the partial's pin action — the per-batch dAgg jobs
     // below then hit the cached blocks, so no plan runs twice.
     val batchBuckets: Map[String, Set[Int]] =
-      if (spillDir.isEmpty) {
+      if (!engaged) {
         dC.select(col(ZSet.W)).unionByName(dO.select(col(ZSet.W)))
           .unionByName(dL.select(col(ZSet.W))).count()
         dCO.count()
@@ -397,9 +433,12 @@ object IncrementalQ3 {
     // deltas-since-last-compaction" claim only holds once deletes
     // interleave. In-memory mode keeps the delete-triggered cadence —
     // insert-only unions are already O(1) there and a rewrite buys nothing.
+    // An adaptive fold below its threshold keeps the spill CADENCE (its
+    // compactions are the state-size measurements) but consolidates
+    // in-memory (spillTo stays None until engagement).
     val countsTowardCompaction = hasDeletes || spillDir.nonEmpty
     val compact = countsTowardCompaction && st.dirty + 1 >= CompactEvery
-    val spillTo = if (compact) spillDir else None
+    val spillTo = if (compact && engaged) spillDir else None
     val version = spillTo.map(nextSpillVersion)
 
     // accumulated dirty buckets / pending deltas since the last spill,
@@ -497,7 +536,8 @@ object IncrementalQ3 {
         else if (countsTowardCompaction) st.dirty + 1 else st.dirty,
       spillHistory = history.take(2),
       spillMeta = nextMeta,
-      aggDepth = if (spillTo.nonEmpty || aggCompact) 0 else st.aggDepth + 1)
+      aggDepth = if (spillTo.nonEmpty || aggCompact) 0 else st.aggDepth + 1,
+      spillEngaged = st.spillEngaged || engaged)
     // everything older than the previous spill is now unreachable (carried-
     // forward files survive as hard links under the newer versions)
     spillTo.foreach(root => history.drop(2).foreach(dropSpill(spark, root, _)))
@@ -535,7 +575,20 @@ object IncrementalQ3 {
         next.names.zip(sizes)
           .map { case (n, s) => s"$n=$s" }.mkString(" "))
     parsed.unpersist(blocking = false)
-    next
+    // adaptive engagement: a pre-engagement compaction just measured the
+    // consolidated state (toPin == next.all exactly then, so sizes.sum IS
+    // total state rows). Crossing the threshold latches the flag — the
+    // NEXT compaction MERGEs into the bucketed tables (full write first,
+    // then incremental), and every later batch rides the bounded-memory
+    // path. The first post-engagement batches still union in-memory until
+    // that compaction — the envelope is CompactEvery batches of deltas
+    // past the threshold, the same amortization bound as steady state.
+    val crossed = spillDir.nonEmpty && spillAtRows > 0L &&
+      !next.spillEngaged && compact && sizes.sum >= spillAtRows
+    if (crossed)
+      System.err.println(s"[ivm] adaptive spill engaged: " +
+        s"state ${sizes.sum} >= $spillAtRows rows")
+    if (crossed) next.copy(spillEngaged = true) else next
   }
 
   /** Current top-20 (the reference's TopNFunction contract,
@@ -559,6 +612,7 @@ object IncrementalQ3 {
                  grains: Seq[Seq[String]] = Seq(DefaultAggKeys),
                  tMaxKnown: Option[Long] = None,
                  spillDir: Option[String] = spillRoot,
+                 spillAtRows: Long = 0L,
                  onBatch: (Int, State) => Unit = (_, _) => ()): State = {
     val tMax = tMaxKnown.getOrElse(events.agg(max(col("t"))).head().getLong(0))
     // NO re-checkpoint here: both call sites (generateCached, StreamBench)
@@ -569,7 +623,8 @@ object IncrementalQ3 {
       least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
     val fin = (0 until k).foldLeft(init(spark, grains)) { (st, b) =>
       val t0 = System.nanoTime()
-      val r = step(st, batched.filter(col("batch") === b).select("line"), spillDir)
+      val r = step(st, batched.filter(col("batch") === b).select("line"),
+        spillDir, spillAtRows)
       System.err.println(f"[ivm] batch $b: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       onBatch(b, r)
       r

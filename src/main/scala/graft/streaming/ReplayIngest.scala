@@ -350,11 +350,26 @@ object ReplayIngest {
                System.nanoTime() < deadline) Thread.sleep(25)
         require(foldSeen() >= expected / 3,
           s"fold consumer stalled: ${foldSeen()} of $expected")
+        // Assert the flow-control invariant DIRECTLY (ADVICE r13 — the old
+        // stagedAtProbe < expected form was timing-dependent: between the
+        // poll exit above and the probe the fold keeps consuming, and on a
+        // slow host the producer could legitimately finish staging). The
+        // producer's contract: right after any publish,
+        // published ≤ minServed + maxAheadChunks·chunk + chunk — reading
+        // staged FIRST and the group watermarks AFTER can only shrink the
+        // observed gap (watermarks are monotone), so the bound holds on
+        // ANY host at ANY probe instant. +chunk slack absorbs the final
+        // chunk's integer-division remainder. Max-keyed pacing would put
+        // the gap near expected·2/3 here — orders of magnitude past it.
         val stagedAtProbe = ReplayServer.count("127.0.0.1", handle.port)
-        require(stagedAtProbe < expected,
+        val minServed = math.min(
+          ReplayServer.servedOf("127.0.0.1", handle.port, "fold"),
+          ReplayServer.servedOf("127.0.0.1", handle.port, "counts"))
+        val chunk = math.max(1L, expected / 24)
+        require(stagedAtProbe - minServed <= (6 + 2) * chunk,
           "production outran the slow consumer group — flow control is " +
-            s"not keyed to the minimum watermark ($stagedAtProbe of " +
-            s"$expected staged at fold=${foldSeen()})")
+            s"not keyed to the minimum watermark (staged=$stagedAtProbe, " +
+            s"minServed=$minServed, window=${(6 + 2) * chunk})")
         // both groups drain to the end, independently
         while ((foldSeen() < expected || countsSeen() < expected) &&
                qFold.isActive && qCounts.isActive &&

@@ -50,6 +50,12 @@ object Snapshots {
       st.dirty.toString.getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(s"$dir/spill_history"),
       st.spillHistory.mkString(",").getBytes(StandardCharsets.UTF_8))
+    // the adaptive latch must cross the boundary: a resumed fold that
+    // forgot it was engaged would fall back to in-memory and re-measure —
+    // correct but paying a threshold's worth of heap it already proved
+    // it can't afford
+    Files.write(Paths.get(s"$dir/spill_engaged"),
+      st.spillEngaged.toString.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Load a snapshot; the returned state folds on via [[IncrementalQ3.step]].
@@ -81,11 +87,20 @@ object Snapshots {
       if (!Files.exists(histFile)) Nil
       else new String(Files.readAllBytes(histFile), StandardCharsets.UTF_8)
         .split(",").toList.flatMap(_.trim.toLongOption)
+    // pre-r14 snapshots have no flag file — a fold that had spilled was
+    // by definition engaged, so the history is the back-compat signal
+    val engagedFile = Paths.get(s"$dir/spill_engaged")
+    val engaged =
+      if (Files.exists(engagedFile))
+        new String(Files.readAllBytes(engagedFile), StandardCharsets.UTF_8)
+          .trim.toBoolean
+      else history.nonEmpty
     IncrementalQ3.State(c, o, l, co,
       aggsRaw = grains.zip(aggDirs).map { case (keys, d) => (keys: Seq[String]) -> part(d) }.toVector,
       dirty = new String(Files.readAllBytes(Paths.get(s"$dir/dirty")),
         StandardCharsets.UTF_8).trim.toInt,
-      spillHistory = history)
+      spillHistory = history,
+      spillEngaged = engaged)
   }
 
   // --- per-batch snapshots for the continuous query (auto-resume) ------
@@ -247,7 +262,10 @@ object Snapshots {
     IncrementalQ3.State(c, o, l, co,
       aggsRaw = grains.toVector.zip(frames.drop(4)),
       dirty = dirty, spillHistory = history, spillMeta = None,
-      aggDepth = aggDepth)
+      aggDepth = aggDepth,
+      // a delta snapshot exists only once the fold has spilled — engaged
+      // by construction
+      spillEngaged = true)
   }
 
   /** Latest consistent per-batch snapshot, if one exists:

@@ -320,7 +320,27 @@ object MergeLogSpill extends SpillFormat {
   private def vlogPath(root: String): Path = Paths.get(root, "VLOG")
 
   private def vlogVersions(root: String): Seq[Long] =
-    if (!Files.exists(vlogPath(root))) Seq.empty
+    if (!Files.exists(vlogPath(root))) {
+      // BACKFILL (ADVICE r13): a root written by pre-VLOG code has v<N>
+      // dirs but no log — resolving survivors from an absent log would
+      // let GC delete carried-forward files other versions' manifests
+      // still reference. One-time directory scan, persisted as the log,
+      // so every later operation is listing-free again.
+      val scanned = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).toIndexedSeq
+        .filter(_.isDirectory)
+        .flatMap(f => if (f.getName.startsWith("v"))
+          f.getName.stripPrefix("v").toLongOption else None)
+      if (scanned.nonEmpty) {
+        Files.createDirectories(Paths.get(root))
+        Files.write(vlogPath(root),
+          scanned.sorted.map(v => s"$v\n").mkString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+      scanned
+    }
     else new String(Files.readAllBytes(vlogPath(root)),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toIndexedSeq.flatMap(_.trim.toLongOption)
@@ -376,9 +396,11 @@ object MergeLogSpill extends SpillFormat {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val pool = poolDir(root, name, version)
     Files.createDirectories(pool)
-    // one partition per bucket id (hash-repartition on the bucket value:
-    // each bucket's rows land in exactly one task), so each bucket gets
-    // exactly one immutable data file, written and NAMED by its task
+    // hash-repartition on the bucket value: each bucket's rows land in
+    // exactly one task (a task may own several buckets — hash-mod can
+    // collide distinct buckets into one partition and leave others
+    // empty), so each bucket still gets exactly one immutable data file,
+    // written and NAMED by its owning task
     val bucketed = rows
       .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)).cast("int"))
       .repartition(buckets, col("__bucket"))

@@ -226,6 +226,54 @@ object StreamQueries {
       IncrementalQ3.cleanupSpillRoot(spark, root)
   }
 
+  /** ADAPTIVE SPILL, crossed MID-RUN (r13 verdict item 1): the spill is a
+    * STATE-SIZE POLICY, not a constructor flag. The insert-only changelog
+    * is folded in 12 batches with a spill dir and a DATA-DERIVED
+    * threshold (nEvents/8 consolidated rows — below the converged state's
+    * ~0.55·nEvents at any SF, above the first compaction's share), so the
+    * fold provably starts IN-MEMORY (the first compaction consolidates on
+    * the heap — structurally pinned), crosses the threshold at a
+    * compaction-time measurement mid-stream, latches engagement, and
+    * MERGEs every later compaction into the bucketed tables (two spill
+    * versions over the 12 batches: the carry-forward + GC path runs under
+    * the policy, not just under the legacy always-on switch). The
+    * converged answer must still be the batch Q3 top-20 — the strong
+    * oracle, unchanged by where the state lived.
+    */
+  def q3SpillAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val events = Changelog.generateCached(spark, dir, insertOnly = true)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivm-adaptive").toString
+    try {
+      val n = events.count()
+      val tau = math.max(1L, n / 8)
+      var inMemCompactions = 0
+      var engagedAtBatch = -1
+      val fin = IncrementalQ3.runBatches(spark, events, 12,
+        spillDir = Some(root), spillAtRows = tau,
+        onBatch = (b, st) => {
+          // dirty resets to 0 exactly at compactions (every batch counts
+          // toward the cadence under a spill dir); no spill version yet
+          // means the compaction consolidated on the heap
+          if (st.dirty == 0 && st.spillHistory.isEmpty) inMemCompactions += 1
+          if (st.spillEngaged && engagedAtBatch < 0) engagedAtBatch = b
+        })
+      require(inMemCompactions >= 1,
+        "adaptive spill: no in-memory compaction preceded engagement — " +
+          "the fold never ran below its threshold, the policy went untested")
+      require(fin.spillHistory.nonEmpty,
+        s"adaptive spill: the threshold ($tau rows of ${n} events) was " +
+          "never crossed — the engagement path went unexercised")
+      require(engagedAtBatch > 0 && engagedAtBatch < 11,
+        s"adaptive spill: engagement at batch $engagedAtBatch is not " +
+          "mid-run — nothing spilled under the policy after it")
+      val conv = topAsStrings(fin)
+      val rows = conv.collect().toIndexedSeq // materialize BEFORE cleanup
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, conv.schema)
+    } finally IncrementalQ3.cleanupSpillRoot(spark, root)
+  }
+
   /** MID-STREAM snapshot: the top-20 after batch 2-of-3 of the SAME fold
     * [[q3FullCycle]] consumes — mid-teardown, with ~nL/3 of the deletes
     * applied. This is the reference's defining behavior (continuous
