@@ -94,16 +94,29 @@ object SparkEntry {
     // structurally: production must not finish before the slow fold
     // reaches a third)
     "stream_q3_two_consumers" -> (streaming.ReplayIngest.q3TwoConsumers _),
+    // CONSUMER-GROUP LIVENESS: the fold group is KILLED mid-stream; the
+    // broker EVICTS it after its session times out (heartbeat silence),
+    // so production provably advances past the dead group's flow-control
+    // window while the counts group keeps draining; the resumed fold
+    // re-admits, catches up from checkpoint + snapshot, same oracle
+    "stream_q3_two_consumers_resume" ->
+      (streaming.ReplayIngest.q3TwoConsumersResume _),
+    // CONSUMER GROUPS × RETRACTION (the last transport×semantics cell):
+    // both grains over ONE broker serving the full ± cycle — the fold
+    // converges exactly empty (pinned in-query), the counts grain's
+    // per-(relation, action) totals gate on the closed-form oracle
+    "stream_q3_two_consumers_cycle" ->
+      (streaming.ReplayIngest.q3TwoConsumersCycle _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
     "stream_q3_spilled" -> (streaming.StreamQueries.q3SpilledCycle _),
-    // the SAME cycle FORMAT-pinned to the second spill implementation
-    // (manifest + immutable file pool + refcounted GC) — the seam's
-    // contract spec plus THIS end-to-end gate is what proves the format
-    // swap really is a swap
-    "stream_q3_spilled_mergelog" ->
-      (streaming.StreamQueries.q3SpilledCycleMergelog _),
+    // the SAME cycle FORMAT-pinned to bucketed parquet — the COMPATIBILITY
+    // format since the r14 default flip to the mergelog (10× evidence:
+    // 38.8 vs 45.9 s, listing-free). The seam's contract spec plus one
+    // end-to-end gate PER FORMAT is what proves the swap really is a swap
+    "stream_q3_spilled_parquet" ->
+      (streaming.StreamQueries.q3SpilledCycleParquet _),
     // ADAPTIVE spill: the fold starts in-memory and engages the
     // bucketed-table path only when the compaction-time state measurement
     // crosses a data-derived threshold MID-RUN (structurally pinned: an
@@ -133,6 +146,13 @@ object SparkEntry {
     // the ordered broker (batch-quantized lateness would be an admission
     // accident, nondeterministic under a growing broker) — same oracle
     "stream_q3_event_time_replay" -> (streaming.EventTimeReplay.q3EventTimeReplay _),
+    // the BOUNDED-DELAY watermark over the same replayable transport with
+    // the same mid-production kill: the frontier trails by δ = nL/20, and
+    // frontier + both lateness totals persist through the kill on the
+    // accounting file's id watermark — allowed-lateness bookkeeping
+    // across recovery, which is exactly where it breaks
+    "stream_q3_event_time_delayed_replay" ->
+      (streaming.EventTimeReplay.q3EventTimeDelayedReplay _),
     // and over the PARTITIONED transport (one ordered log per relation —
     // the CDC topic layout; vector offsets, apportioned admission),
     // lateness per-partition-prefix: the only deterministic semantics a
@@ -725,6 +745,40 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 20""".stripMargin,
+    // the killed-and-resumed fold group must still land the batch top-20:
+    // its offsets + snapshots are its own, so the kill/evict/re-admit
+    // cycle on the broker side must lose and double-apply nothing
+    "stream_q3_two_consumers_resume" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       (SELECT (SELECT COUNT(*) FROM customer)
+        |             + (SELECT COUNT(*) FROM orders)
+        |             + (SELECT COUNT(*) FROM lineitem)) AS ingest_events
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    // consumer groups × retraction: the counts grain's totals are the
+    // gated answer (Insert and Delete both equal each table's
+    // cardinality — a lost or doubled batch on either group's offsets
+    // breaks a row); the fold's exact-empty convergence is pinned
+    // in-query
+    "stream_q3_two_consumers_cycle" ->
+      """SELECT relation, action, n FROM (
+        |  SELECT 'customer' AS relation, 'Insert' AS action, COUNT(*) AS n FROM customer
+        |  UNION ALL SELECT 'customer', 'Delete', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'orders', 'Insert', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
     "stream_q3_converged" ->
       """SELECT l_orderkey,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
@@ -788,6 +842,42 @@ object SparkEntry {
     // broker is a pure function of the stream, so the same oracle gates
     // it under ANY micro-batch slicing and a mid-stream kill/resume
     "stream_q3_event_time_replay" -> q3EventTimeOracle,
+    // the bounded-delay replay path: the deferred tail's prefix frontier
+    // is nL (on-time events are frontier-ordered; deferred t ≤ nL), so
+    // the δ-window arithmetic reduces to the same closed form as the
+    // batch-simulated fold — dropped iff rank < nL − δ, admitted iff
+    // rank ∈ [nL − δ, nL) — and a kill/resume must not change either
+    "stream_q3_event_time_delayed_replay" ->
+      """WITH
+        |  nn AS (SELECT (SELECT count(*) FROM lineitem) AS nl),
+        |  dd AS (SELECT nl, nl - nl // 20 AS cutoff FROM nn),
+        |  li AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_partkey,
+        |             l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax, l_returnflag, l_linestatus,
+        |             l_shipdate) AS rk
+        |         FROM lineitem),
+        |  lat AS (SELECT count(*) AS dl FROM li, dd
+        |          WHERE l_orderkey % 10 = 3 AND rk < cutoff),
+        |  adm AS (SELECT count(*) AS al FROM li, dd
+        |          WHERE l_orderkey % 10 = 3 AND rk >= cutoff AND rk < nl),
+        |  liv AS (SELECT li.* FROM li, dd
+        |          WHERE NOT (l_orderkey % 10 = 3 AND rk < cutoff))
+        |SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       (SELECT dl FROM lat) AS dropped_late,
+        |       (SELECT al FROM adm) AS admitted_late
+        |FROM customer, orders, liv
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
     // the PARTITIONED transport path: per-partition prefix watermarks, so
     // a withheld lineitem is late iff its rank precedes the last ON-TIME
     // lineitem's rank (other relations' event times live in other
@@ -914,9 +1004,10 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 20""".stripMargin,
-    // identical contract through the mergelog (manifest/immutable-pool)
-    // spill format — exact cancellation reconstructed through manifests
-    "stream_q3_spilled_mergelog" ->
+    // identical contract through the compatibility format (bucketed
+    // parquet, pinned) — exact cancellation reconstructed through
+    // catalog-registered bucketed tables
+    "stream_q3_spilled_parquet" ->
       """SELECT CAST(NULL AS BIGINT) AS l_orderkey,
         |       CAST(NULL AS VARCHAR) AS o_orderdate,
         |       CAST(NULL AS VARCHAR) AS o_orderpriority,

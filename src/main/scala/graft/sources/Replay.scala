@@ -21,12 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * is [[graft.streaming.SocketIngest]]'s plain socket).
   *
   * [[ReplayServer]] is the broker stand-in: it stages the ordered event
-  * stream (driver-side, partition-bounded via `toLocalIterator` — all up
-  * front in [[ReplayServer.serve]], or ARRIVAL-DRIVEN in
-  * [[ReplayServer.serveGrowing]], where the published count grows while
-  * consumers run) and serves ARBITRARY OFFSET RANGES over TCP, any number
-  * of times — the replayability contract a broker provides and a bare
-  * socket cannot.
+  * stream (all up front in [[ReplayServer.serve]], or ARRIVAL-DRIVEN in
+  * [[ReplayServer.serveGrowing]] — per-partition segments written BY THE
+  * TASKS in one distributed job, published in partition order by a pure
+  * byte-copy producer thread, so no row ever serializes through the
+  * driver — where the published count grows while consumers run) and
+  * serves ARBITRARY OFFSET RANGES over TCP, any number of times — the
+  * replayability contract a broker provides and a bare socket cannot.
   *
   * [[ReplayProvider]] is a full DataSource V2 `MicroBatchStream` over that
   * protocol (the Spark-first upgrade of the reference's `SourceFunction`
@@ -61,7 +62,8 @@ object ReplayServer {
     * to the published watermark, so a reader never sees a torn tail.
     */
   private final class StageState(initialIndex: Seq[Long], initialN: Long,
-                                 groups: Seq[String]) {
+                                 groups: Seq[String],
+                                 sessionTimeoutMs: Long = 0L) {
     private val index = scala.collection.mutable.ArrayBuffer[Long](initialIndex: _*)
     // watermarks are Long like the offset domain (ADVICE r12 — Int
     // truncates past 2^31 events; the byte index itself bounds a staged
@@ -70,18 +72,43 @@ object ReplayServer {
     /** Per-CONSUMER-GROUP progress watermarks (highest event index each
       * group's RANGE requests have read past). Groups are REGISTERED up
       * front: the flow-controlled producer paces against the SLOWEST
-      * registered group, so a fast consumer draining ahead can never let
-      * production outrun a slow one — the consumer-group contract a real
-      * broker's quota/pause machinery provides. An unregistered group name
-      * in a request merges into the anonymous group "".
+      * LIVE registered group, so a fast consumer draining ahead can never
+      * let production outrun a slow one — the consumer-group contract a
+      * real broker's quota/pause machinery provides. An unregistered
+      * group name in a request merges into the anonymous group "".
+      *
+      * LIVENESS (r13 verdict item 2 — one dead group must not halt the
+      * fleet): with `sessionTimeoutMs > 0`, a registered group whose last
+      * heartbeat (`PING`/`RANGE`) is older than the timeout is EVICTED
+      * from pacing — its watermark stops holding production back, exactly
+      * Kafka's session.timeout.ms group-membership contract — and
+      * re-admitted the moment it reconnects (any request naming it
+      * refreshes `lastSeen`). Its progress watermark is retained across
+      * the eviction: re-admission paces on where it actually is.
+      * `0` (the default) disables eviction — every registered group paces
+      * forever, the pre-r14 behavior the kill-free compositions rely on.
       */
     private val registered: Seq[String] =
       if (groups.isEmpty) Seq("") else groups
     private val served = scala.collection.concurrent.TrieMap[String, Long](
       registered.map(_ -> 0L): _*)
+    // registration grants a full session's grace to connect
+    private val lastSeen = scala.collection.concurrent.TrieMap[String, Long](
+      registered.map(_ -> System.nanoTime()): _*)
     def published: Long = publishedN
-    /** The SLOWEST registered group's watermark — what flow control keys on. */
-    def minServed: Long = registered.map(g => served.getOrElse(g, 0L)).min
+    private def isLive(g: String): Boolean =
+      sessionTimeoutMs <= 0L ||
+        System.nanoTime() - lastSeen.getOrElse(g, 0L) <
+          sessionTimeoutMs * 1000000L
+    /** The SLOWEST LIVE registered group's watermark — what flow control
+      * keys on. With every group evicted, production is unconstrained
+      * (MaxValue): a fleet of dead consumers must not stall the producer.
+      */
+    def minServed: Long = {
+      val live = registered.filter(isLive)
+      if (live.isEmpty) Long.MaxValue
+      else live.map(g => served.getOrElse(g, 0L)).min
+    }
     /** One group's watermark (spec/diagnostic surface: `SERVED <group>`). */
     def servedOf(group: String): Long =
       served.getOrElse(normalize(group), 0L)
@@ -92,6 +119,11 @@ object ReplayServer {
       */
     private def normalize(group: String): String =
       if (served.contains(group) || !served.contains("")) group else ""
+    /** Heartbeat: refresh the group's session (PING and RANGE both count —
+      * Kafka's background heartbeat thread, reduced to a protocol verb).
+      */
+    def touch(group: String): Unit =
+      lastSeen.update(normalize(group), System.nanoTime())
     def noteServed(group: String, upTo: Long): Unit = {
       val g = normalize(group)
       served.updateWith(g)(cur => Some(math.max(cur.getOrElse(0L), upTo)))
@@ -158,14 +190,50 @@ object ReplayServer {
     * the SLOWEST group's watermark — two concurrent queries with
     * independent offset progress share one broker, and the fast one can
     * never let production outrun the slow one (r12 verdict item 4).
+    *
+    * `sessionTimeoutMs > 0` adds group LIVENESS (r13 verdict item 2): a
+    * registered group that stops heartbeating (`PING`/`RANGE`) for that
+    * long is evicted from flow-control pacing — a dead consumer no longer
+    * stalls production and starves the healthy groups — and re-admitted,
+    * watermark intact, the moment it reconnects. Kafka's
+    * session.timeout.ms contract, reduced to its pacing consequence.
     */
   def serveGrowing(lines: DataFrame, chunks: Int = 32,
                    intervalMs: Long = 150L,
                    maxAheadChunks: Int = 0,
-                   groups: Seq[String] = Seq("")): Handle = {
-    val expected = lines.count()
+                   groups: Seq[String] = Seq(""),
+                   sessionTimeoutMs: Long = 0L): Handle = {
+    // DE-DRIVERED STAGING (r13 verdict item 7 — `toLocalIterator` pulled
+    // every row through one driver thread, the last driver-side
+    // serialization point in the transport harness): the ordered frame is
+    // written as per-partition text segments + line-length indexes BY THE
+    // TASKS, in ONE distributed job that also returns the counts (no
+    // separate count() job). `orderBy` output is range-partitioned —
+    // partition i's rows all precede partition i+1's — so publishing the
+    // segments in partition order IS the total order, and the producer
+    // thread degrades to pure sequential byte copy + index arithmetic
+    // (never touches a row). Segment files are a local-harness stand-in
+    // for broker segment uploads; the offset contract is unchanged.
+    val segDir = Files.createTempDirectory("graft-replay-seg")
+    val segDirStr = segDir.toString
+    val segs: IndexedSeq[(Int, Long)] = lines.rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        val data = new java.io.BufferedOutputStream(
+          Files.newOutputStream(java.nio.file.Paths.get(s"$segDirStr/seg-$pid.txt")))
+        val idx = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          Files.newOutputStream(java.nio.file.Paths.get(s"$segDirStr/seg-$pid.idx"))))
+        var n = 0L
+        try it.foreach { row =>
+          val b = (row.getString(0) + "\n").getBytes(StandardCharsets.UTF_8)
+          data.write(b)
+          idx.writeLong(b.length.toLong)
+          n += 1
+        } finally { data.close(); idx.close() }
+        Iterator.single((pid, n))
+    }.collect().toIndexedSeq.sortBy(_._1)
+    val expected = segs.map(_._2).sum
     val staged = Files.createTempFile("graft-replay-grow", ".txt")
-    val st = new StageState(Seq(0L), 0L, groups)
+    val st = new StageState(Seq(0L), 0L, groups, sessionTimeoutMs)
     val h = listen(staged, st, expected)
     val chunkSize = math.max(1L, expected / math.max(1, chunks))
     // `maxAheadChunks > 0` adds BACKPRESSURE flow control: after each
@@ -181,28 +249,49 @@ object ReplayServer {
       try {
         var pos = 0L
         var inChunk = 0L
-        val it = lines.toLocalIterator()
-        while (it.hasNext && !h.server.isClosed) {
-          val b = (it.next().getString(0) + "\n").getBytes(StandardCharsets.UTF_8)
-          out.write(b)
-          pos += b.length
-          st.append(pos)
-          inChunk += 1
-          if (inChunk >= chunkSize) {
-            out.flush() // bytes durable BEFORE the watermark moves
-            st.publishAll()
-            inChunk = 0
-            Thread.sleep(intervalMs)
-            // paced against the SLOWEST registered consumer group
-            while (maxAheadChunks > 0 && !h.server.isClosed &&
-                   st.published - st.minServed > maxAheadChunks * chunkSize)
-              Thread.sleep(10)
-          }
+        val buf = new Array[Byte](1 << 16)
+        for ((pid, n) <- segs if n > 0 && !h.server.isClosed) {
+          val idxIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            Files.newInputStream(java.nio.file.Paths.get(s"$segDirStr/seg-$pid.idx"))))
+          val dataIn = new java.io.BufferedInputStream(
+            Files.newInputStream(java.nio.file.Paths.get(s"$segDirStr/seg-$pid.txt")))
+          try {
+            var i = 0L
+            while (i < n && !h.server.isClosed) {
+              val len = idxIn.readLong()
+              var remaining = len
+              while (remaining > 0) {
+                val got = dataIn.read(buf, 0,
+                  math.min(buf.length.toLong, remaining).toInt)
+                if (got < 0) throw new java.io.EOFException(
+                  s"segment seg-$pid.txt truncated")
+                out.write(buf, 0, got)
+                remaining -= got
+              }
+              pos += len
+              st.append(pos)
+              i += 1
+              inChunk += 1
+              if (inChunk >= chunkSize) {
+                out.flush() // bytes durable BEFORE the watermark moves
+                st.publishAll()
+                inChunk = 0
+                Thread.sleep(intervalMs)
+                // paced against the SLOWEST LIVE registered consumer group
+                while (maxAheadChunks > 0 && !h.server.isClosed &&
+                       st.published - st.minServed > maxAheadChunks * chunkSize)
+                  Thread.sleep(10)
+              }
+            }
+          } finally { idxIn.close(); dataIn.close() }
         }
         out.flush()
         st.publishAll()
       } catch { case _: Throwable => () /* server closed mid-production */
-      } finally { try out.close() catch { case _: Throwable => () } }
+      } finally {
+        try out.close() catch { case _: Throwable => () }
+        org.apache.commons.io.FileUtils.deleteQuietly(segDir.toFile)
+      }
     }, "graft-replay-producer")
     producer.setDaemon(true)
     producer.start()
@@ -241,8 +330,13 @@ object ReplayServer {
           out.write(s"$n\n".getBytes(StandardCharsets.UTF_8))
         case Seq("SERVED", group) => // a group's progress watermark (specs)
           out.write(s"${st.servedOf(group)}\n".getBytes(StandardCharsets.UTF_8))
+        case Seq("PING", group) => // session heartbeat — keeps the group
+          st.touch(group)         // live in flow-control pacing
+          out.write("OK\n".getBytes(StandardCharsets.UTF_8))
         case "RANGE" +: from +: to +: rest if rest.size <= 1 =>
           val group = rest.headOption.getOrElse("")
+          st.touch(group) // a read IS a heartbeat (and re-admits an
+                          // evicted group before the range is served)
           val a = math.max(0L, from.toLong).min(n)
           val b = math.max(a, to.toLong).min(n)
           if (b > a) {
@@ -320,6 +414,39 @@ object ReplayServer {
   /** A consumer group's read watermark (spec/diagnostic surface). */
   def servedOf(host: String, port: Int, group: String): Long =
     oneLine(host, port, s"SERVED $group")
+
+  /** One session heartbeat for `group`. */
+  def ping(host: String, port: Int, group: String): Unit = {
+    val sock = new Socket(host, port)
+    try {
+      sock.getOutputStream.write(
+        s"PING $group\n".getBytes(StandardCharsets.UTF_8))
+      sock.getOutputStream.flush()
+      new BufferedReader(new InputStreamReader(
+        sock.getInputStream, StandardCharsets.UTF_8)).readLine()
+    } finally sock.close()
+  }
+
+  /** A daemon heartbeat thread pinging `group` every `intervalMs` until
+    * the returned handle is closed — Kafka's consumer-side background
+    * heartbeat, which is what distinguishes "alive but mid-batch" (the
+    * fold working through a big trigger sends no RANGEs for a while)
+    * from "dead" (a killed query stops heartbeating and gets evicted).
+    */
+  def heartbeat(host: String, port: Int, group: String,
+                intervalMs: Long = 500L): AutoCloseable = {
+    @volatile var closed = false
+    val t = new Thread(() => {
+      while (!closed) {
+        try ping(host, port, group)
+        catch { case _: Throwable => () /* broker gone — stop quietly */ }
+        Thread.sleep(intervalMs)
+      }
+    }, s"graft-replay-heartbeat-$group")
+    t.setDaemon(true)
+    t.start()
+    () => closed = true
+  }
 }
 
 /** Event-sequence-number offset (json = the number). */

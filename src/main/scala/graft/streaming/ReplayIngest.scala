@@ -262,12 +262,65 @@ object ReplayIngest {
     * the fold the batch Q3 top-20, the counts grain the exact event
     * total, carried as a constant column.
     */
-  def q3TwoConsumers(spark: SparkSession, dir: String): DataFrame = {
-    val ordered = Changelog.generate(spark, dir, insertOnly = true)
+  def q3TwoConsumers(spark: SparkSession, dir: String): DataFrame =
+    twoConsumersRun(spark, dir, fullCycle = false, killResume = false)
+
+  /** `stream_q3_two_consumers_resume` — CONSUMER-GROUP KILL/RESUME WITH
+    * SESSION EVICTION (r14 item 2): the same two-group broker, but the
+    * FOLD group is KILLED mid-stream while the counts group keeps
+    * draining. Without liveness this deadlocks by design — the broker
+    * paces on the slowest registered group and a dead group's watermark
+    * never moves; with `sessionTimeoutMs` the dead group is EVICTED after
+    * its heartbeats stop, production provably ADVANCES past the dead
+    * group's flow-control window while it is down (structural pin: the
+    * await target exceeds what min-keyed pacing on the frozen watermark
+    * could ever stage), and the resumed fold re-admits on reconnect,
+    * catches up from its checkpoint + snapshot, and still lands the batch
+    * Q3 oracle. Heartbeats are a consumer-side daemon
+    * ([[graft.sources.ReplayServer.heartbeat]]) — Kafka's model, which is
+    * what distinguishes "alive but mid-batch" from "dead".
+    */
+  def q3TwoConsumersResume(spark: SparkSession, dir: String): DataFrame =
+    twoConsumersRun(spark, dir, fullCycle = false, killResume = true)
+
+  /** `stream_q3_two_consumers_cycle` — CONSUMER GROUPS × RETRACTION (r14
+    * item 3, the last untested transport×semantics cell): both grains run
+    * over ONE growing broker serving the capacity-windowed FULL ± cycle.
+    * The fold's converged aggregate must cancel to EXACTLY EMPTY
+    * (required in-query — exact-decimal ± pairs, not ≈0), and the
+    * returned per-(relation, action) totals gate on the closed-form
+    * DuckDB counts oracle: every relation's Insert and Delete totals both
+    * equal its table cardinality, so a lost or double-applied batch on
+    * EITHER side of either group's offsets is a loud mismatch.
+    */
+  def q3TwoConsumersCycle(spark: SparkSession, dir: String): DataFrame =
+    twoConsumersRun(spark, dir, fullCycle = true, killResume = false)
+
+  private def twoConsumersRun(spark: SparkSession, dir: String,
+                              fullCycle: Boolean,
+                              killResume: Boolean): DataFrame = {
+    val events =
+      if (fullCycle) {
+        // the same capacity-windowed staging as q3ReplayRun(fullCycle) —
+        // deletes interleave from nL/4 on, shared across the session
+        val staged = graft.sources.Staging.ensure(
+          graft.sources.Staging.dirFor(spark, "q3spill", dir)) { out =>
+          val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+          Changelog.generate(spark, dir, capacity = Some(math.max(1L, nL / 4)))
+            .write.mode("overwrite").parquet(out)
+        }
+        spark.read.parquet(staged)
+      } else Changelog.generate(spark, dir, insertOnly = true)
+    val ordered = events
       .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
+    // eviction only where the contract needs it: the kill/resume variant
+    // proves liveness; the kill-free variants keep registered groups
+    // pacing forever (a paused-but-alive consumer must NOT be dropped
+    // there — that is exactly the min-keyed guarantee they pin)
     val handle = ReplayServer.serveGrowing(ordered,
       chunks = 24, intervalMs = 10L, maxAheadChunks = 6,
-      groups = Seq("fold", "counts"))
+      groups = Seq("fold", "counts"),
+      sessionTimeoutMs = if (killResume) 3000L else 0L)
     val work = Files.createTempDirectory("graft-replay-2c").toString
     val snapDir = s"$work/snap"
     val progressFile = s"$work/progress"
@@ -275,7 +328,8 @@ object ReplayIngest {
     try {
       val expected = handle.expected
       require(expected > 0, "empty changelog — nothing to replay")
-      val foldBatch = math.max(1L, expected / 6)
+      val chunk = math.max(1L, expected / 24)
+      val foldBatch = math.max(1L, expected / (if (fullCycle) 8 else 6))
       val countsBatch = math.max(1L, expected / 9)
       def reader(group: String, batchSize: Long) = spark.readStream
         .format(classOf[ReplayProvider].getName)
@@ -286,32 +340,42 @@ object ReplayIngest {
         .option("group", group)
         .load()
       // consumer group "fold": the Q3 IVM fold with snapshot-skip
-      // exactly-once (no kill here — kill/resume is q3ReplayResume's
-      // contract; this query's pillar is offset independence)
-      val resumed = Snapshots.loadLatest(spark, snapDir)
-      var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
-      var expectedBatch = resumed.fold(0L)(_._2 + 1)
-      val qFold = reader("fold", foldBatch).writeStream
-        .queryName(s"graft_2c_fold_${handle.port}")
-        .option("checkpointLocation", s"$work/ckpt_fold")
-        .trigger(Trigger.ProcessingTime("50 milliseconds"))
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val pinned = batch
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            if (id >= expectedBatch) {
-              require(id == expectedBatch,
-                s"batch $id delivered but IVM state is at $expectedBatch")
-              state = IncrementalQ3.step(state, pinned, spillDir = None)
-              Snapshots.saveBatchAuto(state, snapDir, id)
-              expectedBatch = id + 1
-            }
-            val (lastCounted, cum, dels) = loadProgress(progressFile)
-            if (id > lastCounted)
-              saveProgress(progressFile, id, cum + pinned.count(), dels)
-          } finally pinned.unpersist(blocking = false)
-        }
-        .start()
+      // exactly-once (restartable: state loads from the latest snapshot,
+      // re-delivered ids are skipped — the kill/resume variant stops and
+      // relaunches this query mid-stream)
+      def startFold(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val resumed = Snapshots.loadLatest(spark, snapDir)
+        var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
+        var expectedBatch = resumed.fold(0L)(_._2 + 1)
+        reader("fold", foldBatch).writeStream
+          .queryName(s"graft_2c_fold_${handle.port}")
+          .option("checkpointLocation", s"$work/ckpt_fold")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val pinned = batch
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (id >= expectedBatch) {
+                require(id == expectedBatch,
+                  s"batch $id delivered but IVM state is at $expectedBatch")
+                state = IncrementalQ3.step(state, pinned, spillDir = None)
+                Snapshots.saveBatchAuto(state, snapDir, id)
+                expectedBatch = id + 1
+              }
+              val (lastCounted, cum, dels) = loadProgress(progressFile)
+              if (id > lastCounted)
+                saveProgress(progressFile, id, cum + pinned.count(), dels)
+            } finally pinned.unpersist(blocking = false)
+          }
+          .start()
+      }
+      var qFold = startFold()
+      // the fold's session heartbeat (kill/resume only — the timeout-free
+      // variants have nothing to evict): stopped WITH the query, so the
+      // broker sees the kill as silence, not a clean goodbye
+      var foldPulse: Option[AutoCloseable] =
+        if (killResume) Some(ReplayServer.heartbeat(
+          "127.0.0.1", handle.port, "fold")) else None
       // consumer group "counts": the per-(relation, action) totals grain,
       // same exactly-once fold as [[replayExactlyOnce]], its own offsets
       val qCounts = reader("counts", countsBatch).writeStream
@@ -342,34 +406,72 @@ object ReplayIngest {
       try {
         val deadline = System.nanoTime() +
           (300L + 2 * expected / 20000L) * 1000000000L
-        // the min-keyed flow-control pin: when the SLOW consumer reaches
-        // a third, production must not have finished — max-keyed pacing
-        // (the fast counts group reads at the published edge throughout)
-        // would have raced production to the end well before this point
-        while (foldSeen() < expected / 3 && qFold.isActive &&
-               System.nanoTime() < deadline) Thread.sleep(25)
-        require(foldSeen() >= expected / 3,
-          s"fold consumer stalled: ${foldSeen()} of $expected")
-        // Assert the flow-control invariant DIRECTLY (ADVICE r13 — the old
-        // stagedAtProbe < expected form was timing-dependent: between the
-        // poll exit above and the probe the fold keeps consuming, and on a
-        // slow host the producer could legitimately finish staging). The
-        // producer's contract: right after any publish,
-        // published ≤ minServed + maxAheadChunks·chunk + chunk — reading
-        // staged FIRST and the group watermarks AFTER can only shrink the
-        // observed gap (watermarks are monotone), so the bound holds on
-        // ANY host at ANY probe instant. +chunk slack absorbs the final
-        // chunk's integer-division remainder. Max-keyed pacing would put
-        // the gap near expected·2/3 here — orders of magnitude past it.
-        val stagedAtProbe = ReplayServer.count("127.0.0.1", handle.port)
-        val minServed = math.min(
-          ReplayServer.servedOf("127.0.0.1", handle.port, "fold"),
-          ReplayServer.servedOf("127.0.0.1", handle.port, "counts"))
-        val chunk = math.max(1L, expected / 24)
-        require(stagedAtProbe - minServed <= (6 + 2) * chunk,
-          "production outran the slow consumer group — flow control is " +
-            s"not keyed to the minimum watermark (staged=$stagedAtProbe, " +
-            s"minServed=$minServed, window=${(6 + 2) * chunk})")
+        if (killResume) {
+          // phase A: fold ~a quarter, then KILL the fold group (query +
+          // heartbeat) while the counts group keeps draining
+          while (foldSeen() < expected / 4 && qFold.isActive &&
+                 System.nanoTime() < deadline) Thread.sleep(25)
+          require(foldSeen() >= expected / 4,
+            s"fold consumer stalled pre-kill: ${foldSeen()} of $expected")
+          val foldServedAtKill =
+            ReplayServer.servedOf("127.0.0.1", handle.port, "fold")
+          val stagedAtKill = ReplayServer.count("127.0.0.1", handle.port)
+          require(stagedAtKill < expected,
+            "the producer finished before the kill — the dead-group " +
+              s"stall never threatened ($stagedAtKill of $expected staged)")
+          qFold.stop()
+          foldPulse.foreach(_.close()); foldPulse = None
+          // THE LIVENESS PIN: while the fold group is down, production
+          // must advance PAST its flow-control window — staged beyond
+          // foldServedAtKill + (maxAhead+1)·chunk is impossible while the
+          // dead watermark still paces (the producer invariant), so
+          // reaching the target proves the eviction. Without eviction
+          // this await times out loudly: one dead consumer halts the
+          // fleet, which is exactly the failure mode being closed.
+          val advanceTarget =
+            math.min(expected, foldServedAtKill + (6 + 2) * chunk + 1)
+          while (ReplayServer.count("127.0.0.1", handle.port) < advanceTarget &&
+                 System.nanoTime() < deadline) Thread.sleep(25)
+          val stagedWhileDown = ReplayServer.count("127.0.0.1", handle.port)
+          require(stagedWhileDown >= advanceTarget,
+            "production did not advance while the dead group was down — " +
+              s"session eviction failed (staged=$stagedWhileDown, " +
+              s"target=$advanceTarget, foldServedAtKill=$foldServedAtKill)")
+          // resume the fold group: re-admitted on reconnect, catches up
+          // from its checkpointed offsets + state snapshot
+          qFold = startFold()
+          foldPulse = Some(ReplayServer.heartbeat(
+            "127.0.0.1", handle.port, "fold"))
+        } else {
+          // the min-keyed flow-control pin: when the SLOW consumer reaches
+          // a third, production must not have finished — max-keyed pacing
+          // (the fast counts group reads at the published edge throughout)
+          // would have raced production to the end well before this point
+          while (foldSeen() < expected / 3 && qFold.isActive &&
+                 System.nanoTime() < deadline) Thread.sleep(25)
+          require(foldSeen() >= expected / 3,
+            s"fold consumer stalled: ${foldSeen()} of $expected")
+          // Assert the flow-control invariant DIRECTLY (ADVICE r13 — the
+          // old stagedAtProbe < expected form was timing-dependent:
+          // between the poll exit above and the probe the fold keeps
+          // consuming, and on a slow host the producer could legitimately
+          // finish staging). The producer's contract: right after any
+          // publish, published ≤ minServed + maxAheadChunks·chunk + chunk
+          // — reading staged FIRST and the group watermarks AFTER can
+          // only shrink the observed gap (watermarks are monotone), so
+          // the bound holds on ANY host at ANY probe instant. +chunk
+          // slack absorbs the final chunk's integer-division remainder.
+          // Max-keyed pacing would put the gap near expected·2/3 here —
+          // orders of magnitude past it.
+          val stagedAtProbe = ReplayServer.count("127.0.0.1", handle.port)
+          val minServed = math.min(
+            ReplayServer.servedOf("127.0.0.1", handle.port, "fold"),
+            ReplayServer.servedOf("127.0.0.1", handle.port, "counts"))
+          require(stagedAtProbe - minServed <= (6 + 2) * chunk,
+            "production outran the slow consumer group — flow control is " +
+              s"not keyed to the minimum watermark (staged=$stagedAtProbe, " +
+              s"minServed=$minServed, window=${(6 + 2) * chunk})")
+        }
         // both groups drain to the end, independently
         while ((foldSeen() < expected || countsSeen() < expected) &&
                qFold.isActive && qCounts.isActive &&
@@ -377,17 +479,38 @@ object ReplayIngest {
         require(foldSeen() == expected && countsSeen() == expected,
           s"drain incomplete: fold=${foldSeen()} counts=${countsSeen()} " +
             s"of $expected")
-      } finally { qFold.stop(); qCounts.stop() }
+      } finally {
+        qFold.stop(); qCounts.stop()
+        foldPulse.foreach(_.close())
+      }
       val fin = Snapshots.loadLatest(spark, snapDir)
         .getOrElse(sys.error("no snapshot after drain"))._1
-      val top = IncrementalQ3.topN(fin)
-        .select(col("l_orderkey"),
-          col("o_orderdate").cast("string").as("o_orderdate"),
-          col("o_orderpriority"), col("revenue"))
-        .withColumn("ingest_events", lit(countsSeen()))
-      val rows = top.collect().toIndexedSeq
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.asJava, top.schema)
+      if (fullCycle) {
+        // exact-cancellation pin: every insert was retracted THROUGH the
+        // two-group transport — the consolidated aggregate must be
+        // exactly empty (decimal ± pairs cancel to 0, not ≈0)
+        val live = fin.agg.count()
+        require(live == 0,
+          s"two-consumer ± cycle left $live live groups — retraction " +
+            "lost or double-applied somewhere across the group offsets")
+        // the gated answer is the counts grain: per-(relation, action)
+        // totals, each equal to its table cardinality in the oracle
+        val totals = load(totalsFile).totals
+        import spark.implicits._
+        totals.toSeq
+          .map { case ((rel, act), n) => (rel, act, n) }
+          .toDF("relation", "action", "n")
+          .orderBy("relation", "action")
+      } else {
+        val top = IncrementalQ3.topN(fin)
+          .select(col("l_orderkey"),
+            col("o_orderdate").cast("string").as("o_orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .withColumn("ingest_events", lit(countsSeen()))
+        val rows = top.collect().toIndexedSeq
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.asJava, top.schema)
+      }
     } finally {
       handle.close()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
@@ -437,6 +560,12 @@ object ReplayIngest {
     val snapDir = s"$work/snap"
     val spillRoot = s"$work/spill"
     val progressFile = s"$work/progress"
+    // the full-±-cycle composition is FORMAT-PINNED to the mergelog (r13
+    // verdict item 6): a second oracle-gated composition on the promoted
+    // default, immune to any future session-default change — retraction
+    // through recovery rides the manifest MERGE + refcounted GC + delta
+    // snapshots end-to-end
+    if (fullCycle) SpillFormat.pin(spillRoot, "mergelog")
     try {
       val expected = handle.expected
       require(expected > 0, "empty changelog — nothing to replay")

@@ -74,12 +74,23 @@ object SpillFormat {
       s"spill format must be 'parquet' or 'mergelog', got '$other'")
   }
 
-  /** The session default, by name — `graft.ivm.spill.format` = `parquet`
-    * (default, [[BucketedParquetSpill]]) or `mergelog`
-    * ([[MergeLogSpill]]).
+  /** The session default, by name — `graft.ivm.spill.format` = `mergelog`
+    * (default since r14, [[MergeLogSpill]]) or `parquet`
+    * ([[BucketedParquetSpill]], the compatibility format).
+    *
+    * The default FLIPPED on evidence (r13 verdict item 6): at 10× the
+    * mergelog ran the identical full-±-cycle fold in 38.8 s vs bucketed
+    * parquet's 45.9 s, it is listing-free (PUT/GET + append-only logs —
+    * the object-store contract the real table formats are built on,
+    * where LIST is slow, expensive, and eventually consistent), and its
+    * manifest MERGE carries clean buckets forward as pure metadata with
+    * no hard-link filesystem assumption. Bucketed parquet remains fully
+    * supported (pin a root with [[pin]]) and keeps its own end-to-end
+    * oracle gate — its catalog-registered bucketed scan is the shape to
+    * prefer where a warehouse catalog is already the storage layer.
     */
   def active: SpillFormat =
-    byName(sys.props.getOrElse("graft.ivm.spill.format", "parquet").trim)
+    byName(sys.props.getOrElse("graft.ivm.spill.format", "mergelog").trim)
 
   /** The format BOUND TO a spill root: the root's `FORMAT` marker if
     * present, else the session default. Formats do not read each other's

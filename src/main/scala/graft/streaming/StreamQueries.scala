@@ -179,15 +179,18 @@ object StreamQueries {
   def q3SpilledCycle(spark: SparkSession, dir: String): DataFrame =
     q3SpilledCycle(spark, dir, format = None)
 
-  /** The SAME full-±-cycle spilled fold, FORMAT-pinned to the mergelog
-    * (manifest + immutable-file-pool) implementation — the r12 verdict's
-    * item 3: the contract spec proves the [[SpillFormat]] seam's algebra
-    * for both formats, but only a driver-oracle-gated full cycle proves
-    * the second format under real compaction cadence, version GC, and the
-    * exact-cancellation contract. Identical oracle to `stream_q3_spilled`.
+  /** The SAME full-±-cycle spilled fold, FORMAT-pinned to the bucketed-
+    * parquet implementation — since r14 the COMPATIBILITY format (the
+    * mergelog is the session default, promoted on the 10× evidence), so
+    * the pinned query flipped sides: the contract spec proves the
+    * [[SpillFormat]] seam's algebra for both formats, but only a
+    * driver-oracle-gated full cycle proves a format under real compaction
+    * cadence, version GC, and the exact-cancellation contract — and BOTH
+    * formats keep that gate (`stream_q3_spilled` runs the default).
+    * Identical oracle to `stream_q3_spilled`.
     */
-  def q3SpilledCycleMergelog(spark: SparkSession, dir: String): DataFrame =
-    q3SpilledCycle(spark, dir, format = Some("mergelog"))
+  def q3SpilledCycleParquet(spark: SparkSession, dir: String): DataFrame =
+    q3SpilledCycle(spark, dir, format = Some("parquet"))
 
   private def q3SpilledCycle(spark: SparkSession, dir: String,
                              format: Option[String]): DataFrame = {
@@ -228,17 +231,19 @@ object StreamQueries {
 
   /** ADAPTIVE SPILL, crossed MID-RUN (r13 verdict item 1): the spill is a
     * STATE-SIZE POLICY, not a constructor flag. The insert-only changelog
-    * is folded in 12 batches with a spill dir and a DATA-DERIVED
+    * is folded in 8 batches with a spill dir and a DATA-DERIVED
     * threshold (nEvents/8 consolidated rows — below the converged state's
     * ~0.55·nEvents at any SF, above the first compaction's share), so the
     * fold provably starts IN-MEMORY (the first compaction consolidates on
     * the heap — structurally pinned), crosses the threshold at a
     * compaction-time measurement mid-stream, latches engagement, and
-    * MERGEs every later compaction into the bucketed tables (two spill
-    * versions over the 12 batches: the carry-forward + GC path runs under
-    * the policy, not just under the legacy always-on switch). The
+    * MERGEs the post-engagement compaction into the bucketed tables. The
     * converged answer must still be the batch Q3 top-20 — the strong
-    * oracle, unchanged by where the state lived.
+    * oracle, unchanged by where the state lived. (Post-engagement batches
+    * ride the IDENTICAL code path as an always-on spill fold — the latch
+    * is the only new machinery, so this gate buys the mid-run switch and
+    * leaves carry-forward/GC to the always-on gates that already prove
+    * them.)
     */
   def q3SpillAdaptive(spark: SparkSession, dir: String): DataFrame = {
     val events = Changelog.generateCached(spark, dir, insertOnly = true)
@@ -249,7 +254,7 @@ object StreamQueries {
       val tau = math.max(1L, n / 8)
       var inMemCompactions = 0
       var engagedAtBatch = -1
-      val fin = IncrementalQ3.runBatches(spark, events, 12,
+      val fin = IncrementalQ3.runBatches(spark, events, 8,
         spillDir = Some(root), spillAtRows = tau,
         onBatch = (b, st) => {
           // dirty resets to 0 exactly at compactions (every batch counts
@@ -264,7 +269,7 @@ object StreamQueries {
       require(fin.spillHistory.nonEmpty,
         s"adaptive spill: the threshold ($tau rows of ${n} events) was " +
           "never crossed — the engagement path went unexercised")
-      require(engagedAtBatch > 0 && engagedAtBatch < 11,
+      require(engagedAtBatch > 0 && engagedAtBatch < 7,
         s"adaptive spill: engagement at batch $engagedAtBatch is not " +
           "mid-run — nothing spilled under the policy after it")
       val conv = topAsStrings(fin)

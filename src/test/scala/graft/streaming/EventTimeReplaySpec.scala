@@ -48,6 +48,51 @@ class EventTimeReplaySpec extends SparkSpec {
     }
   }
 
+  test("bounded-delay split: dropped AND admitted identical under every slicing") {
+    import spark.implicits._
+    // same out-of-order fixture, δ = 3: an event within δ of the running
+    // frontier is ADMITTED-late (folds, accounted), only > δ behind drops
+    val ts = Seq(5L, 9L, 7L, 9L, 2L, 12L, 11L, 12L, 3L, 14L, 1L)
+    val delay = 3L
+    def frontier(i: Int): Option[Long] =
+      if (i == 0) None else Some(ts.take(i).max)
+    val truth = ts.indices.map { i =>
+      frontier(i) match {
+        case Some(f) => (ts(i) < f - delay, ts(i) >= f - delay && ts(i) < f)
+        case None => (false, false)
+      }
+    }
+    for (block <- Seq(2L, 64L); cut <- 0 to ts.size) {
+      val first = ts.take(cut).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("offset", "t")
+      val second = ts.drop(cut).zipWithIndex
+        .map { case (t, i) => ((cut + i).toLong, t) }.toDF("offset", "t")
+      val wmAfterFirst = if (cut == 0) Long.MinValue else ts.take(cut).max
+      def flags(df: org.apache.spark.sql.DataFrame, wm: Long) =
+        EventTimeReplay.prefixLateFlag(df, wm, block, delay)
+          .select("offset", "late", "late_admitted").collect()
+          .map(r => (r.getLong(0), (r.getBoolean(1), r.getBoolean(2))))
+      val got = (flags(first, Long.MinValue) ++ flags(second, wmAfterFirst))
+        .sortBy(_._1).map(_._2).toSeq
+      assert(got == truth,
+        s"bounded-delay flags diverged at cut=$cut block=$block")
+    }
+  }
+
+  test("bounded-delay replay Q3 equals the batch-simulated delayed answer") {
+    // the full driver query (growing broker, δ-trailing frontier, kill
+    // mid-production, resume) must land EXACTLY q3EventTimeDelayed's
+    // answer: top-20 AND both lateness totals — the window arithmetic
+    // must not care whether the fold survived a restart
+    val replay = EventTimeReplay.q3EventTimeDelayedReplay(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val simulated = StreamQueries.q3EventTimeDelayed(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(replay == simulated,
+      "bounded-delay replay Q3 must equal the batch-simulated bounded-" +
+        "delay Q3 (top-20, dropped AND admitted totals)")
+  }
+
   test("replay-fed event-time Q3 equals the batch-simulated answer") {
     // the full driver query at spec scale: growing broker with flow
     // control, kill pinned mid-production, resume, drain — and the result

@@ -51,15 +51,17 @@ class IncrementalSpillSpec extends SparkSpec {
     assert(versions.length <= 2, s"stale spill versions not pruned: ${versions.toSeq}")
   }
 
-  test("the mergelog format serves the same fold via the root binding") {
-    // the storage seam's second implementation under the REAL workload:
+  test("the non-default format serves the same fold via the root binding") {
+    // the storage seam's OTHER implementation under the REAL workload
+    // (bucketed parquet — the compatibility format since the r14 default
+    // flip; the unpinned test above exercises the mergelog default):
     // same fold, same per-batch answers, same two-version pruning — the
-    // root is PINNED to mergelog (its FORMAT marker) before first use,
-    // no global property mutation (r11 verdict item 3 + observation 1:
-    // root-bound resolution replaced the process-wide format switch)
+    // root is PINNED (its FORMAT marker) before first use, no global
+    // property mutation (r11 verdict item 3 + observation 1: root-bound
+    // resolution replaced the process-wide format switch)
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-spill-ml").toString
-    SpillFormat.pin(root, "mergelog")
+    SpillFormat.pin(root, "parquet")
     System.setProperty("graft.ivm.spill.dir", root)
     val spilled = try tops()
     finally System.clearProperty("graft.ivm.spill.dir")
@@ -74,6 +76,11 @@ class IncrementalSpillSpec extends SparkSpec {
   test("delta join against a spilled state shuffles only the delta side") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-spill-plan").toString
+    // the zero-Exchange join shape is the BUCKETED-PARQUET format's
+    // physical property — pinned explicitly now that the session default
+    // is the mergelog (whose plain-parquet reads trade the bucketed scan
+    // for listing-free metadata; measured faster end-to-end at 10×)
+    SpillFormat.pin(root, "parquet")
     System.setProperty("graft.ivm.spill.dir", root)
     // Run the probe INSIDE the hook, at the first compaction with live
     // rows: spillHistory just grew, so the state frame is a pure
@@ -159,6 +166,8 @@ class IncrementalSpillSpec extends SparkSpec {
     )
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-dirty").toString
+    SpillFormat.pin(root, "parquet") // hard-link carry-forward is the
+                                     // parquet format's mechanism
     val fin = batches.foldLeft(IncrementalQ3.init(spark)) { (st, ls) =>
       IncrementalQ3.step(st, ls.toDF("line"), spillDir = Some(root))
     }
@@ -231,6 +240,7 @@ class IncrementalSpillSpec extends SparkSpec {
     )
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivm-grain-probe").toString
+    SpillFormat.pin(root, "parquet") // asserts hard-link carry-forward
     val grains = Seq(IncrementalQ3.DefaultAggKeys, Seq("o_orderdate"))
     val fin = batches.foldLeft(IncrementalQ3.init(spark, grains)) { (st, ls) =>
       IncrementalQ3.step(st, ls.toDF("line"), spillDir = Some(root))
@@ -269,6 +279,55 @@ class IncrementalSpillSpec extends SparkSpec {
     val b = plainFin.aggs(1)._2.orderBy("o_orderdate").collect().map(_.toSeq).toSeq
     assert(a == b, "per-grain probe changed the maintained fact-grain aggregate")
     IncrementalQ3.cleanupSpillRoot(spark, root)
+  }
+
+  test("adaptive threshold: in-memory below it, engaged above it, same answers") {
+    // the spill POLICY (r13 verdict item 1): with a threshold the fold is
+    // a function of its own state size, not of a constructor flag
+    // 1) unreachable threshold → the fold must never engage: no spill
+    //    versions, no latch, and the root is never even created (write
+    //    paths alone pin roots)
+    val rootHi = java.nio.file.Files
+      .createTempDirectory("graft-ivm-adaptive-hi").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootHi))
+    val never = IncrementalQ3.runBatches(spark, events, K,
+      spillDir = Some(rootHi), spillAtRows = Long.MaxValue)
+    assert(never.spillHistory.isEmpty && !never.spillEngaged,
+      "an unreachable threshold must keep the fold on the heap")
+    assert(!new java.io.File(rootHi).exists(),
+      "a never-engaged fold must not create its spill root")
+    // 2) trivially-low threshold → the FIRST compaction measures, latches,
+    //    and every later compaction spills; per-batch answers stay
+    //    bit-identical to the in-memory fold, and the latch + history
+    //    survive a snapshot round-trip
+    val rootLo = java.nio.file.Files
+      .createTempDirectory("graft-ivm-adaptive-lo").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    var engagedAt = -1
+    var firstCompactInMemory = false
+    val fin = IncrementalQ3.runBatches(spark, events, K,
+      spillDir = Some(rootLo), spillAtRows = 1L,
+      onBatch = (b, st) => {
+        buf += IncrementalQ3.topN(st).collect().map(_.toSeq).toSeq
+        if (st.dirty == 0 && st.spillHistory.isEmpty) firstCompactInMemory = true
+        if (st.spillEngaged && engagedAt < 0) engagedAt = b
+      })
+    assert(buf.toSeq == plainTops,
+      "the adaptive fold must be bit-identical to the in-memory fold")
+    assert(firstCompactInMemory,
+      "the first compaction must consolidate on the heap (measurement " +
+        "precedes engagement by construction)")
+    assert(engagedAt >= 0 && fin.spillEngaged && fin.spillHistory.nonEmpty,
+      s"threshold 1 must engage and spill (engagedAt=$engagedAt, " +
+        s"history=${fin.spillHistory})")
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft-ivm-adaptive-snap").toString
+    Snapshots.save(fin, snap)
+    val loaded = Snapshots.load(spark, snap)
+    assert(loaded.spillEngaged,
+      "the engagement latch must survive a snapshot — a resumed fold " +
+        "falling back to the heap would re-pay the memory it can't afford")
+    IncrementalQ3.cleanupSpillRoot(spark, rootLo)
   }
 
   test("snapshot save/load composes with spill: resume ≡ uninterrupted") {

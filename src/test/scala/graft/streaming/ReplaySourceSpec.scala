@@ -158,6 +158,69 @@ class ReplaySourceSpec extends SparkSpec {
     } finally handle.close()
   }
 
+  test("a silent consumer group is evicted after its session times out") {
+    import spark.implicits._
+    // 8 chunks of 300; window 1 chunk. The "dead" group registers and
+    // never sends a request; the live group reads at the published edge.
+    // While dead's session lasts (grace from registration), production
+    // must hold inside its window (0 + window + mid-chunk = 600); after
+    // the timeout the dead group is EVICTED and production must run to
+    // the end — the one-dead-consumer-halts-the-fleet failure mode, with
+    // eviction as the broker's fix (Kafka session.timeout.ms).
+    val lines = (0 until 2400).map(i => f"sx_$i%05d").toDF("line")
+    val handle = ReplayServer.serveGrowing(lines, chunks = 8,
+      intervalMs = 10L, maxAheadChunks = 1, groups = Seq("live", "dead"),
+      sessionTimeoutMs = 2000L)
+    try {
+      def cnt() = ReplayServer.count("127.0.0.1", handle.port)
+      val t0 = System.nanoTime()
+      def elapsedMs = (System.nanoTime() - t0) / 1000000L
+      var liveRead = 0L
+      def drainLive(): Unit = {
+        val c = cnt()
+        if (c > liveRead) {
+          val got = ReplayServer
+            .fetch("127.0.0.1", handle.port, liveRead, c, group = "live").size
+          assert(got == c - liveRead, s"live short range: $got")
+          liveRead = c
+        }
+      }
+      // inside the dead group's grace window: paced on ITS zero watermark.
+      // Samples are only trusted while provably pre-timeout (elapsed
+      // re-checked AFTER the count lands, so a slow host can't smear a
+      // post-eviction count into a pre-eviction sample).
+      var stalledMax = 0L
+      while (elapsedMs < 1200L) {
+        drainLive()
+        val c = cnt()
+        if (elapsedMs < 1600L) stalledMax = math.max(stalledMax, c)
+        Thread.sleep(20)
+      }
+      assert(stalledMax <= 600L,
+        s"production ran to $stalledMax inside the dead group's session — " +
+          "pacing ignored a registered (not-yet-evicted) group")
+      // after the timeout: the dead group no longer paces — production
+      // must drain to the end while only the live group reads
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (liveRead < handle.expected && System.nanoTime() < deadline) {
+        drainLive()
+        Thread.sleep(10)
+      }
+      assert(liveRead == handle.expected,
+        s"production never advanced past the dead group's window " +
+          s"($liveRead of ${handle.expected}) — eviction failed, one dead " +
+          "consumer halted the fleet")
+      // reconnection: the evicted group's watermark was RETAINED; a new
+      // request from it is tracked again (re-admission is pacing-relevant
+      // only mid-production; here the bookkeeping contract is what's left)
+      val got = ReplayServer
+        .fetch("127.0.0.1", handle.port, 0, 900, group = "dead").size
+      assert(got == 900)
+      assert(ReplayServer.servedOf("127.0.0.1", handle.port, "dead") == 900L,
+        "a reconnected group's watermark must be tracked again")
+    } finally handle.close()
+  }
+
   test("offset JSON round-trip") {
     val o = ReplayOffset(123456789L)
     assert(new graft.sources.ReplayStream("h", 1, 10, 2)
