@@ -107,6 +107,12 @@ object SparkEntry {
     // per-(relation, action) totals gate on the closed-form oracle
     "stream_q3_two_consumers_cycle" ->
       (streaming.ReplayIngest.q3TwoConsumersCycle _),
+    // THE FULL MATRIX CELL — groups × retraction × kill × eviction: the
+    // fold group is killed MID-TEARDOWN (delete pins), evicted so the
+    // counts group keeps draining, resumed, and still converges exactly
+    // empty; counts totals gate on the closed-form oracle
+    "stream_q3_two_consumers_cycle_resume" ->
+      (streaming.ReplayIngest.q3TwoConsumersCycleResume _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
@@ -772,6 +778,18 @@ object SparkEntry {
     // breaks a row); the fold's exact-empty convergence is pinned
     // in-query
     "stream_q3_two_consumers_cycle" ->
+      """SELECT relation, action, n FROM (
+        |  SELECT 'customer' AS relation, 'Insert' AS action, COUNT(*) AS n FROM customer
+        |  UNION ALL SELECT 'customer', 'Delete', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'orders', 'Insert', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'orders', 'Delete', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', 'Insert', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'Delete', COUNT(*) FROM lineitem) t""".stripMargin,
+    // the same closed-form totals THROUGH the kill/evict/resume: a batch
+    // lost or doubled on either side of either group's offset boundary —
+    // including the replayed in-flight range — breaks a row; the fold's
+    // exact-empty convergence is pinned in-query
+    "stream_q3_two_consumers_cycle_resume" ->
       """SELECT relation, action, n FROM (
         |  SELECT 'customer' AS relation, 'Insert' AS action, COUNT(*) AS n FROM customer
         |  UNION ALL SELECT 'customer', 'Delete', COUNT(*) FROM customer

@@ -296,6 +296,20 @@ object ReplayIngest {
   def q3TwoConsumersCycle(spark: SparkSession, dir: String): DataFrame =
     twoConsumersRun(spark, dir, fullCycle = true, killResume = false)
 
+  /** `stream_q3_two_consumers_cycle_resume` — the FULL MATRIX CELL:
+    * consumer groups × retraction × kill/resume × eviction in one
+    * composition. The fold group is killed MID-TEARDOWN (structural
+    * delete pins from its exactly-once progress counter: deletes folded
+    * before the kill AND deletes left to fold), the broker evicts it so
+    * the counts group keeps draining the ± stream, and the resumed group
+    * re-admits, replays its in-flight range, and still converges to
+    * EXACTLY EMPTY — retraction state crossing a snapshot/offset boundary
+    * while a second group's offsets advance independently. Counts oracle
+    * + exact-empty pin, same as the kill-free cycle.
+    */
+  def q3TwoConsumersCycleResume(spark: SparkSession, dir: String): DataFrame =
+    twoConsumersRun(spark, dir, fullCycle = true, killResume = true)
+
   private def twoConsumersRun(spark: SparkSession, dir: String,
                               fullCycle: Boolean,
                               killResume: Boolean): DataFrame = {
@@ -313,12 +327,17 @@ object ReplayIngest {
       } else Changelog.generate(spark, dir, insertOnly = true)
     val ordered = events
       .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
-    // eviction only where the contract needs it: the kill/resume variant
-    // proves liveness; the kill-free variants keep registered groups
+    // eviction only where the contract needs it: the kill/resume variants
+    // prove liveness; the kill-free variants keep registered groups
     // pacing forever (a paused-but-alive consumer must NOT be dropped
-    // there — that is exactly the min-keyed guarantee they pin)
+    // there — that is exactly the min-keyed guarantee they pin). The
+    // cycle×kill window is tightened to keep the mid-production bound
+    // under 1 (kill at 4/9, 8 fold batches, 4-chunk window:
+    // 4/9 + 1/8 + 1/8 + 5/24 = 0.90 worst case — q3ReplayRun's sizing
+    // argument).
+    val maxAhead = if (fullCycle && killResume) 4 else 6
     val handle = ReplayServer.serveGrowing(ordered,
-      chunks = 24, intervalMs = 10L, maxAheadChunks = 6,
+      chunks = 24, intervalMs = 10L, maxAheadChunks = maxAhead,
       groups = Seq("fold", "counts"),
       sessionTimeoutMs = if (killResume) 3000L else 0L)
     val work = Files.createTempDirectory("graft-replay-2c").toString
@@ -362,9 +381,16 @@ object ReplayIngest {
                 Snapshots.saveBatchAuto(state, snapDir, id)
                 expectedBatch = id + 1
               }
+              // drain/kill monitor on its own id watermark; the delete
+              // count is what pins the cycle×kill to the TEARDOWN phase
               val (lastCounted, cum, dels) = loadProgress(progressFile)
-              if (id > lastCounted)
-                saveProgress(progressFile, id, cum + pinned.count(), dels)
+              if (id > lastCounted) {
+                val s = pinned.agg(count(lit(1)).as("n"),
+                  sum(when(substring(col("value"), 1, 1) === "-", 1L)
+                    .otherwise(0L)).as("d")).head()
+                saveProgress(progressFile, id, cum + s.getLong(0),
+                  dels + (if (s.isNullAt(1)) 0L else s.getLong(1)))
+              }
             } finally pinned.unpersist(blocking = false)
           }
           .start()
@@ -407,11 +433,14 @@ object ReplayIngest {
         val deadline = System.nanoTime() +
           (300L + 2 * expected / 20000L) * 1000000000L
         if (killResume) {
-          // phase A: fold ~a quarter, then KILL the fold group (query +
+          // phase A: fold ~a quarter (insert-only) or ~4/9 (full cycle —
+          // deep enough into the teardown that deletes are folded on both
+          // sides of the kill), then KILL the fold group (query +
           // heartbeat) while the counts group keeps draining
-          while (foldSeen() < expected / 4 && qFold.isActive &&
+          val killTarget = if (fullCycle) 4 * expected / 9 else expected / 4
+          while (foldSeen() < killTarget && qFold.isActive &&
                  System.nanoTime() < deadline) Thread.sleep(25)
-          require(foldSeen() >= expected / 4,
+          require(foldSeen() >= killTarget,
             s"fold consumer stalled pre-kill: ${foldSeen()} of $expected")
           val foldServedAtKill =
             ReplayServer.servedOf("127.0.0.1", handle.port, "fold")
@@ -421,6 +450,21 @@ object ReplayIngest {
               s"stall never threatened ($stagedAtKill of $expected staged)")
           qFold.stop()
           foldPulse.foreach(_.close()); foldPulse = None
+          if (fullCycle) {
+            // the TEARDOWN pins (structural, from the exactly-once
+            // counter): retraction folded into the killed state AND
+            // retraction left for the resumed fold — same contract as
+            // q3ReplayResumeCycle, now with a second group's offsets
+            // advancing independently through the kill
+            val totalDeletes = expected / 2
+            val deletesAtKill = loadProgress(progressFile)._3
+            require(deletesAtKill > 0,
+              "cycle×kill landed before any delete was folded — " +
+                "retraction never crossed the snapshot boundary")
+            require(deletesAtKill < totalDeletes,
+              s"cycle×kill landed after the teardown finished " +
+                s"($deletesAtKill of $totalDeletes deletes)")
+          }
           // THE LIVENESS PIN: while the fold group is down, production
           // must advance PAST its flow-control window — staged beyond
           // foldServedAtKill + (maxAhead+1)·chunk is impossible while the
@@ -429,7 +473,7 @@ object ReplayIngest {
           // this await times out loudly: one dead consumer halts the
           // fleet, which is exactly the failure mode being closed.
           val advanceTarget =
-            math.min(expected, foldServedAtKill + (6 + 2) * chunk + 1)
+            math.min(expected, foldServedAtKill + (maxAhead + 2) * chunk + 1)
           while (ReplayServer.count("127.0.0.1", handle.port) < advanceTarget &&
                  System.nanoTime() < deadline) Thread.sleep(25)
           val stagedWhileDown = ReplayServer.count("127.0.0.1", handle.port)
@@ -467,10 +511,10 @@ object ReplayIngest {
           val minServed = math.min(
             ReplayServer.servedOf("127.0.0.1", handle.port, "fold"),
             ReplayServer.servedOf("127.0.0.1", handle.port, "counts"))
-          require(stagedAtProbe - minServed <= (6 + 2) * chunk,
+          require(stagedAtProbe - minServed <= (maxAhead + 2) * chunk,
             "production outran the slow consumer group — flow control is " +
               s"not keyed to the minimum watermark (staged=$stagedAtProbe, " +
-              s"minServed=$minServed, window=${(6 + 2) * chunk})")
+              s"minServed=$minServed, window=${(maxAhead + 2) * chunk})")
         }
         // both groups drain to the end, independently
         while ((foldSeen() < expected || countsSeen() < expected) &&
