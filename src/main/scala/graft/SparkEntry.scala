@@ -113,6 +113,13 @@ object SparkEntry {
     // empty; counts totals gate on the closed-form oracle
     "stream_q3_two_consumers_cycle_resume" ->
       (streaming.ReplayIngest.q3TwoConsumersCycleResume _),
+    // CONSUMER GROUPS × THE PARTITIONED TRANSPORT: two groups over the
+    // three-partition CDC topic, sessions/flow-control/eviction PER
+    // PARTITION (the Kafka shape) — fold killed mid-stream, every
+    // partition must evict it independently (pinned per partition) while
+    // the counts group drains, resume from the vector offset + snapshot
+    "stream_q3_two_consumers_partitioned" ->
+      (streaming.ReplayIngest.q3TwoConsumersPartitioned _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
@@ -130,6 +137,14 @@ object SparkEntry {
     // — the state-size POLICY a real engine runs, not a switch
     "stream_q3_spill_adaptive" ->
       (streaming.StreamQueries.q3SpillAdaptive _),
+    // the SAME policy ACROSS A CRASH: a fault injected ON the measurement
+    // batch (before its offsets commit) kills the fold, so the state-size
+    // measurement, the threshold crossing, the engagement latch, and the
+    // bucketed-table MERGE all happen in the RESUMED process against a
+    // recovered in-memory snapshot — structurally pinned (pre-crash
+    // snapshot REQUIRED to be b2, un-engaged, un-spilled)
+    "stream_q3_spill_adaptive_resume" ->
+      (streaming.ReplayIngest.q3SpillAdaptiveResume _),
     "stream_agg_priority" -> (streaming.StreamQueries.priorityRevenueConverged _),
     // third grain on the SAME shared fold — fact-sized (per order date),
     // the shape the per-grain dirty-bucket probe exists for
@@ -166,6 +181,13 @@ object SparkEntry {
     // ON-TIME LINEITEM's rank, not the single-log watermark
     "stream_q3_event_time_partitioned" ->
       (streaming.EventTimePartitioned.q3EventTimePartitioned _),
+    // BOUNDED-DELAY × PARTITIONED (the last transport the δ-admission
+    // semantics had not crossed): each partition's cutoff trails ITS OWN
+    // prefix frontier by δ = nL/20 — the Kafka shape, allowed lateness
+    // judged against the partition an event rides — with the per-partition
+    // (wm, dropped, admitted) vector surviving the mid-production kill
+    "stream_q3_event_time_delayed_partitioned" ->
+      (streaming.EventTimePartitioned.q3EventTimeDelayedPartitioned _),
     // LATENESS UNDER RETRACTION: the full ± cycle with late DELETES —
     // late insert dropped + tombstoned, late delete of an applied insert
     // still retracts, late delete of a tombstoned insert dropped; a row
@@ -751,6 +773,27 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 20""".stripMargin,
+    // groups × partitioned transport: the fold's converged answer is
+    // arrival-order-invariant across the apportioned partition interleave
+    // AND the per-partition kill/evict/re-admit cycle — same strong oracle
+    "stream_q3_two_consumers_partitioned" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       (SELECT (SELECT COUNT(*) FROM customer)
+        |             + (SELECT COUNT(*) FROM orders)
+        |             + (SELECT COUNT(*) FROM lineitem)) AS ingest_events
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
     // the killed-and-resumed fold group must still land the batch top-20:
     // its offsets + snapshots are its own, so the kill/evict/re-admit
     // cycle on the broker side must lose and double-apply nothing
@@ -929,6 +972,46 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 20""".stripMargin,
+    // BOUNDED-DELAY over the partitioned transport: the withheld
+    // lineitems ride at the END of the lineitem log sorted by event time
+    // ascending, so each one's own-partition frontier is m = the last
+    // ON-TIME lineitem's rank (an earlier straggler's time never exceeds
+    // its successor's) — dropped iff rk < m − δ, ADMITTED (folds) iff
+    // m − δ ≤ rk < m, on-time at rk ≥ m. δ = nl/20, the same data-derived
+    // window as the single-log delayed variants; the other partitions'
+    // event times never gate the lineitem log (per-partition watermarks).
+    "stream_q3_event_time_delayed_partitioned" ->
+      """WITH
+        |  nn AS (SELECT (SELECT count(*) FROM lineitem) AS nl),
+        |  li AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_partkey,
+        |             l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax, l_returnflag, l_linestatus,
+        |             l_shipdate) AS rk
+        |         FROM lineitem),
+        |  m0 AS (SELECT max(rk) AS m FROM li WHERE l_orderkey % 10 <> 3),
+        |  mx AS (SELECT m, m - nl // 20 AS cutoff FROM m0, nn),
+        |  lat AS (SELECT count(*) AS dl FROM li, mx
+        |          WHERE l_orderkey % 10 = 3 AND rk < cutoff),
+        |  adm AS (SELECT count(*) AS al FROM li, mx
+        |          WHERE l_orderkey % 10 = 3 AND rk >= cutoff AND rk < m),
+        |  liv AS (SELECT li.* FROM li, mx
+        |          WHERE NOT (l_orderkey % 10 = 3 AND rk < cutoff))
+        |SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       (SELECT dl FROM lat) AS dropped_late,
+        |       (SELECT al FROM adm) AS admitted_late
+        |FROM customer, orders, liv
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
     // Lateness under retraction, all four totals in closed form: both
     // injection classes restrict to rank < nL (every deferred event
     // provably late), class %10=3 defers insert+delete (both dropped:
@@ -1008,6 +1091,23 @@ object SparkEntry {
     // threshold, bucketed tables after the mid-run engagement — the
     // converged insert-only answer is the batch Q3 top-20, bit-exact
     "stream_q3_spill_adaptive" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    // the policy across a crash: the answer must be indifferent to the
+    // fault, the resume, and where the state lived — same strong oracle
+    "stream_q3_spill_adaptive_resume" ->
       """SELECT l_orderkey,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
         |       o_orderpriority,

@@ -79,23 +79,28 @@ class PartitionedReplayTable extends Table with SupportsRead {
     val minBatchSize = Option(options.get("minbatchsize")).map(_.toLong).getOrElse(1L)
     val maxTriggerDelayMs =
       Option(options.get("maxtriggerdelayms")).map(_.toLong).getOrElse(500L)
+    // consumer group: each partition's ReplayServer tracks this group's
+    // read watermark independently — flow control and session liveness
+    // are per partition, the Kafka shape
+    val group = Option(options.get("group")).getOrElse("")
     () => new PartitionedReplayScan(host, ports, batchSize, minBatchSize,
-      maxTriggerDelayMs)
+      maxTriggerDelayMs, group)
   }
 }
 
 class PartitionedReplayScan(host: String, ports: IndexedSeq[Int],
                             batchSize: Long, minBatchSize: Long,
-                            maxTriggerDelayMs: Long) extends Scan {
+                            maxTriggerDelayMs: Long, group: String = "")
+    extends Scan {
   override def readSchema(): StructType = PartitionedReplayProvider.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PartitionedReplayStream(host, ports, batchSize, minBatchSize,
-      maxTriggerDelayMs)
+      maxTriggerDelayMs, group)
 }
 
 class PartitionedReplayStream(host: String, ports: IndexedSeq[Int],
                               batchSize: Long, minBatchSize: Long,
-                              maxTriggerDelayMs: Long)
+                              maxTriggerDelayMs: Long, group: String = "")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def counts(): IndexedSeq[Long] =
@@ -155,7 +160,8 @@ class PartitionedReplayStream(host: String, ports: IndexedSeq[Int],
     val b = end.asInstanceOf[VectorOffset].ns
     ports.indices.flatMap { p =>
       val (f, t) = (a.getOrElse(p, 0L), b.getOrElse(p, 0L))
-      if (t > f) Some(PartitionedReplayRange(p, host, ports(p), f, t): InputPartition)
+      if (t > f)
+        Some(PartitionedReplayRange(p, host, ports(p), f, t, group): InputPartition)
       else None
     }.toArray
   }
@@ -168,14 +174,16 @@ class PartitionedReplayStream(host: String, ports: IndexedSeq[Int],
 }
 
 final case class PartitionedReplayRange(part: Int, host: String, port: Int,
-                                        from: Long, to: Long)
+                                        from: Long, to: Long,
+                                        group: String = "")
     extends InputPartition
 
 class PartitionedReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val PartitionedReplayRange(part, host, port, from, to) = partition: @unchecked
+    val PartitionedReplayRange(part, host, port, from, to, group) =
+      partition: @unchecked
     new PartitionReader[InternalRow] {
-      private val it = ReplayServer.fetch(host, port, from, to)
+      private val it = ReplayServer.fetch(host, port, from, to, group)
       private var row: InternalRow = _
       private var served = 0L
       override def next(): Boolean =

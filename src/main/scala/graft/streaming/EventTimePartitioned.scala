@@ -40,15 +40,20 @@ object EventTimePartitioned {
 
   private val G = 4096L
 
-  /** `(lastAppliedBatchId, dropped, wm per partition)`. */
-  private final case class Meta(lastId: Long, dropped: Long, wm: Map[Int, Long])
+  /** `(lastAppliedBatchId, dropped, admittedLate, wm per partition)`.
+    * `admitted` counts stragglers inside the bounded-delay window of the
+    * delayed variant (always 0 under the plain per-partition prefix
+    * watermark, whose window is empty).
+    */
+  private final case class Meta(lastId: Long, dropped: Long, admitted: Long,
+                                wm: Map[Int, Long])
 
   private def loadMeta(path: String): Meta =
-    if (!Files.exists(Paths.get(path))) Meta(-1L, 0L, Map.empty)
+    if (!Files.exists(Paths.get(path))) Meta(-1L, 0L, 0L, Map.empty)
     else {
-      val Array(id, d, wms) = new String(Files.readAllBytes(Paths.get(path)),
-        StandardCharsets.UTF_8).trim.split("\\|", 3)
-      Meta(id.toLong, d.toLong,
+      val Array(id, d, a, wms) = new String(Files.readAllBytes(Paths.get(path)),
+        StandardCharsets.UTF_8).trim.split("\\|", 4)
+      Meta(id.toLong, d.toLong, a.toLong,
         wms.split(",").filter(_.nonEmpty).map { kv =>
           val Array(p, w) = kv.split(":"); p.toInt -> w.toLong
         }.toMap)
@@ -57,7 +62,7 @@ object EventTimePartitioned {
   private def saveMeta(path: String, m: Meta): Unit = {
     val tmp = Paths.get(path + ".tmp")
     val wms = m.wm.toSeq.sortBy(_._1).map { case (p, w) => s"$p:$w" }.mkString(",")
-    Files.write(tmp, s"${m.lastId}|${m.dropped}|$wms"
+    Files.write(tmp, s"${m.lastId}|${m.dropped}|${m.admitted}|$wms"
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(path),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -73,7 +78,9 @@ object EventTimePartitioned {
     */
   private[streaming] def prefixLateFlagP(batch: DataFrame,
                                          carryIn: Map[Int, Long],
-                                         blockSize: Long = G): DataFrame = {
+                                         blockSize: Long = G,
+                                         delay: Long = 0L): DataFrame = {
+    require(delay >= 0L, s"allowed lateness must be >= 0, got $delay")
     val withBlock = batch.withColumn("_blk", floor(col("offset") / blockSize))
     val cells = withBlock.groupBy(col("partition"), col("_blk"))
       .agg(max(col("t")).as("_mx")).collect()
@@ -90,11 +97,23 @@ object EventTimePartitioned {
     val w = Window.partitionBy(col("partition"), col("_blk"))
       .orderBy(col("offset"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the drop cutoff trails each PARTITION's own frontier by `delay`
+    // (δ = 0 is the plain per-partition prefix watermark — empty window).
+    // The MinValue sentinel ("no event precedes this one in its
+    // partition") is guarded with CASE WHEN, not `&&`, for the same
+    // codegen-CSE overflow reason as [[EventTimeReplay.prefixLateFlag]].
+    val frontier = greatest(col("_carry"),
+      coalesce(col("_pm"), lit(Long.MinValue)))
     withBlock.join(broadcast(carryDf), Seq("partition", "_blk"))
       .withColumn("_pm", max(col("t")).over(w))
-      .withColumn("late",
-        col("t") < greatest(col("_carry"), coalesce(col("_pm"), lit(Long.MinValue))))
-      .drop("_blk", "_carry", "_pm")
+      .withColumn("_frontier", frontier)
+      .withColumn("_cut",
+        when(col("_frontier") === Long.MinValue, lit(Long.MinValue))
+          .otherwise(col("_frontier") - lit(delay)))
+      .withColumn("late", col("t") < col("_cut"))
+      .withColumn("late_admitted",
+        col("t") >= col("_cut") && col("t") < col("_frontier"))
+      .drop("_blk", "_carry", "_pm", "_frontier", "_cut")
   }
 
   /** One ordered log per relation (the CDC topic layout), each line
@@ -135,7 +154,33 @@ object EventTimePartitioned {
     * partition logs, vector offsets, per-partition prefix watermarks, the
     * kill landing mid-production, resume from checkpoint + snapshot.
     */
-  def q3EventTimePartitioned(spark: SparkSession, dir: String): DataFrame = {
+  def q3EventTimePartitioned(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, delay = 0L)
+
+  /** `stream_q3_event_time_delayed_partitioned` — the BOUNDED-DELAY
+    * watermark over the PARTITIONED transport, the one transport the
+    * δ-admission semantics had not yet crossed (batch fold:
+    * [[StreamQueries.q3EventTimeDelayed]]; single-log broker:
+    * [[EventTimeReplay.q3EventTimeDelayedReplay]]). Each partition's drop
+    * cutoff trails ITS OWN prefix frontier by δ = nL/20 — the Kafka shape,
+    * where allowed lateness is judged against the partition an event
+    * actually rides, not a merged global clock: a lineitem straggler
+    * within δ of the lineitem log's frontier is ADMITTED and folds, only
+    * events more than δ behind their own partition drop. The per-partition
+    * (wm, dropped, admitted) vector persists through the mid-production
+    * KILL on the meta file's id watermark, so the resumed query re-derives
+    * identical admission decisions (flags are a pure function of
+    * (partition, offset, stream, δ)). Oracle closed form: the withheld
+    * lineitems ride at the END of the lineitem log sorted by event time,
+    * so each one's frontier is m = the last ON-TIME lineitem's rank —
+    * dropped iff rk < m − δ, admitted iff m − δ ≤ rk < m, on-time past m.
+    */
+  def q3EventTimeDelayedPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val nL = graft.sources.Tables.table(spark, dir, "lineitem").count()
+    run(spark, dir, delay = nL / 20)
+  }
+
+  private def run(spark: SparkSession, dir: String, delay: Long): DataFrame = {
     val logs = relationLogs(spark, dir)
     // Per-partition backpressure: each log's producer paces against its
     // own consumers, and the kill provably lands mid-production (total
@@ -187,7 +232,8 @@ object EventTimePartitioned {
               parts.getItem(0).cast("long").as("t"),
               parts.getItem(1).as("line"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val flagged = prefixLateFlagP(stamped, meta.wm).localCheckpoint()
+            val flagged = prefixLateFlagP(stamped, meta.wm, delay = delay)
+              .localCheckpoint()
             stamped.unpersist(blocking = false)
             try {
               if (id >= expectedBatch) {
@@ -200,22 +246,25 @@ object EventTimePartitioned {
                 expectedBatch = id + 1
               }
               // one small job for all per-batch statistics: per-partition
-              // max t (the wm vector), late count, total rows
+              // max t (the wm vector), dropped + admitted counts, total rows
               val stats = flagged.groupBy(col("partition"))
                 .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late"),
+                  sum(when(col("late_admitted"), 1L).otherwise(0L)).as("adm"),
                   max(col("t")).as("mx"), count(lit(1)).as("n"))
                 .collect() // ≤ one row per partition
               if (id > meta.lastId) {
                 val late = stats.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+                val adm = stats.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
                 val wm2 = meta.wm ++ stats.map { r =>
                   val p = r.getInt(0)
-                  p -> math.max(meta.wm.getOrElse(p, Long.MinValue), r.getLong(2))
+                  p -> math.max(meta.wm.getOrElse(p, Long.MinValue), r.getLong(3))
                 }
-                saveMeta(metaFile, Meta(id, meta.dropped + late, wm2))
+                saveMeta(metaFile,
+                  Meta(id, meta.dropped + late, meta.admitted + adm, wm2))
               }
               val (lastCounted, cum) = loadProgress(progressFile)
               if (id > lastCounted)
-                saveProgress(progressFile, id, cum + stats.map(_.getLong(3)).sum)
+                saveProgress(progressFile, id, cum + stats.map(_.getLong(4)).sum)
             } finally flagged.unpersist()
           }
           .start()
@@ -251,13 +300,20 @@ object EventTimePartitioned {
       require(meta.dropped > 0, "event-time Q3 (partitioned): no late " +
         "events were dropped — the deterministic lateness injection " +
         "failed, the query is testing nothing")
+      if (delay > 0L)
+        require(meta.admitted > 0,
+          "bounded-delay event-time Q3 (partitioned): no straggler fell " +
+            "inside its partition's lateness window — the δ-admission " +
+            "semantics went untested")
       val st = Snapshots.loadLatest(spark, snapDir)
         .getOrElse(sys.error("no snapshot after drain"))._1
-      val top = IncrementalQ3.topN(st)
+      val top0 = IncrementalQ3.topN(st)
         .select(col("l_orderkey"),
           col("o_orderdate").cast("string").as("o_orderdate"),
           col("o_orderpriority"), col("revenue"))
         .withColumn("dropped_late", lit(meta.dropped))
+      val top = if (delay > 0L)
+        top0.withColumn("admitted_late", lit(meta.admitted)) else top0
       val rows = top.collect().toIndexedSeq
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(rows.asJava, top.schema)

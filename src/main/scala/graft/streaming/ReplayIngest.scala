@@ -310,6 +310,194 @@ object ReplayIngest {
   def q3TwoConsumersCycleResume(spark: SparkSession, dir: String): DataFrame =
     twoConsumersRun(spark, dir, fullCycle = true, killResume = true)
 
+  /** `stream_q3_two_consumers_partitioned` — CONSUMER GROUPS × THE
+    * PARTITIONED TRANSPORT, the transport×groups cell the single-log
+    * variants leave open. A Kafka consumer group's session is tracked PER
+    * PARTITION (each broker owning a partition sees its own heartbeats and
+    * fetches); this query runs the Q3 IVM fold and the counts grain as two
+    * groups over the three-partition CDC topic layout (one ordered log per
+    * relation, [[graft.sources.PartitionedReplayProvider]] with vector
+    * offsets), so flow control, session liveness, and eviction all operate
+    * per partition:
+    *
+    *  - each partition's producer paces on the slowest LIVE group's
+    *    watermark AT THAT PARTITION (min-keyed, as the single-log broker —
+    *    but three independent control loops);
+    *  - the fold group is KILLED mid-stream (query + its three per-
+    *    partition heartbeats), and after the session timeout EVERY
+    *    partition must evict it: the liveness pin requires production to
+    *    advance past the dead group's flow-control window on EACH
+    *    partition independently, while the counts group keeps draining;
+    *  - the resumed fold re-admits on all three partitions (watermarks
+    *    retained), catches up from its checkpointed VECTOR offset + state
+    *    snapshot, and must land the batch Q3 top-20 — the z-set fold is
+    *    arrival-order-invariant across relations, so the apportioned
+    *    cross-partition interleave (an admission accident) cannot move
+    *    the converged answer.
+    */
+  def q3TwoConsumersPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val events = Changelog.generateCached(spark, dir, insertOnly = true)
+    def log(tag: String) = events
+      .filter(substring(col("line"), 2, 2) === tag)
+      .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
+    val logs = Seq(log("CU"), log("OR"), log("LI"))
+    // per-partition flow control: 16 chunks, 3-chunk window each. The kill
+    // lands at 1/4 consumed with 6 global fold batches; worst-case staged
+    // ≈ 1/4 + 1/6 (await overshoot) + 1/6 (in-flight) + 3/16 (windows)
+    // ≈ 0.77 · expected — mid-production by arithmetic, not timing.
+    val handles = logs.map(l => ReplayServer.serveGrowing(l,
+      chunks = 16, intervalMs = 10L, maxAheadChunks = 3,
+      groups = Seq("fold", "counts"), sessionTimeoutMs = 3000L))
+    val work = Files.createTempDirectory("graft-replay-2cp").toString
+    val snapDir = s"$work/snap"
+    val progressFile = s"$work/progress"
+    val totalsFile = s"$work/totals"
+    try {
+      val expected = handles.map(_.expected).sum
+      require(expected > 0, "empty changelog — nothing to replay")
+      val chunks = handles.map(h => math.max(1L, h.expected / 16))
+      val foldBatch = math.max(1L, expected / 6)
+      val countsBatch = math.max(1L, expected / 9)
+      def reader(group: String, batchSize: Long) = spark.readStream
+        .format(classOf[graft.sources.PartitionedReplayProvider].getName)
+        .option("host", "127.0.0.1")
+        .option("ports", handles.map(_.port).mkString(","))
+        .option("batchSize", batchSize.toString)
+        .option("minBatchSize", batchSize.toString)
+        // tail-drain contract (EventTimePartitioned's): once the small
+        // customer/orders partitions drain, the remaining lineitem window
+        // (~3/16 of its log) can sit below the global minBatchSize —
+        // bound the hold explicitly
+        .option("maxTriggerDelayMs", "500")
+        .option("group", group)
+        .load()
+      def startFold(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val resumed = Snapshots.loadLatest(spark, snapDir)
+        var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
+        var expectedBatch = resumed.fold(0L)(_._2 + 1)
+        reader("fold", foldBatch).writeStream
+          .queryName(s"graft_2cp_fold_${handles.head.port}")
+          .option("checkpointLocation", s"$work/ckpt_fold")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val pinned = batch
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (id >= expectedBatch) {
+                require(id == expectedBatch,
+                  s"batch $id delivered but IVM state is at $expectedBatch")
+                state = IncrementalQ3.step(state,
+                  pinned.select(col("value")), spillDir = None)
+                Snapshots.saveBatchAuto(state, snapDir, id)
+                expectedBatch = id + 1
+              }
+              val (lastCounted, cum, _) = loadProgress(progressFile)
+              if (id > lastCounted)
+                saveProgress(progressFile, id, cum + pinned.count(), 0L)
+            } finally pinned.unpersist(blocking = false)
+          }
+          .start()
+      }
+      var qFold = startFold()
+      // per-partition sessions: the fold group heartbeats EACH partition's
+      // broker (Kafka's per-broker group coordinator shape); all three
+      // stop with the kill, so every partition sees the same silence
+      var foldPulses: Seq[AutoCloseable] = handles.map(h =>
+        ReplayServer.heartbeat("127.0.0.1", h.port, "fold"))
+      val qCounts = reader("counts", countsBatch).writeStream
+        .queryName(s"graft_2cp_counts_${handles.head.port}")
+        .option("checkpointLocation", s"$work/ckpt_counts")
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val st = load(totalsFile)
+          if (id > st.lastId) {
+            val rows = Changelog.parse(batch)
+              .select(
+                when(col("tag") === "CU", "customer")
+                  .when(col("tag") === "OR", "orders")
+                  .otherwise("lineitem").as("relation"),
+                when(col(ZSet.W) === 1, "Insert").otherwise("Delete").as("action"))
+              .groupBy("relation", "action").agg(count(lit(1)).as("n"))
+              .collect()
+            val merged = rows.foldLeft(st.totals) { (m, r) =>
+              val k = (r.getString(0), r.getString(1))
+              m.updated(k, m.getOrElse(k, 0L) + r.getLong(2))
+            }
+            save(totalsFile, TotalsState(id, merged))
+          }
+        }
+        .start()
+      def foldSeen(): Long = loadProgress(progressFile)._2
+      def countsSeen(): Long = load(totalsFile).totals.values.sum
+      def stagedOf(i: Int): Long =
+        ReplayServer.count("127.0.0.1", handles(i).port)
+      try {
+        val deadline = System.nanoTime() +
+          (300L + 2 * expected / 20000L) * 1000000000L
+        // phase A: fold ~a quarter, then KILL the fold group — query and
+        // all three per-partition heartbeats
+        while (foldSeen() < expected / 4 && qFold.isActive &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        require(foldSeen() >= expected / 4,
+          s"fold consumer stalled pre-kill: ${foldSeen()} of $expected")
+        val foldServedAtKill = handles.indices.map(i =>
+          ReplayServer.servedOf("127.0.0.1", handles(i).port, "fold"))
+        val stagedAtKill = handles.indices.map(stagedOf).sum
+        require(stagedAtKill < expected,
+          "the producers finished before the kill — the dead-group stall " +
+            s"never threatened ($stagedAtKill of $expected staged)")
+        qFold.stop()
+        foldPulses.foreach(_.close()); foldPulses = Nil
+        // THE PER-PARTITION LIVENESS PIN: while the fold group is down,
+        // EVERY partition's producer must advance past the dead group's
+        // flow-control window at that partition — impossible while its
+        // frozen watermark still paces, so reaching all three targets
+        // proves all three evictions (one un-evicted partition would
+        // stall its own producer forever and fail this loudly)
+        val advanceTargets = handles.indices.map(i =>
+          math.min(handles(i).expected,
+            foldServedAtKill(i) + 5 * chunks(i) + 1))
+        while (handles.indices.exists(i => stagedOf(i) < advanceTargets(i)) &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        handles.indices.foreach { i =>
+          val staged = stagedOf(i)
+          require(staged >= advanceTargets(i),
+            s"partition $i did not advance while the dead group was " +
+              s"down — per-partition eviction failed (staged=$staged, " +
+              s"target=${advanceTargets(i)}, " +
+              s"foldServedAtKill=${foldServedAtKill(i)})")
+        }
+        // resume: re-admitted on all three partitions, vector offsets +
+        // snapshot catch-up
+        qFold = startFold()
+        foldPulses = handles.map(h =>
+          ReplayServer.heartbeat("127.0.0.1", h.port, "fold"))
+        while ((foldSeen() < expected || countsSeen() < expected) &&
+               qFold.isActive && qCounts.isActive &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        require(foldSeen() == expected && countsSeen() == expected,
+          s"drain incomplete: fold=${foldSeen()} counts=${countsSeen()} " +
+            s"of $expected")
+      } finally {
+        qFold.stop(); qCounts.stop()
+        foldPulses.foreach(_.close())
+      }
+      val fin = Snapshots.loadLatest(spark, snapDir)
+        .getOrElse(sys.error("no snapshot after drain"))._1
+      val top = IncrementalQ3.topN(fin)
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .withColumn("ingest_events", lit(countsSeen()))
+      val rows = top.collect().toIndexedSeq
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, top.schema)
+    } finally {
+      handles.foreach(_.close())
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   private def twoConsumersRun(spark: SparkSession, dir: String,
                               fullCycle: Boolean,
                               killResume: Boolean): DataFrame = {
@@ -557,6 +745,185 @@ object ReplayIngest {
       }
     } finally {
       handle.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /** `stream_q3_spill_adaptive_resume` — the ADAPTIVE SPILL POLICY ACROSS
+    * A CRASH/RESUME BOUNDARY. [[StreamQueries.q3SpillAdaptive]] proves the
+    * mid-run threshold crossing in an unkilled batch fold;
+    * [[EventTimeReplay]] threads the policy through a kill but its
+    * driver-scale state never crosses (the two-sided pin). This query
+    * pins the remaining cell: the fold is CRASHED — a fault injected at
+    * the top of the foreachBatch, not a graceful stop — exactly ON the
+    * measurement batch (the first compaction, id 3 of 8 under the
+    * CompactEvery=4 cadence), so the state-size measurement, the
+    * threshold crossing, the engagement latch, and the bucketed-table
+    * MERGE all happen in the RESUMED process, against a recovered
+    * in-memory snapshot:
+    *
+    *  - the crash lands BEFORE batch 3's offsets commit, so the resume
+    *    re-delivers it — the measurement batch itself crosses the
+    *    snapshot boundary;
+    *  - the pre-crash snapshot is structurally REQUIRED to be batch 2,
+    *    un-engaged and un-spilled (deterministic by construction: the
+    *    fault fires before any batch-3 work) — so any engagement is
+    *    provably post-resume;
+    *  - the threshold is DATA-DERIVED (τ = n/8 consolidated rows, the
+    *    [[StreamQueries.q3SpillAdaptive]] sizing: below the converged
+    *    state's ~0.55·n at any SF, above the first compaction's share),
+    *    so the resumed fold's batch-3 compaction measures in-memory,
+    *    crosses, latches, and the batch-7 compaction MERGEs to the
+    *    bucketed tables;
+    *  - the converged answer must still be the batch Q3 top-20 — the
+    *    strong oracle, indifferent to the crash, the resume, and where
+    *    the state lived.
+    *
+    * Why a real exception instead of `query.stop()`: a graceful stop
+    * drains the in-flight batch and commits its offsets; only a genuine
+    * mid-batch failure leaves batch 3 uncommitted, which is what pins the
+    * kill to the measurement batch with no timing assumptions at all.
+    */
+  def q3SpillAdaptiveResume(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = Changelog.generateCached(spark, dir, insertOnly = true)
+      .orderBy(col("t"), col("sub"), col("idx")).select(col("line"))
+    // same flow-control sizing as the insert-only q3ReplayRun: the crash
+    // lands at 3/8 consumed, worst-case staged 3/8 + 1/8 (in-flight) +
+    // 7/24 (window + final-chunk slack) = 0.79 < 1 — mid-production by
+    // arithmetic, not timing
+    val handle = ReplayServer.serveGrowing(ordered,
+      chunks = 24, intervalMs = 10L, maxAheadChunks = 6)
+    val work = Files.createTempDirectory("graft-replay-adapt").toString
+    val snapDir = s"$work/snap"
+    val spillRoot = s"$work/spill"
+    val progressFile = s"$work/progress"
+    val crashMarker = "graft-injected-crash-at-measurement-batch"
+    try {
+      val expected = handle.expected
+      require(expected > 0, "empty changelog — nothing to replay")
+      val batchSize = math.max(1L, expected / 8)
+      val tau = math.max(1L, expected / 8)
+      // engagement observation, phase B only (the latch flips inside the
+      // resumed process, so an in-process var sees it race-free)
+      @volatile var engagedAtBatch = -1L
+      @volatile var sawInMemCompaction = false
+      def startQuery(failAtBatch: Option[Long]) = {
+        val resumed = Snapshots.loadLatest(spark, snapDir)
+        var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
+        var expectedBatch = resumed.fold(0L)(_._2 + 1)
+        spark.readStream
+          .format(classOf[ReplayProvider].getName)
+          .option("host", "127.0.0.1").option("port", handle.port.toString)
+          .option("batchSize", batchSize.toString)
+          .option("minBatchSize", batchSize.toString)
+          .option("splits", "4")
+          .load()
+          .writeStream
+          .queryName(s"graft_replay_adapt_${handle.port}")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // the FAULT: fires before any batch work — no snapshot, no
+            // progress write, no offset commit for this id
+            failAtBatch.foreach { f =>
+              if (id >= f) throw new RuntimeException(crashMarker)
+            }
+            val pinned = batch
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (id >= expectedBatch) {
+                require(id == expectedBatch,
+                  s"batch $id delivered but IVM state is at $expectedBatch — " +
+                    "a gap would corrupt the aggregate")
+                state = IncrementalQ3.step(state, pinned,
+                  spillDir = Some(spillRoot), spillAtRows = tau)
+                if (state.dirty == 0 && state.spillHistory.isEmpty)
+                  sawInMemCompaction = true
+                if (state.spillEngaged && engagedAtBatch < 0)
+                  engagedAtBatch = id
+                Snapshots.saveBatchAuto(state, snapDir, id)
+                expectedBatch = id + 1
+              }
+              val (lastCounted, cum, _) = loadProgress(progressFile)
+              if (id > lastCounted)
+                saveProgress(progressFile, id, cum + pinned.count(), 0L)
+            } finally pinned.unpersist(blocking = false)
+          }
+          .start()
+      }
+      def seen(): Long = loadProgress(progressFile)._2
+      // phase A: fold batches 0–2 in-memory, then CRASH on the
+      // measurement batch (the fault is the termination — await it)
+      val qa = startQuery(failAtBatch = Some(3L))
+      val deadlineMs = (180L + expected / 20000L) * 1000L
+      val terminated =
+        try { qa.awaitTermination(deadlineMs); true }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            // the failure must be OUR fault injection, not a latent bug
+            var c: Throwable = e
+            var found = false
+            while (c != null && !found) {
+              found = Option(c.getMessage).exists(_.contains(crashMarker))
+              c = c.getCause
+            }
+            require(found, s"phase A died of an unexpected error: $e")
+            true
+        } finally if (qa.isActive) qa.stop()
+      require(terminated, "phase A did not terminate within the deadline")
+      val stagedAtCrash = ReplayServer.count("127.0.0.1", handle.port)
+      require(stagedAtCrash < expected,
+        "the producer finished before the crash — the arrival-driven " +
+          s"path went unexercised ($stagedAtCrash of $expected staged)")
+      // the pre-crash snapshot: EXACTLY batch 2 (ids 0–2 committed, the
+      // fault preempted batch 3), in-memory and un-engaged — so the
+      // measurement, the crossing, and the spill are all post-resume
+      val (preState, preId) = Snapshots.loadLatest(spark, snapDir)
+        .getOrElse(sys.error("no snapshot survived the crash"))
+      require(preId == 2L,
+        s"crash landed at snapshot b$preId, not the pre-measurement b2 — " +
+          "the fault injection missed its batch")
+      require(preState.spillHistory.isEmpty && !preState.spillEngaged,
+        "the pre-crash state already engaged the spill — nothing about " +
+          "the adaptive policy crosses the resume boundary")
+      // phase B: resume from checkpoint + snapshot; batch 3 re-delivers
+      // (its offsets never committed), measures, crosses, latches; the
+      // batch-7 compaction MERGEs into the bucketed tables
+      val qb = startQuery(failAtBatch = None)
+      try {
+        val deadline = System.nanoTime() + deadlineMs * 1000000L
+        while (seen() < expected && qb.isActive &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        require(seen() >= expected,
+          s"phase B: saw ${seen()} of $expected events before timeout " +
+            s"(query active: ${qb.isActive})")
+      } finally qb.stop()
+      require(seen() == expected,
+        s"exactly-once violated at the transport: ${seen()} != $expected")
+      require(sawInMemCompaction,
+        "adaptive resume: no in-memory compaction ran post-resume — the " +
+          "measurement batch did not re-deliver as an in-memory fold")
+      require(engagedAtBatch >= 3L,
+        s"adaptive resume: engagement at batch $engagedAtBatch — the " +
+          "latch flipped outside the resumed process")
+      val fin = Snapshots.loadLatest(spark, snapDir)
+        .getOrElse(sys.error("no snapshot after drain"))._1
+      require(fin.spillEngaged,
+        s"adaptive resume: the threshold ($tau rows of $expected events) " +
+          "was never crossed post-resume — the policy went unexercised")
+      require(fin.spillHistory.nonEmpty,
+        "adaptive resume: engaged but never MERGEd — the engagement " +
+          "latch is broken across the snapshot boundary")
+      val top = IncrementalQ3.topN(fin)
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+      val rows = top.collect().toIndexedSeq // materialize BEFORE dropping tables
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, top.schema)
+    } finally {
+      handle.close()
+      IncrementalQ3.cleanupSpillRoot(spark, spillRoot)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }

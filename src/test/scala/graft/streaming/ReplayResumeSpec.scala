@@ -25,6 +25,26 @@ class ReplayResumeSpec extends SparkSpec {
         "any lost or double-applied batch moves the revenue")
   }
 
+  test("adaptive spill across a crash: measurement, latch, and MERGE all post-resume") {
+    // the r14 cell: a fault injected ON the measurement batch (before its
+    // offsets commit) kills the fold; the structural requires inside the
+    // query pin the pre-crash snapshot to b2/un-engaged/un-spilled and the
+    // engagement + spill to the resumed process. Here: the answer must
+    // still be the exact batch Q3 top-20 — indifferent to the crash, the
+    // resume, and where the state lived.
+    val resumed = ReplayIngest.q3SpillAdaptiveResume(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Relational.q3Batch(spark, sfDir)
+      .selectExpr("l_orderkey",
+        "CAST(to_date(o_orderdate) AS STRING) AS o_orderdate",
+        "o_orderpriority", "revenue")
+      .collect().map(_.toSeq).toSeq
+    assert(resumed == batch,
+      "the crash-resumed adaptive fold must land the exact batch Q3 " +
+        "top-20 — a mis-measured threshold or a double-folded measurement " +
+        "batch moves the revenue")
+  }
+
   test("retraction through recovery: the full ± cycle killed mid-teardown converges to empty") {
     // the r13 composition: insert+delete changelog through the replay
     // transport and the spilled fold, kill pinned to the DELETE phase by
