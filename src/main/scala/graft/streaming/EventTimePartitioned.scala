@@ -199,6 +199,7 @@ object EventTimePartitioned {
       chunks = 16, intervalMs = 10L, maxAheadChunks = 3))
     val work = Files.createTempDirectory("graft-etpart").toString
     val snapDir = s"$work/snap"
+    val spillRoot = s"$work/spill"
     val metaFile = s"$work/meta"
     val progressFile = s"$work/progress"
     try {
@@ -240,8 +241,14 @@ object EventTimePartitioned {
                 require(id == expectedBatch,
                   s"batch $id delivered but IVM state is at $expectedBatch — " +
                     "a gap would corrupt the aggregate")
+                // ADAPTIVE spill, the same policy as [[EventTimeReplay]]:
+                // in-memory below the state-size threshold (bench scales),
+                // bucketed-table MERGE above it (a 100× run) — every
+                // transport-fed fold carries the bounded-memory path
                 state = IncrementalQ3.step(state,
-                  flagged.filter(!col("late")).select("line"))
+                  flagged.filter(!col("late")).select("line"),
+                  spillDir = Some(spillRoot),
+                  spillAtRows = IncrementalQ3.adaptiveSpillThreshold)
                 Snapshots.saveBatchAuto(state, snapDir, id)
                 expectedBatch = id + 1
               }
@@ -307,6 +314,21 @@ object EventTimePartitioned {
             "semantics went untested")
       val st = Snapshots.loadLatest(spark, snapDir)
         .getOrElse(sys.error("no snapshot after drain"))._1
+      // TWO-SIDED policy pin ([[EventTimeReplay]]'s): spilled ⇔ the state
+      // warranted it — not spilling must be the policy's correct call
+      // (final consolidated state under the threshold), not a silent miss
+      if (st.spillHistory.isEmpty) {
+        require(!st.spillEngaged,
+          "event-time Q3 (partitioned): threshold crossed but no spill " +
+            "version was written — the engagement latch is broken")
+        val consolidated =
+          Seq(st.c, st.o, st.l, st.co).map(f => ZSet.consolidate(f).count()).sum +
+            st.aggs.map(_._2.count()).sum
+        require(consolidated < IncrementalQ3.adaptiveSpillThreshold,
+          s"event-time Q3 (partitioned): state grew to $consolidated rows " +
+            s"past the ${IncrementalQ3.adaptiveSpillThreshold}-row " +
+            "threshold without engaging the spill — the policy is broken")
+      }
       val top0 = IncrementalQ3.topN(st)
         .select(col("l_orderkey"),
           col("o_orderdate").cast("string").as("o_orderdate"),
@@ -319,6 +341,7 @@ object EventTimePartitioned {
       spark.createDataFrame(rows.asJava, top.schema)
     } finally {
       handles.foreach(_.close())
+      IncrementalQ3.cleanupSpillRoot(spark, spillRoot)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }

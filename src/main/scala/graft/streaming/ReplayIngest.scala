@@ -350,6 +350,7 @@ object ReplayIngest {
       groups = Seq("fold", "counts"), sessionTimeoutMs = 3000L))
     val work = Files.createTempDirectory("graft-replay-2cp").toString
     val snapDir = s"$work/snap"
+    val spillRoot = s"$work/spill"
     val progressFile = s"$work/progress"
     val totalsFile = s"$work/totals"
     try {
@@ -386,8 +387,11 @@ object ReplayIngest {
               if (id >= expectedBatch) {
                 require(id == expectedBatch,
                   s"batch $id delivered but IVM state is at $expectedBatch")
+                // adaptive spill, the session policy — see twoConsumersRun
                 state = IncrementalQ3.step(state,
-                  pinned.select(col("value")), spillDir = None)
+                  pinned.select(col("value")),
+                  spillDir = Some(spillRoot),
+                  spillAtRows = IncrementalQ3.adaptiveSpillThreshold)
                 Snapshots.saveBatchAuto(state, snapDir, id)
                 expectedBatch = id + 1
               }
@@ -484,6 +488,20 @@ object ReplayIngest {
       }
       val fin = Snapshots.loadLatest(spark, snapDir)
         .getOrElse(sys.error("no snapshot after drain"))._1
+      // two-sided adaptive-policy pin, as everywhere the policy runs
+      if (fin.spillHistory.isEmpty) {
+        require(!fin.spillEngaged,
+          "partitioned two-consumer fold: threshold crossed but no spill " +
+            "version was written — the engagement latch is broken")
+        val consolidated =
+          Seq(fin.c, fin.o, fin.l, fin.co)
+            .map(f => ZSet.consolidate(f).count()).sum +
+            fin.aggs.map(_._2.count()).sum
+        require(consolidated < IncrementalQ3.adaptiveSpillThreshold,
+          s"partitioned two-consumer fold: state grew to $consolidated " +
+            s"rows past the ${IncrementalQ3.adaptiveSpillThreshold}-row " +
+            "threshold without engaging the spill — the policy is broken")
+      }
       val top = IncrementalQ3.topN(fin)
         .select(col("l_orderkey"),
           col("o_orderdate").cast("string").as("o_orderdate"),
@@ -494,6 +512,7 @@ object ReplayIngest {
       spark.createDataFrame(rows.asJava, top.schema)
     } finally {
       handles.foreach(_.close())
+      IncrementalQ3.cleanupSpillRoot(spark, spillRoot)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
@@ -530,6 +549,7 @@ object ReplayIngest {
       sessionTimeoutMs = if (killResume) 3000L else 0L)
     val work = Files.createTempDirectory("graft-replay-2c").toString
     val snapDir = s"$work/snap"
+    val spillRoot = s"$work/spill"
     val progressFile = s"$work/progress"
     val totalsFile = s"$work/totals"
     try {
@@ -565,7 +585,13 @@ object ReplayIngest {
               if (id >= expectedBatch) {
                 require(id == expectedBatch,
                   s"batch $id delivered but IVM state is at $expectedBatch")
-                state = IncrementalQ3.step(state, pinned, spillDir = None)
+                // ADAPTIVE spill, the session policy: in-memory below the
+                // state-size threshold (bench scales), bucketed-table
+                // MERGE above it — every transport-fed fold carries the
+                // bounded-memory path
+                state = IncrementalQ3.step(state, pinned,
+                  spillDir = Some(spillRoot),
+                  spillAtRows = IncrementalQ3.adaptiveSpillThreshold)
                 Snapshots.saveBatchAuto(state, snapDir, id)
                 expectedBatch = id + 1
               }
@@ -717,6 +743,21 @@ object ReplayIngest {
       }
       val fin = Snapshots.loadLatest(spark, snapDir)
         .getOrElse(sys.error("no snapshot after drain"))._1
+      // TWO-SIDED policy pin ([[graft.streaming.EventTimeReplay]]'s):
+      // spilled ⇔ the state warranted it
+      if (fin.spillHistory.isEmpty) {
+        require(!fin.spillEngaged,
+          "two-consumer fold: threshold crossed but no spill version was " +
+            "written — the engagement latch is broken")
+        val consolidated =
+          Seq(fin.c, fin.o, fin.l, fin.co)
+            .map(f => ZSet.consolidate(f).count()).sum +
+            fin.aggs.map(_._2.count()).sum
+        require(consolidated < IncrementalQ3.adaptiveSpillThreshold,
+          s"two-consumer fold: state grew to $consolidated rows past the " +
+            s"${IncrementalQ3.adaptiveSpillThreshold}-row threshold " +
+            "without engaging the spill — the adaptive policy is broken")
+      }
       if (fullCycle) {
         // exact-cancellation pin: every insert was retracted THROUGH the
         // two-group transport — the consolidated aggregate must be
@@ -745,6 +786,7 @@ object ReplayIngest {
       }
     } finally {
       handle.close()
+      IncrementalQ3.cleanupSpillRoot(spark, spillRoot)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
