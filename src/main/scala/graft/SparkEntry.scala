@@ -121,6 +121,17 @@ object SparkEntry {
     "stream_q3_two_consumers_partitioned" ->
       (streaming.ReplayIngest.q3TwoConsumersPartitioned _),
     "stream_q3_converged" -> (streaming.StreamQueries.q3Converged _),
+    // the query-PARAMETRIC fold (IncrementalIvm): Q10 and Q5 maintained
+    // incrementally over the same changelog by declaring an IvmSpec each —
+    // zero fold code per query; static dims broadcast at emission
+    "stream_q10_incremental" -> (streaming.IvmQueries.q10Incremental _),
+    "stream_q5_incremental" -> (streaming.IvmQueries.q5Incremental _),
+    // the agg-only member: additive sums maintained exactly, averages
+    // derived at emission (the standard IVM treatment of AVG)
+    "stream_q1_incremental" -> (streaming.IvmQueries.q1Incremental _),
+    // full ± cycle through the Q5 spec: exact-empty convergence proves the
+    // retraction algebra holds for the whole parametric family
+    "stream_q5_cycle" -> (streaming.IvmQueries.q5IncrementalCycle _),
     "stream_q3_full_cycle" -> (streaming.StreamQueries.q3FullCycle _),
     "stream_q3_prefix_snapshot" -> (streaming.StreamQueries.q3PrefixSnapshot _),
     "stream_q3_spilled" -> (streaming.StreamQueries.q3SpilledCycle _),
@@ -470,6 +481,17 @@ object SparkEntry {
     "q3_sql" -> Relational.q3Sql,
     "q3_typed" -> Relational.q3Sql,
     "q5_local_supplier" -> Relational.q5OracleSql,
+    // the incremental twins converge to EXACTLY the batch answers, so
+    // they share the batch oracles verbatim
+    "stream_q10_incremental" -> Relational.q10OracleSql,
+    "stream_q5_incremental" -> Relational.q5OracleSql,
+    "stream_q1_incremental" -> Relational.q1OracleSql,
+    // every insert retracted → the converged emission is exactly empty
+    "stream_q5_cycle" ->
+      """SELECT CAST(NULL AS VARCHAR) AS n_name,
+        |       CAST(NULL AS DOUBLE) AS revenue,
+        |       CAST(NULL AS BIGINT) AS n_lines
+        |WHERE 1 = 0""".stripMargin,
     "q10_returned" -> Relational.q10OracleSql,
     "source_csv_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
