@@ -104,10 +104,10 @@ object IncrementalIvm {
     joined.groupBy(spec.aggKeys.map(col): _*).agg(outs.head, outs.tail: _*)
   }
 
-  private def consolidated(df: DataFrame): DataFrame =
-    ZSet.consolidate(df).localCheckpoint(eager = false)
-
-  /** Merge an aggregate-state frame with a new partial at the same grain. */
+  /** Merge an aggregate-state frame with a new partial at the same grain.
+    * Lazy: the merge chain is grain-sized per link and is evaluated once,
+    * at emission (or at the next chained merge's checkpoint).
+    */
   private def mergeAgg(spec: IvmSpec, old: DataFrame, delta: DataFrame): DataFrame = {
     val outs = spec.measures.map(m => sum(col(m)).cast(revType).as(m)) :+
       sum(col("cnt")).as("cnt")
@@ -121,32 +121,62 @@ object IncrementalIvm {
   /** Apply one micro-batch of raw changelog lines. Same shape as
     * [[IncrementalQ3.step]]'s in-memory path: one parse of the batch
     * (cached — each relation delta is reused by two joins plus upkeep),
-    * a bilinear ΔJ per join, delta-sized aggregation, consolidated state.
+    * a bilinear ΔJ per join, delta-sized aggregation.
+    *
+    * State upkeep is PURE UNION: z-set algebra is linear, so joins and
+    * weighted sums distribute over an unconsolidated state — appending
+    * the checkpointed delta is all correctness needs, and it keeps each
+    * batch's materialization DELTA-sized (the eager checkpoints below
+    * are the only jobs a step runs). Re-grouping the full state every
+    * batch — the first cut of this fold — paid an O(state) shuffle per
+    * state per batch for nothing on an insert-only run.
+    *
+    * `consolidateState` flips that trade for RETRACTION-heavy runs: with
+    * deletes in flight, consolidation is what lets ± pairs cancel OUT of
+    * the state, so each batch's joins see the net rows instead of the
+    * ever-growing ± union (measured on the sf0.1 ± cycle: 89 s
+    * unconsolidated vs ~30 s consolidated; the insert-only converged
+    * runs show the exact opposite split). The consolidations are LAZY
+    * checkpoints — they read only already-checkpointed deltas, so they
+    * piggyback on the next batch's first materialization and the batch
+    * cache can still be dropped here. Bounding state under sustained
+    * retraction at production scale is [[IncrementalQ3]]'s
+    * amortized-compaction job; this flag is the same policy at
+    * fold-simulation scale.
     */
-  def step(st: State, lines: DataFrame, spec: IvmSpec): State = {
+  def step(st: State, lines: DataFrame, spec: IvmSpec,
+           consolidateState: Boolean = false): State = {
     val parsed = Changelog.parse(lines)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dC = spec.dC(parsed).localCheckpoint(eager = false)
-    val dO = spec.dO(parsed).localCheckpoint(eager = false)
-    val dL = spec.dL(parsed).localCheckpoint(eager = false)
+    // eager: everything reading `parsed` is materialized inside the step
+    // so the batch cache can be dropped before returning
+    val dC = spec.dC(parsed).localCheckpoint()
+    val dO = spec.dO(parsed).localCheckpoint()
+    val dL = spec.dL(parsed).localCheckpoint()
 
+    // the c⋈o delta IS consolidated before checkpointing: it feeds two
+    // joins in the next batch, and at delta size the re-group is cheap
     val dCO = ZSet.consolidate(
         ZSet.deltaJoin(st.c, dC, st.o, dO, spec.coCond)
           .select((spec.coCols.map(col) :+ col(ZSet.W)): _*))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val dCOL = ZSet.deltaJoin(st.co, dCO, st.l, dL, spec.colCond)
     val dAgg = aggDelta(spec, dCOL)
 
+    def upkeep(state: DataFrame, delta: DataFrame): DataFrame = {
+      val merged = state.unionByName(delta)
+      // eager: each consolidated state is pinned per batch, so the ±
+      // cancellation pays off immediately in THIS batch's join sizes and
+      // the end-of-run evaluation never re-walks a deep lazy chain
+      if (consolidateState) ZSet.consolidate(merged).localCheckpoint()
+      else merged
+    }
     val next = State(
-      c = consolidated(st.c.unionByName(dC)),
-      o = consolidated(st.o.unionByName(dO)),
-      l = consolidated(st.l.unionByName(dL)),
-      co = consolidated(st.co.unionByName(dCO)),
+      c = upkeep(st.c, dC),
+      o = upkeep(st.o, dO),
+      l = upkeep(st.l, dL),
+      co = upkeep(st.co, dCO),
       agg = mergeAgg(spec, st.agg, dAgg))
-    // Materialize the new states before dropping the parsed batch: the
-    // lazy checkpoints above still read it until first evaluation.
-    next.agg.count()
-    Seq(next.c, next.o, next.l, next.co).foreach(_.count())
     parsed.unpersist()
     next
   }
@@ -155,12 +185,13 @@ object IncrementalIvm {
     * batch assignment as [[IncrementalQ3.runBatches]].
     */
   def runBatches(spark: SparkSession, events: DataFrame, k: Int,
-                 spec: IvmSpec): State = {
+                 spec: IvmSpec, consolidateState: Boolean = false): State = {
     val tMax = events.agg(max(col("t"))).head().getLong(0)
     val batched = events.withColumn("batch",
       least(expr(s"CAST(((t - 1L) * ${k}L) DIV ${tMax}L AS INT)"), lit(k - 1)))
     (0 until k).foldLeft(init(spark, spec)) { (st, b) =>
-      step(st, batched.filter(col("batch") === b).select("line"), spec)
+      step(st, batched.filter(col("batch") === b).select("line"), spec,
+        consolidateState)
     }
   }
 }

@@ -181,8 +181,11 @@ object IvmQueries {
     * exact-cancellation contract from Q3 to the whole parametric family.
     */
   def q5IncrementalCycle(spark: SparkSession, dir: String): DataFrame = {
+    // consolidateState: with retractions in flight the ± pairs must cancel
+    // OUT of the state per batch, or every join pays for the dead rows
     val st = IncrementalIvm.runBatches(spark,
-      Changelog.generateCached(spark, dir, insertOnly = false), K, q5Spec)
+      Changelog.generateCached(spark, dir, insertOnly = false), K, q5Spec,
+      consolidateState = true)
     // Structural pin: convergence must come from cancellation inside the
     // maintained state, not from the dim join filtering rows away.
     val leftover = st.agg.count()
