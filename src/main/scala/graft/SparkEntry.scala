@@ -129,6 +129,9 @@ object SparkEntry {
     // the agg-only member: additive sums maintained exactly, averages
     // derived at emission (the standard IVM treatment of AVG)
     "stream_q1_incremental" -> (streaming.IvmQueries.q1Incremental _),
+    // the parametric fold under a REAL streaming runtime: file-source
+    // micro-batches, foreachBatch → the same IncrementalIvm.step
+    "stream_q10_live" -> (streaming.IvmQueries.q10Live _),
     // full ± cycle through the Q5 spec: exact-empty convergence proves the
     // retraction algebra holds for the whole parametric family
     "stream_q5_cycle" -> (streaming.IvmQueries.q5IncrementalCycle _),
@@ -486,6 +489,7 @@ object SparkEntry {
     "stream_q10_incremental" -> Relational.q10OracleSql,
     "stream_q5_incremental" -> Relational.q5OracleSql,
     "stream_q1_incremental" -> Relational.q1OracleSql,
+    "stream_q10_live" -> Relational.q10OracleSql,
     // every insert retracted → the converged emission is exactly empty
     "stream_q5_cycle" ->
       """SELECT CAST(NULL AS VARCHAR) AS n_name,

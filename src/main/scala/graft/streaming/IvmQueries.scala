@@ -72,6 +72,11 @@ object IvmQueries {
   def q10Incremental(spark: SparkSession, dir: String): DataFrame = {
     val st = IncrementalIvm.runBatches(spark,
       Changelog.generateCached(spark, dir, insertOnly = true), K, q10Spec)
+    emitQ10(spark, dir, st)
+  }
+
+  private def emitQ10(spark: SparkSession, dir: String,
+                      st: IncrementalIvm.State): DataFrame = {
     val cust = Tables.table(spark, dir, "customer")
       .select(col("c_custkey").cast("long").as("ck"), col("c_name"),
         col("c_nationkey"))
@@ -85,6 +90,43 @@ object IvmQueries {
         col("cnt").as("n_returned"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
+  }
+
+  /** The parametric fold under a REAL streaming runtime: the insert-only
+    * changelog staged as ordered text files, read back through
+    * Structured Streaming's file source (`Trigger.AvailableNow`,
+    * `maxFilesPerTrigger` so the run is genuinely multi-micro-batch),
+    * folded by `foreachBatch` → [[IncrementalIvm.step]] — the same step
+    * the batch simulation uses, byte-for-byte. Converges to the batch
+    * Q10 answer; the structural pin requires the runtime actually split
+    * the stream (≥ 3 micro-batches saw rows).
+    */
+  def q10Live(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Changelog.generateCached(spark, dir, insertOnly = true)
+    val stage = java.nio.file.Files.createTempDirectory("graft-ivmlive").toString
+    try {
+      Changelog.write(events, stage, nFiles = 6)
+      @volatile var st = IncrementalIvm.init(spark, q10Spec)
+      @volatile var fedBatches = 0
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", 2)
+        .text(stage)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            st = IncrementalIvm.step(st, batch, q10Spec)
+            fedBatches += 1
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(fedBatches >= 3,
+        s"live IVM fold: expected a multi-micro-batch run, got $fedBatches")
+      emitQ10(spark, dir, st)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
   }
 
   /** Converged incremental Q5: the (nation, supplier) grain re-aggregated

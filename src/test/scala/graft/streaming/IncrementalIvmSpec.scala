@@ -32,6 +32,14 @@ class IncrementalIvmSpec extends SparkSpec {
     assert(inc == batch)
   }
 
+  test("live Q10: the same fold under Structured Streaming equals batch Q10") {
+    val live = rows(IvmQueries.q10Live(spark, sfDir))
+    val batch = rows(Relational.q10Returned(spark, sfDir)
+      .selectExpr("CAST(c_custkey AS BIGINT) AS c_custkey", "c_name", "n_name",
+        "revenue", "n_returned"))
+    assert(live == batch)
+  }
+
   test("incremental Q1 (agg-only member) equals the batch Q1 exactly") {
     val inc = rows(IvmQueries.q1Incremental(spark, sfDir))
     val batch = rows(Relational.q1Pricing(spark, sfDir))
