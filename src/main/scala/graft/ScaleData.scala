@@ -93,7 +93,11 @@ object ScaleData {
         }
       }
     )
-    scaled.foreach { case (name, df) =>
+    // optional 3rd arg: comma-separated table subset (e.g. the changelog
+    // trio for a 100× spill-engagement run — scaling 100× of documents/
+    // embeddings to test a TPC-H stream would be pure write cost)
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    scaled.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       System.err.println(s"[scale] $name written")
     }
