@@ -200,8 +200,10 @@ object EventTimeReplay {
     // the fold is slow, so only consumption-paced production makes the
     // mid-production kill a structural guarantee, not a host-speed race;
     // the 6-chunk window leaves room for minBatchSize-held admission
-    val handle = ReplayServer.serveGrowing(ordered,
-      chunks = 24, intervalMs = 10L, maxAheadChunks = 6)
+    val handle = graft.Phase("etreplay.stage") {
+      ReplayServer.serveGrowing(ordered,
+        chunks = 24, intervalMs = 10L, maxAheadChunks = 6)
+    }
     val work = Files.createTempDirectory("graft-etreplay").toString
     val snapDir = s"$work/snap"
     val spillRoot = s"$work/spill"
@@ -239,13 +241,16 @@ object EventTimeReplay {
               parts.getItem(0).cast("long").as("t"),
               parts.getItem(1).as("line"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val phT0 = System.nanoTime()
             // the late split at THIS batch's carry-in: meta.wm is the
             // running max through the last ACCOUNTED batch (id-1 here on
             // first delivery; unchanged on re-delivery, so the replayed
             // batch recomputes the identical flags — determinism is what
             // makes the two id watermarks composable)
-            val flagged = prefixLateFlag(stamped, meta.wm, delay = delay)
-              .localCheckpoint()
+            val flagged = graft.Phase(s"etreplay.b$id.flag") {
+              prefixLateFlag(stamped, meta.wm, delay = delay)
+                .localCheckpoint()
+            }
             stamped.unpersist(blocking = false)
             try {
               if (id >= expectedBatch) {
@@ -262,20 +267,26 @@ object EventTimeReplay {
                 // on the heap and a 100× run engages the spill path
                 // automatically. Snapshots stay delta-sized once spilled
                 // (saveBatchAuto).
-                state = IncrementalQ3.step(state,
-                  flagged.filter(!col("late")).select("line"),
-                  spillDir = Some(spillRoot),
-                  spillAtRows = IncrementalQ3.adaptiveSpillThreshold)
+                state = graft.Phase(s"etreplay.b$id.step") {
+                  IncrementalQ3.step(state,
+                    flagged.filter(!col("late")).select("line"),
+                    spillDir = Some(spillRoot),
+                    spillAtRows = IncrementalQ3.adaptiveSpillThreshold)
+                }
                 // state flip BEFORE the offset commit (re-delivery → skip)
-                Snapshots.saveBatchAuto(state, snapDir, id)
+                graft.Phase(s"etreplay.b$id.snap") {
+                  Snapshots.saveBatchAuto(state, snapDir, id)
+                }
                 expectedBatch = id + 1
               } // else: already folded into the loaded snapshot — skipped
               // one job for all four per-batch statistics (dropped count,
               // admitted-late count, running-max event time, total rows)
-              val statsRow = flagged.agg(
-                sum(when(col("late"), 1L).otherwise(0L)).as("late"),
-                sum(when(col("late_admitted"), 1L).otherwise(0L)).as("adm"),
-                max(col("t")).as("mx"), count(lit(1)).as("n")).head()
+              val statsRow = graft.Phase(s"etreplay.b$id.stats") {
+                flagged.agg(
+                  sum(when(col("late"), 1L).otherwise(0L)).as("late"),
+                  sum(when(col("late_admitted"), 1L).otherwise(0L)).as("adm"),
+                  max(col("t")).as("mx"), count(lit(1)).as("n")).head()
+              }
               if (id > meta.lastId) {
                 val late = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
                 val adm = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
@@ -288,6 +299,8 @@ object EventTimeReplay {
               val (lastCounted, cum) = loadProgress(progressFile)
               if (id > lastCounted)
                 saveProgress(progressFile, id, cum + statsRow.getLong(3))
+              if (graft.Phase.enabled) System.err.println(
+                f"[phase] etreplay.b$id.total: ${(System.nanoTime() - phT0) / 1e9}%.2fs")
             } finally flagged.unpersist()
           }
           .start()
@@ -303,9 +316,9 @@ object EventTimeReplay {
             s"(query active: ${q.isActive})")
       }
       // phase A: fold ~a third, then KILL mid-stream, mid-PRODUCTION
-      val qa = startQuery()
+      val qa = graft.Phase("etreplay.startA") { startQuery() }
       try {
-        await(expected / 3, qa, "phase A")
+        graft.Phase("etreplay.phaseA") { await(expected / 3, qa, "phase A") }
         val stagedAtKill = ReplayServer.count("127.0.0.1", handle.port)
         require(stagedAtKill < expected,
           "the producer finished before the kill — the arrival-driven " +
@@ -316,8 +329,10 @@ object EventTimeReplay {
         "the kill must land mid-stream or the resume proves nothing " +
           s"(saw $afterKill of $expected before restart)")
       // phase B: restart from checkpoint + snapshot, drain to the end
-      val qb = startQuery()
-      try await(expected, qb, "phase B (post-resume)") finally qb.stop()
+      val qb = graft.Phase("etreplay.startB") { startQuery() }
+      try graft.Phase("etreplay.phaseB") {
+        await(expected, qb, "phase B (post-resume)")
+      } finally qb.stop()
       require(seen() == expected,
         s"exactly-once violated at the transport: ${seen()} != $expected")
       val meta = loadMeta(metaFile)
@@ -342,9 +357,10 @@ object EventTimeReplay {
         require(!st.spillEngaged,
           "event-time Q3 (replay): threshold crossed but no spill version " +
             "was written — the engagement latch is broken")
-        val consolidated =
+        val consolidated = graft.Phase("etreplay.finalPin") {
           Seq(st.c, st.o, st.l, st.co).map(f => ZSet.consolidate(f).count()).sum +
             st.aggs.map(_._2.count()).sum
+        }
         require(consolidated < IncrementalQ3.adaptiveSpillThreshold,
           s"event-time Q3 (replay): state grew to $consolidated rows past " +
             s"the ${IncrementalQ3.adaptiveSpillThreshold}-row threshold " +

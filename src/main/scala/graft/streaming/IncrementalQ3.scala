@@ -389,7 +389,9 @@ object IncrementalQ3 {
     //      uncached). Folding this into the deltas action below re-runs
     //      the parse up to 3× concurrently (one per union branch racing
     //      before the cache fills) — measured 233K → 145K events/s at k=8;
-    val hasDeletes = parsed.filter(col(ZSet.W) < 0).count() > 0
+    val hasDeletes = graft.Phase("ivm.step.parsePin") {
+      parsed.filter(col(ZSet.W) < 0).count() > 0
+    }
     val spark = lines.sparkSession
     val bucketN = SpillFormat.buckets
     def bucketExpr(key: String) = pmod(hash(col(key)), lit(bucketN)).cast("int")
@@ -408,9 +410,11 @@ object IncrementalQ3 {
     // below then hit the cached blocks, so no plan runs twice.
     val batchBuckets: Map[String, Set[Int]] =
       if (!engaged) {
-        dC.select(col(ZSet.W)).unionByName(dO.select(col(ZSet.W)))
-          .unionByName(dL.select(col(ZSet.W))).count()
-        dCO.count()
+        graft.Phase("ivm.step.deltaPin") {
+          dC.select(col(ZSet.W)).unionByName(dO.select(col(ZSet.W)))
+            .unionByName(dL.select(col(ZSet.W))).count()
+        }
+        graft.Phase("ivm.step.dcoPin") { dCO.count() }
         Map.empty
       } else {
         val deltaProbe = dC.select(lit("c").as("s"), bucketExpr("c_custkey").as("b"))
@@ -566,8 +570,11 @@ object IncrementalQ3 {
                  // delta-sized partials (the chain's older links are
                  // already pinned; counting the whole chain per batch
                  // would be the O(k²) trap the comment above names)
-    val sizes = Await.result(
-      Future.sequence(toPin.map(df => Future { df.count() })), Duration.Inf)
+    val sizes = graft.Phase(
+      if (compact) "ivm.step.upkeepPin.compact" else "ivm.step.upkeepPin") {
+      Await.result(
+        Future.sequence(toPin.map(df => Future { df.count() })), Duration.Inf)
+    }
     // the sizes diagnostic (z-set rows incl. not-yet-compacted ± pairs,
     // for capacity planning) counts all states regardless
     if (wantSizes)
