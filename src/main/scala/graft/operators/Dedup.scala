@@ -39,7 +39,8 @@ object Dedup {
     * same operators — see `graft.DedupBench`).
     */
   def shingledDocs(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs) // single-file fixture scan → spread the CPU-heavy
+                        // shingle/verify work across cores (no-op at scale)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), when(size(col("w")) >= 3,
           array_distinct(expr(

@@ -17,18 +17,42 @@ import org.apache.spark.sql.types.LongType
   */
 object Ranked {
 
-  /** Append a 1-based global rank over `order` as column `idxCol`. */
+  /** Append a 1-based global rank over `order` as column `idxCol`.
+    *
+    * Stays entirely in Tungsten (r14, guide §1.4/§4.1 — the old
+    * `.rdd.zipWithIndex` + `createDataFrame` hop decoded every row to an
+    * external `Row` and re-encoded it, TWICE: once in zipWithIndex's count
+    * job and once in the consuming job; measured 30 s of task time just
+    * for the lineitem count pass at sf0.1). Now: range-partition + sort
+    * once, stamp `monotonically_increasing_id` — whose contract is
+    * `(partitionId << 33) | consecutive-record-number` — checkpoint that
+    * single materialization, derive per-partition counts with a codegen'd
+    * aggregate over the cached blocks, and compute the global rank as
+    * `offset(partition) + local + 1` with a literal offset array. Same
+    * total order, same tie semantics (scan order within equal keys), no
+    * external-row boundary anywhere.
+    */
   def globalRank(df: DataFrame, order: Seq[Column],
                  idxCol: String = "idx"): DataFrame = {
+    import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
+    // collision-free temp name: a caller's own column must not be clobbered
+    val m = Iterator.from(0).map(i => s"__graft_gr$i")
+      .find(c => !df.columns.contains(c)).get
     val sorted = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
-    val schema = sorted.schema.add(idxCol, LongType, nullable = false)
-    val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(withIdx, schema)
+      .withColumn(m, monotonically_increasing_id())
+      .localCheckpoint() // ONE materialization: the counts job and every
+                         // downstream consumer read these blocks
+    def pid = shiftrightunsigned(col(m), 33).cast("int")
+    val counts = sorted.groupBy(pid.as("p")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((a, i) => a + counts.getOrElse(i, 0L))
+    val offset = element_at(array(offsets.take(n).map(lit): _*), pid + lit(1))
+    sorted.withColumn(idxCol,
+        offset + col(m).bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop(m)
   }
 
   /** Append a 1-based PER-STRATUM rank (`row_number() OVER (PARTITION BY

@@ -35,7 +35,8 @@ object Similarity {
   /** `(vec_id, e, nrm)` — norms computed ONCE per vector, not per pair. */
   private[graft] def vectors(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    Tables.table(spark, dir, "embeddings")
+    Tables.spread(Tables.table(spark, dir, "embeddings")) // single-file
+      // fixture scan → spread the dot-product work (no-op at scale)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", graft.functions.VectorExprs.norm(col("e")))
   }
@@ -135,8 +136,15 @@ object Similarity {
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+    // Pool and sims are CONTRACT-bounded tiny (queries × k, queries × k²):
+    // coalesce their checkpoints to one partition so the 5-step greedy
+    // loop's ~35 jobs run one task each — the scored scan above keeps the
+    // corpus-wide parallelism ([[graft.sources.Tables.spread]]); the loop
+    // below is job-latency-bound, not compute-bound (r14, guide §1.2).
     val pool = graft.plans.TopKPerGroup.topKPerGroup(
         scored, Seq("query_id"), Seq(("c", true), ("neighbor_id", false)), MmrPool)
+      .repartition(1) // repartition, NOT coalesce: coalesce would narrow
+                      // the heap stage itself to one task over the corpus
       .localCheckpoint() // 5 greedy steps + sims all read it
     val sims = pool.as("pa").join(pool.as("pb"),
         col("pa.query_id") === col("pb.query_id") &&
@@ -147,6 +155,8 @@ object Similarity {
       .join(v.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")), "b")
       .select(col("sq"), col("a"), col("b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+      .repartition(1) // repartition, NOT coalesce: coalesce would narrow
+                      // the corpus-side join stage itself to one task
       .localCheckpoint() // read once per step
     def argmax(df: DataFrame, score: Column): DataFrame =
       df.select(col("query_id"), col("neighbor_id"), col("c"), score.as("score"))
@@ -154,7 +164,14 @@ object Similarity {
         .agg(max(struct(col("score"), (-col("neighbor_id")).as("neg"))).as("m"))
         .select(col("query_id"), (-col("m.neg")).cast("long").as("neighbor_id"),
           col("m.score").as("score"))
-    var sel = argmax(pool, col("c")).withColumn("rank", lit(1))
+    // Each step's selected set is checkpointed: step t's plan references
+    // sel(t−1) THREE times (anti-join, selected-set join, union), so an
+    // uncheckpointed chain grows the final plan geometrically and the
+    // greedy loop becomes planning/job-latency-bound (r14; measured 40
+    // jobs for 5 steps). Checkpointed, each step is a flat plan over
+    // three tiny cached frames.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    var sel = pin(argmax(pool, col("c")).withColumn("rank", lit(1)))
     for (t <- 2 to MmrK) {
       val cand = pool.join(sel.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_anti")
@@ -165,9 +182,9 @@ object Similarity {
           col("b") === col("sb") && col("sq") === col("pq"))
         .groupBy(col("query_id"), col("neighbor_id"), col("c"))
         .agg(max(col("s")).as("msim"))
-      sel = sel.unionByName(
+      sel = pin(sel.unionByName(
         argmax(withMax, lit(MmrLambda) * col("c") - lit(1 - MmrLambda) * col("msim"))
-          .withColumn("rank", lit(t)))
+          .withColumn("rank", lit(t))))
     }
     sel.select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("score"), 6).as("score"))

@@ -44,6 +44,23 @@ object Tables {
     else df
   }
 
+  /** Spread a CPU-bound input across the available cores when its scan
+    * under-parallelizes (guide §2.5 "input skew: one huge unsplittable
+    * file … repartition immediately after the read"). The small fixture
+    * corpora arrive as ONE parquet file with one row group, so the scan —
+    * and, via AQE coalescing of the tiny shuffles, everything downstream
+    * — runs in a single task; the shingle/signature/vector math these
+    * inputs feed is compute-heavy per byte (measured: `dedup_simhash`'s
+    * verify stage 3.3 s in ONE task, `ann_mmr` 39 nearly-all-single-task
+    * jobs). Conditional on the scan's partition count so it is a NO-OP at
+    * scale: a corpus wider than the cluster's parallelism keeps its
+    * layout and never pays the extra exchange.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Register every fixture table as a temp view (for the `spark.sql` path,
     * mirroring the reference's Table-API catalog registration).
     */

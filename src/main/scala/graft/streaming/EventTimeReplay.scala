@@ -217,6 +217,7 @@ object EventTimeReplay {
         val resumed = Snapshots.loadLatest(spark, snapDir)
         var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
         var expectedBatch = resumed.fold(0L)(_._2 + 1)
+        StreamTune.prepare(spark)
         spark.readStream
           .format(classOf[ReplayProvider].getName)
           .option("host", "127.0.0.1").option("port", handle.port.toString)

@@ -109,6 +109,7 @@ object IvmQueries {
       Changelog.write(events, stage, nFiles = 6)
       @volatile var st = IncrementalIvm.init(spark, q10Spec)
       @volatile var fedBatches = 0
+      StreamTune.prepare(spark)
       val q = spark.readStream
         .option("maxFilesPerTrigger", 2)
         .text(stage)

@@ -81,6 +81,7 @@ object ReplayIngest {
       // ≥ 9 paced batches, so the phase-A kill lands mid-stream with
       // several committed batches behind it and several ranges unread
       val batchSize = math.max(1L, expected / 9)
+      StreamTune.prepare(spark)
       def startQuery() = spark.readStream
         .format(classOf[ReplayProvider].getName)
         .option("host", "127.0.0.1").option("port", handle.port.toString)
@@ -359,6 +360,7 @@ object ReplayIngest {
       val chunks = handles.map(h => math.max(1L, h.expected / 16))
       val foldBatch = math.max(1L, expected / 6)
       val countsBatch = math.max(1L, expected / 9)
+      StreamTune.prepare(spark)
       def reader(group: String, batchSize: Long) = spark.readStream
         .format(classOf[graft.sources.PartitionedReplayProvider].getName)
         .option("host", "127.0.0.1")
@@ -558,6 +560,7 @@ object ReplayIngest {
       val chunk = math.max(1L, expected / 24)
       val foldBatch = math.max(1L, expected / (if (fullCycle) 8 else 6))
       val countsBatch = math.max(1L, expected / 9)
+      StreamTune.prepare(spark)
       def reader(group: String, batchSize: Long) = spark.readStream
         .format(classOf[ReplayProvider].getName)
         .option("host", "127.0.0.1").option("port", handle.port.toString)
@@ -853,6 +856,7 @@ object ReplayIngest {
         val resumed = Snapshots.loadLatest(spark, snapDir)
         var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
         var expectedBatch = resumed.fold(0L)(_._2 + 1)
+        StreamTune.prepare(spark)
         spark.readStream
           .format(classOf[ReplayProvider].getName)
           .option("host", "127.0.0.1").option("port", handle.port.toString)
@@ -1032,6 +1036,7 @@ object ReplayIngest {
         val resumed = Snapshots.loadLatest(spark, snapDir)
         var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
         var expectedBatch = resumed.fold(0L)(_._2 + 1)
+        StreamTune.prepare(spark)
         spark.readStream
           .format(classOf[ReplayProvider].getName)
           .option("host", "127.0.0.1").option("port", handle.port.toString)

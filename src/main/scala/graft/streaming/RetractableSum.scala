@@ -74,7 +74,9 @@ object RetractableSum {
       .start()
   }
 
-  def configure(spark: SparkSession): Unit =
+  def configure(spark: SparkSession): Unit = {
+    StreamTune.prepare(spark)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
 }

@@ -40,9 +40,18 @@ object Snapshots {
     // dispatch on the stale marker and load the wrong state.
     clearDeltaResidue(dir)
     val parts = baseParts ++ st.aggsRaw.indices.map(IncrementalQ3.aggName)
-    parts.zip(st.all).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name")
-    }
+    // Concurrent per-state writes (r14, guide §2.6 "overlap independent
+    // jobs"): the 5–7 state writes are independent Spark jobs over
+    // already-pinned blocks — serially each pays its own scheduling +
+    // commit latency per batch; concurrently the wall time is the
+    // slowest write, the same pattern as IncrementalQ3.step's upkeep
+    // pins.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(parts.zip(st.all).map { case (name, df) =>
+      Future { df.write.mode("overwrite").parquet(s"$dir/$name") }
+    }), Duration.Inf)
     Files.write(Paths.get(s"$dir/grains"),
       st.aggsRaw.map(_._1.mkString(",")).mkString("\n")
         .getBytes(StandardCharsets.UTF_8))

@@ -67,7 +67,8 @@ object StreamingAnn {
     * `acc/results/batch_<id>` (overwrite = retry-idempotent).
     */
   def startCheckpointed(spark: SparkSession, ctx: IngestContext,
-                        ckpt: String, acc: String): StreamingQuery =
+                        ckpt: String, acc: String): StreamingQuery = {
+    StreamTune.prepare(spark)
     spark.readStream.schema("vec_id bigint, e array<double>")
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet")
@@ -86,6 +87,7 @@ object StreamingAnn {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** All delta top-K results accumulated so far. */
   def accumulatedResults(spark: SparkSession, acc: String): DataFrame =

@@ -63,7 +63,8 @@ object StreamingBaskets {
   }
 
   def startCheckpointed(spark: SparkSession, staged: String, run: String,
-                        maxFilesPerTrigger: Int = 1): StreamingQuery =
+                        maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    StreamTune.prepare(spark)
     spark.readStream.schema("ok bigint, p bigint")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "*.parquet")
@@ -91,6 +92,7 @@ object StreamingBaskets {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Rules from everything accumulated so far under `run`. */
   def accumulatedRules(spark: SparkSession, run: String): DataFrame = {

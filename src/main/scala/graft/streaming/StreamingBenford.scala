@@ -43,6 +43,7 @@ object StreamingBenford {
     // accumulator: digit -> count; written only from the stream thread,
     // read after awaitTermination
     val acc = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    StreamTune.prepare(spark)
     val q = spark.readStream
       .schema("o_orderkey bigint, o_totalprice double")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -45,6 +45,7 @@ object StreamingCm {
     val staged = stagedDocs(spark, dir)
     val acc = new Array[Long](CmSketch.Depth * CmSketch.Width)
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    StreamTune.prepare(spark)
     val q = spark.readStream
       .schema("doc_id bigint, text string")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

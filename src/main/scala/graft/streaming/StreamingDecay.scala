@@ -58,6 +58,7 @@ object StreamingDecay {
     // written only from the stream thread, read after awaitTermination
     val acc = scala.collection.concurrent.TrieMap
       .empty[(Long, java.sql.Date), (Long, Long, Long)]
+    StreamTune.prepare(spark)
     val q = spark.readStream
       .schema("user_id bigint, ts timestamp, event_type string, value double")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

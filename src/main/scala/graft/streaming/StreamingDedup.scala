@@ -67,7 +67,8 @@ object StreamingDedup {
     * first uncommitted file.
     */
   def startCheckpointed(spark: SparkSession, ctx: IngestContext,
-                        ckpt: String, acc: String): StreamingQuery =
+                        ckpt: String, acc: String): StreamingQuery = {
+    StreamTune.prepare(spark)
     spark.readStream.schema("doc_id bigint, text string")
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet")
@@ -84,6 +85,7 @@ object StreamingDedup {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** All pairs accumulated so far across batch directories. */
   def accumulated(spark: SparkSession, acc: String): DataFrame =

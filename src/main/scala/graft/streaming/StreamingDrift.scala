@@ -51,6 +51,7 @@ object StreamingDrift {
     // accumulator: bucket -> (n_train, n_val); written only from the
     // stream thread, read after awaitTermination
     val acc = scala.collection.concurrent.TrieMap.empty[Int, (Long, Long)]
+    StreamTune.prepare(spark)
     val q = spark.readStream.schema("doc_id bigint, n_chars bigint")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(staged)

@@ -116,6 +116,7 @@ object StreamingEventTime {
     val resumed = Snapshots.loadLatest(spark, snapDir)
     var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
     var expectedBatch = resumed.fold(0L)(_._2 + 1)
+    StreamTune.prepare(spark)
     spark.readStream
       .option("maxFilesPerTrigger", 1)
       .text(stagedDir)

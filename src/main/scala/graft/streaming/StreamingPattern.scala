@@ -122,6 +122,7 @@ object StreamingPattern {
     // plain captured locals)
     val statePath = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
     val highWater = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    StreamTune.prepare(spark)
     val q = spark.readStream
       .schema("user_id bigint, us bigint, ch string")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -59,6 +59,7 @@ object StreamingProfile {
     // which is what keeps the accumulation batching-invariant
     final case class Acc(var n: Long, sums: Array[java.math.BigDecimal])
     val acc = scala.collection.mutable.Map.empty[String, Acc]
+    StreamTune.prepare(spark)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(staged)

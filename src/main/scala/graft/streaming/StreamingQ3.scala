@@ -48,6 +48,7 @@ object StreamingQ3 {
     var state = resumed.fold(IncrementalQ3.init(spark))(_._1)
     // next batch id this state expects; ids below it are already applied
     var expectedBatch = resumed.fold(0L)(_._2 + 1)
+    StreamTune.prepare(spark)
     val writer = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(changelogDir)

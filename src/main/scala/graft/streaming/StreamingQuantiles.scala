@@ -51,6 +51,7 @@ object StreamingQuantiles {
     val staged = stagedEvents(spark, dir)
     // accumulator: event_type -> (ladder, row count)
     val acc = scala.collection.mutable.Map.empty[String, (KllSketch.Buffer, Long)]
+    StreamTune.prepare(spark)
     val q = spark.readStream.schema("event_type string, value double")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(staged)

@@ -60,6 +60,7 @@ object StreamingTokens {
         acc.filterInPlace((_, c) => c > 0)
       }
     }
+    StreamTune.prepare(spark)
     val q = spark.readStream
       .schema("doc_id bigint, text string")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -93,6 +93,18 @@ object StreamingWindows {
         path
       })
 
+  // [[StreamTune]] wrapper for this file's STATEFUL queries: engine
+  // streaming defaults (checkpoint-checksum switch) + input-size-derived
+  // state partition count (one state store instance per partition per
+  // batch is a fixed cost — see StreamTune's measurements), wrapped
+  // around start-to-termination so the conf restore cannot race the
+  // query-start capture.
+  private def tuned[A](spark: SparkSession, staged: String)(body: => A): A = {
+    StreamTune.prepare(spark)
+    StreamTune.withStatePartitions(spark,
+      StreamTune.statePartitions(spark, StreamTune.dirBytes(staged)))(body)
+  }
+
   /** Driver-contract entry: run the watermarked append-mode tumbling query
     * END TO END through real Structured Streaming (stage → readStream →
     * AvailableNow → memory sink) and return the finalized windows. The
@@ -103,8 +115,10 @@ object StreamingWindows {
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEvents(spark, dir)
     val sink = s"graft_stream_tumbling_${sinkCounter.incrementAndGet()}"
-    val q = startTumbling(spark, staged, sink)
-    q.awaitTermination()
+    tuned(spark, staged) {
+      val q = startTumbling(spark, staged, sink)
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 
@@ -121,8 +135,10 @@ object StreamingWindows {
   def streamSession(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEvents(spark, dir)
     val sink = s"graft_stream_session_${sinkCounter.incrementAndGet()}"
-    val q = startSession(spark, staged, sink)
-    q.awaitTermination()
+    tuned(spark, staged) {
+      val q = startSession(spark, staged, sink)
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 
@@ -132,6 +148,7 @@ object StreamingWindows {
     */
   def startSession(spark: SparkSession, stagedDir: String,
                    sinkName: String): StreamingQuery = {
+    StreamTune.prepare(spark)
     val schema = "ts timestamp, user_id bigint, event_type string, value double"
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -175,8 +192,10 @@ object StreamingWindows {
   def streamLate(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedLateEvents(spark, dir)
     val sink = s"graft_stream_late_${sinkCounter.incrementAndGet()}"
-    val q = startTumbling(spark, staged, sink)
-    q.awaitTermination()
+    tuned(spark, staged) {
+      val q = startTumbling(spark, staged, sink)
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 
@@ -232,6 +251,7 @@ object StreamingWindows {
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEvents(spark, dir)
     val sink = s"graft_stream_sliding_${sinkCounter.incrementAndGet()}"
+    tuned(spark, staged) {
     val q = spark.readStream
       .schema("ts timestamp, user_id bigint, event_type string, value double")
       .option("maxFilesPerTrigger", 1)
@@ -245,6 +265,7 @@ object StreamingWindows {
       .writeStream.queryName(sink).format("memory")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     spark.table(sink)
   }
 
@@ -260,6 +281,7 @@ object StreamingWindows {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEvents(spark, dir)
     val sink = s"graft_stream_dedup_${sinkCounter.incrementAndGet()}"
+    tuned(spark, staged) {
     val q = spark.readStream
       .schema("ts timestamp, user_id bigint, event_type string, value double")
       .option("maxFilesPerTrigger", 1)
@@ -269,6 +291,7 @@ object StreamingWindows {
       .writeStream.queryName(sink).format("memory")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     spark.table(sink).orderBy("user_id", "event_type")
   }
 
@@ -283,6 +306,7 @@ object StreamingWindows {
     * exactly the batch join's answer (the DuckDB oracle).
     */
   def streamEnrichStatic(spark: SparkSession, dir: String): DataFrame = {
+    StreamTune.prepare(spark)
     val staged = stagedEvents(spark, dir)
     val dim = Tables.table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -324,6 +348,7 @@ object StreamingWindows {
     * oracle.
     */
   def streamScdEnrich(spark: SparkSession, dir: String): DataFrame = {
+    StreamTune.prepare(spark)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("d_user")).orderBy(col("d_ts"), col("event_id"))
     val dim = Tables.table(spark, dir, "events")
@@ -376,8 +401,10 @@ object StreamingWindows {
   def streamJoinInterval(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEvents(spark, dir)
     val sink = s"graft_stream_joinint_${sinkCounter.incrementAndGet()}"
-    val q = startJoinInterval(spark, staged, sink)
-    q.awaitTermination()
+    tuned(spark, staged) {
+      val q = startJoinInterval(spark, staged, sink)
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("user_id", "view_ts", "click_ts")
   }
 
@@ -386,6 +413,7 @@ object StreamingWindows {
     * path (StreamingWindowsSpec), so both run the identical plan.
     */
   def joinIntervalFrame(spark: SparkSession, staged: String): DataFrame = {
+    StreamTune.prepare(spark)
     val schema = "ts timestamp, user_id bigint, event_type string, value double"
     // one column namespace per side: stream-stream self-joins must not
     // share attribute ids, and the watermark column is per-side
@@ -438,6 +466,7 @@ object StreamingWindows {
     * path (StreamingWindowsSpec), so both run the identical plan.
     */
   def tumblingFrame(spark: SparkSession, stagedDir: String): DataFrame = {
+    StreamTune.prepare(spark)
     val schema = "ts timestamp, user_id bigint, event_type string, value double"
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -495,6 +524,7 @@ object StreamingWindows {
     * (each batch reads v_{b-1}, writes v_b — never in place).
     */
   def streamCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    StreamTune.prepare(spark)
     val staged = stagedEvents(spark, dir)
     val base = System.getProperty("java.io.tmpdir") +
       s"/graft_upsert_${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}_${sinkCounter.incrementAndGet()}"
