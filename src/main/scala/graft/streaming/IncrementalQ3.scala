@@ -317,20 +317,25 @@ object IncrementalQ3 {
     // the deltas individually instead would re-run the line parse once per
     // relation — 3 scans of the batch.) Unpersisted at the end of the step:
     // the delta checkpoints are self-contained by then.
+    val buildT0 = System.nanoTime()
     val parsed = Changelog.parse(lines)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each delta is reused 2–3× (both branches of the next delta join plus
     // the state upkeep union); checkpoint lazily so the projection runs once
     // and later uses hit the cached blocks.
     val (dC0, dO0, dL0) = project(parsed)
-    val dC = dC0.localCheckpoint(eager = false)
-    val dO = dO0.localCheckpoint(eager = false)
-    val dL = dL0.localCheckpoint(eager = false)
+    val (dC, dO, dL) = graft.Phase("ivm.step.build.deltas") {
+      (dC0.localCheckpoint(eager = false),
+       dO0.localCheckpoint(eager = false),
+       dL0.localCheckpoint(eager = false))
+    }
 
-    val dCO = ZSet.deltaJoin(st.c, dC, st.o, dO,
-        col("c_custkey") === col("o_custkey"))
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col(ZSet.W))
-      .localCheckpoint(eager = false)
+    val dCO = graft.Phase("ivm.step.build.dco") {
+      ZSet.deltaJoin(st.c, dC, st.o, dO,
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col(ZSet.W))
+        .localCheckpoint(eager = false)
+    }
     val dJ0 = ZSet.deltaJoin(st.co, dCO, st.l, dL,
       col("o_orderkey") === col("l_orderkey"))
     // the shared ΔJ: with several grains each reads it once — checkpoint so
@@ -347,14 +352,18 @@ object IncrementalQ3 {
     // O(state) step every batch paid (r11). Each partial is checkpointed:
     // it is the one link holding this batch's contribution, and later
     // consolidations must hit cached blocks, never re-run the delta joins.
-    val dAggs: Vector[DataFrame] = st.aggsRaw.map { case (keys, agg) =>
+    val dAggs: Vector[DataFrame] = graft.Phase("ivm.step.build.daggs") {
+      st.aggsRaw.map { case (keys, agg) =>
       dJ.groupBy(keys.map(col): _*)
         .agg(sum(col(ZSet.W) * col("revenue")).cast(revType).as("revenue"),
           sum(col(ZSet.W)).as("cnt"))
         .withColumn(ZSet.W, lit(1L))
         .select(agg.columns.toIndexedSeq.map(col): _*)
         .localCheckpoint(eager = false)
+      }
     }
+    if (graft.Phase.enabled) System.err.println(
+      f"[phase] ivm.step.build: ${(System.nanoTime() - buildT0) / 1e9}%.2fs")
     // A well-formed changelog's deletes mirror their inserts exactly, so a
     // group whose membership count reaches 0 must also have revenue exactly
     // 0 — dropping it at a consolidation point is then pure compaction.
@@ -526,6 +535,7 @@ object IncrementalQ3 {
                        // compaction full-writes, nothing to track
       }
     }
+    val upkeepT0 = System.nanoTime()
     val next = State(
       c = upkeep("c", st.c, dC),
       o = upkeep("o", st.o, dO),
@@ -542,6 +552,8 @@ object IncrementalQ3 {
       spillMeta = nextMeta,
       aggDepth = if (spillTo.nonEmpty || aggCompact) 0 else st.aggDepth + 1,
       spillEngaged = st.spillEngaged || engaged)
+    if (graft.Phase.enabled) System.err.println(
+      f"[phase] ivm.step.upkeepBuild: ${(System.nanoTime() - upkeepT0) / 1e9}%.2fs")
     // everything older than the previous spill is now unreachable (carried-
     // forward files survive as hard links under the newer versions)
     spillTo.foreach(root => history.drop(2).foreach(dropSpill(spark, root, _)))
