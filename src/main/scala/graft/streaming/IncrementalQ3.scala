@@ -72,7 +72,16 @@ object IncrementalQ3 {
                          spillHistory: List[Long] = Nil,
                          spillMeta: Option[SpillMeta] = None,
                          aggDepth: Int = 0,
-                         spillEngaged: Boolean = false) {
+                         spillEngaged: Boolean = false,
+                         /** Per-state delta of the LAST applied batch, present
+                           * exactly for the states whose upkeep took the
+                           * plain-union path that batch (state' = state ∪ delta,
+                           * nothing rewritten) — what lets a per-batch snapshot
+                           * hard-link the previous snapshot's files and write
+                           * only the delta ([[Snapshots.saveBatch]], r14).
+                           * Never persisted; rebuilt every step.
+                           */
+                         snapDeltas: Map[String, DataFrame] = Map.empty) {
     /** The maintained aggregates, one per grain, CONSOLIDATED on read.
       * Internally (`aggsRaw`) each grain is a chain of per-batch delta
       * partials — consolidating only at compaction and at emission is
@@ -551,7 +560,16 @@ object IncrementalQ3 {
       spillHistory = history.take(2),
       spillMeta = nextMeta,
       aggDepth = if (spillTo.nonEmpty || aggCompact) 0 else st.aggDepth + 1,
-      spillEngaged = st.spillEngaged || engaged)
+      spillEngaged = st.spillEngaged || engaged,
+      // which states this batch merely UNIONed (snapshot can link + append):
+      // base z-sets unless this batch consolidated/spilled them; agg
+      // partial chains unless this batch depth-capped/spilled them
+      snapDeltas = (if (spillTo.isEmpty && !compact)
+          Map("c" -> dC, "o" -> dO, "l" -> dL, "co" -> dCO)
+        else Map.empty[String, DataFrame]) ++
+        (if (spillTo.isEmpty && !aggCompact)
+          dAggs.zipWithIndex.map { case (d, i) => aggName(i) -> d }.toMap
+        else Map.empty[String, DataFrame]))
     if (graft.Phase.enabled) System.err.println(
       f"[phase] ivm.step.upkeepBuild: ${(System.nanoTime() - upkeepT0) / 1e9}%.2fs")
     // everything older than the previous spill is now unreachable (carried-

@@ -135,9 +135,62 @@ object Snapshots {
     }
   }
 
-  /** Persist the post-batch state and advance the LATEST pointer. */
+  /** Persist the post-batch state and advance the LATEST pointer.
+    *
+    * INCREMENTAL since r14 (guide §1.2 — the full per-batch rewrite was
+    * 1–2.8 s of every composition micro-batch): when the previous batch's
+    * FULL-form snapshot is on disk and a state's upkeep took the
+    * plain-union path (`state' = state ∪ delta`, recorded in
+    * [[IncrementalQ3.State.snapDeltas]]), the new snapshot HARD-LINKS the
+    * previous snapshot's parquet files for that state and appends only
+    * the delta's files — O(delta) I/O, byte-identical multiset of rows
+    * (parquet dir = unordered file set; append writes fresh
+    * uniquely-named parts next to the linked ones). States the batch
+    * consolidated or spilled fall back to a full write, as does the
+    * whole snapshot when there is no usable previous (first batch,
+    * post-resume gap, or a DELTA-form predecessor). Pruning is
+    * unchanged: flipLatest deletes the superseded DIRECTORY; shared
+    * inodes survive through the links.
+    */
   def saveBatch(st: IncrementalQ3.State, dir: String, batchId: Long): Unit = {
-    save(st, s"$dir/b$batchId")
+    val prev = Paths.get(s"$dir/b${batchId - 1}")
+    val latestFile = Paths.get(s"$dir/LATEST")
+    val prevUsable = st.snapDeltas.nonEmpty &&
+      Files.exists(latestFile) &&
+      new String(Files.readAllBytes(latestFile), StandardCharsets.UTF_8)
+        .trim == (batchId - 1).toString &&
+      Files.isDirectory(prev) && !Files.exists(prev.resolve("DELTA"))
+    if (!prevUsable) save(st, s"$dir/b$batchId")
+    else {
+      val d = s"$dir/b$batchId"
+      // a crashed earlier attempt leaves a partial dir — start clean
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      Files.createDirectories(Paths.get(d))
+      val parts = baseParts ++ st.aggsRaw.indices.map(IncrementalQ3.aggName)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(parts.zip(st.all).map { case (name, df) =>
+        Future {
+          val dst = s"$d/$name"
+          (st.snapDeltas.get(name), Files.isDirectory(prev.resolve(name))) match {
+            case (Some(delta), true) =>
+              linkTree(prev.resolve(name), Paths.get(dst))
+              delta.write.mode("append").parquet(dst)
+            case _ => df.write.mode("overwrite").parquet(dst)
+          }
+        }
+      }), Duration.Inf)
+      Files.write(Paths.get(s"$d/grains"),
+        st.aggsRaw.map(_._1.mkString(",")).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(s"$d/dirty"),
+        st.dirty.toString.getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(s"$d/spill_history"),
+        st.spillHistory.mkString(",").getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(s"$d/spill_engaged"),
+        st.spillEngaged.toString.getBytes(StandardCharsets.UTF_8))
+    }
     flipLatest(dir, batchId)
   }
 
